@@ -1,0 +1,42 @@
+"""mcmcpp_tpu — a TPU-native ensemble-MCMC / probabilistic-inference framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of jmatta1/MCMCpp
+(header-only C++ affine-invariant ensemble MCMC; see /root/reference). The
+walker ensemble is a single device array ``(2, W/2, P)`` (red/black halves),
+stepped by pure functions under ``lax.scan``; the pthread worker pool of the
+reference (MCMCpp/Threading/) is replaced by SPMD sharding over a
+``jax.sharding.Mesh``, and pcg64 PRNG streams by counter-based threefry keys.
+
+Public API (mirrors the reference's EnsembleSampler surface,
+MCMCpp/EnsembleSampler.h:89-176, in idiomatic JAX form).
+"""
+
+from mcmcpp_tpu.sampler import EnsembleSampler, EnsembleState, sample_ball
+from mcmcpp_tpu.chain import Chain
+from mcmcpp_tpu.movers import (
+    StretchMove,
+    WalkMove,
+    DifferentialEvolutionMove,
+    MetropolisHastingsMove,
+    AutoRegressiveMove,
+    SequenceMove,
+)
+from mcmcpp_tpu import analysis
+from mcmcpp_tpu import ops
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EnsembleSampler",
+    "EnsembleState",
+    "Chain",
+    "StretchMove",
+    "WalkMove",
+    "DifferentialEvolutionMove",
+    "MetropolisHastingsMove",
+    "AutoRegressiveMove",
+    "SequenceMove",
+    "analysis",
+    "ops",
+    "sample_ball",
+]

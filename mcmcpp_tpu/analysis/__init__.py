@@ -1,0 +1,17 @@
+"""Post-hoc chain analysis (TPU-native rebuild of ``MCMCpp/Analysis/``)."""
+
+from mcmcpp_tpu.analysis.autocorr import autocorr_time, normalized_autocov
+from mcmcpp_tpu.analysis.covariance import covariance_matrix, correlation_matrix
+from mcmcpp_tpu.analysis.histograms import CornerHistograms
+from mcmcpp_tpu.analysis.percentiles import PercentileAndMaximumFinder
+from mcmcpp_tpu.analysis.ess import effective_sample_size
+
+__all__ = [
+    "autocorr_time",
+    "normalized_autocov",
+    "covariance_matrix",
+    "correlation_matrix",
+    "CornerHistograms",
+    "PercentileAndMaximumFinder",
+    "effective_sample_size",
+]

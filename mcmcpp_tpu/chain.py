@@ -1,0 +1,144 @@
+"""Host-side chain store for sampled ensembles.
+
+TPU-native replacement for the reference's linked list of fixed-size blocks
+(``MCMCpp/Chain/Chain.h``, ``MCMCpp/Chain/ChainBlock.h``): on TPU the chain
+must NOT live in HBM (it is write-once history), so stored steps stream
+host-ward in chunks and land in a block list here. Byte-capped exactly like
+the reference (default 2 GiB, ``EnsembleSampler.h:67``); appends past
+capacity return False (≙ ``IncrementStatus::EndOfChain``, Chain.h:230-234).
+
+The reference's two iterator types (ChainPsetIterator / ChainStepIterator)
+collapse into NumPy views: ``get()`` returns (S, W, P) (step iteration) and
+``get(flat=True)`` returns (S·W, P) (pset iteration). ``compact`` is the
+in-place burn+thin compaction of ``resetChainForSubSampling``
+(Chain.h:269-305).
+
+When the native C++ block store extension is built (``mcmcpp_tpu/native``),
+it backs the block list with 64-byte-aligned arena blocks; this pure-NumPy
+path is the always-available fallback with identical semantics.
+"""
+
+import numpy as np
+
+
+class Chain:
+    """Append-only (step, walker, param) store with byte capacity.
+
+    Blocks are whatever chunk sizes the producer appends; views returned by
+    :meth:`get` are materialized as one contiguous array on demand and
+    cached until the chain changes.
+    """
+
+    def __init__(self, n_walkers, n_params, max_bytes=2 << 30, dtype=np.float32):
+        self.n_walkers = int(n_walkers)
+        self.n_params = int(n_params)
+        self.max_bytes = int(max_bytes)
+        self.dtype = np.dtype(dtype)
+        self._blocks = []  # list of (S_i, W, P)
+        self._logp_blocks = []  # list of (S_i, W)
+        self._bytes = 0
+        self._cache = None
+        self._logp_cache = None
+
+    # -- writing -----------------------------------------------------------
+
+    def _row_bytes(self):
+        return self.n_walkers * (self.n_params + 1) * self.dtype.itemsize
+
+    def append(self, positions, logps=None):
+        """Append (S, W, P) positions (+ optional (S, W) logp). Returns False
+        (and appends nothing beyond capacity) once the byte cap is reached."""
+        positions = np.asarray(positions, self.dtype)
+        if positions.ndim != 3 or positions.shape[1:] != (
+            self.n_walkers,
+            self.n_params,
+        ):
+            raise ValueError(
+                f"expected (S, {self.n_walkers}, {self.n_params}), "
+                f"got {positions.shape}"
+            )
+        if logps is None:
+            logps = np.zeros(positions.shape[:2], self.dtype)
+        else:
+            logps = np.asarray(logps, self.dtype)
+            if logps.shape != positions.shape[:2]:
+                raise ValueError("logps shape must be (S, W)")
+        room = (self.max_bytes - self._bytes) // self._row_bytes()
+        take = min(positions.shape[0], max(room, 0))
+        if take > 0:
+            self._blocks.append(positions[:take])
+            self._logp_blocks.append(logps[:take])
+            self._bytes += take * self._row_bytes()
+            self._cache = None
+            self._logp_cache = None
+        return take == positions.shape[0]
+
+    def clear(self):
+        """Drop all stored steps (≙ Chain reset via sampler.reset)."""
+        self._blocks = []
+        self._logp_blocks = []
+        self._bytes = 0
+        self._cache = None
+        self._logp_cache = None
+
+    # -- reading -----------------------------------------------------------
+
+    @property
+    def n_steps(self):
+        return sum(b.shape[0] for b in self._blocks)
+
+    @property
+    def nbytes(self):
+        return self._bytes
+
+    def _materialize(self):
+        if self._cache is None:
+            if self._blocks:
+                self._cache = (
+                    self._blocks[0]
+                    if len(self._blocks) == 1
+                    else np.concatenate(self._blocks, axis=0)
+                )
+            else:
+                self._cache = np.zeros(
+                    (0, self.n_walkers, self.n_params), self.dtype
+                )
+        return self._cache
+
+    def _materialize_logp(self):
+        if self._logp_cache is None:
+            if self._logp_blocks:
+                self._logp_cache = (
+                    self._logp_blocks[0]
+                    if len(self._logp_blocks) == 1
+                    else np.concatenate(self._logp_blocks, axis=0)
+                )
+            else:
+                self._logp_cache = np.zeros((0, self.n_walkers), self.dtype)
+        return self._logp_cache
+
+    def get(self, burn_in=0, thin=1, flat=False):
+        """Samples as (S, W, P); ``flat`` flattens steps×walkers to rows
+        (pset-iterator order: step-major, walker-minor)."""
+        arr = self._materialize()[burn_in::thin]
+        if flat:
+            return arr.reshape(-1, self.n_params)
+        return arr
+
+    def get_logp(self, burn_in=0, thin=1, flat=False):
+        arr = self._materialize_logp()[burn_in::thin]
+        if flat:
+            return arr.reshape(-1)
+        return arr
+
+    def compact(self, burn_in=0, thin=1):
+        """In-place burn+thin (≙ resetChainForSubSampling, Chain.h:269-305)."""
+        kept = self._materialize()[burn_in::thin].copy()
+        kept_logp = self._materialize_logp()[burn_in::thin].copy()
+        self.clear()
+        if kept.shape[0]:
+            self._blocks = [kept]
+            self._logp_blocks = [kept_logp]
+            self._bytes = kept.shape[0] * self._row_bytes()
+            self._cache = kept
+            self._logp_cache = kept_logp

@@ -1,0 +1,18 @@
+"""Proposal movers (TPU-native equivalents of ``MCMCpp/Movers/``)."""
+
+from mcmcpp_tpu.movers.base import Mover
+from mcmcpp_tpu.movers.stretch import StretchMove
+from mcmcpp_tpu.movers.walk import WalkMove
+from mcmcpp_tpu.movers.de import DifferentialEvolutionMove
+from mcmcpp_tpu.movers.mh import MetropolisHastingsMove
+from mcmcpp_tpu.movers.diagnostic import AutoRegressiveMove, SequenceMove
+
+__all__ = [
+    "Mover",
+    "StretchMove",
+    "WalkMove",
+    "DifferentialEvolutionMove",
+    "MetropolisHastingsMove",
+    "AutoRegressiveMove",
+    "SequenceMove",
+]

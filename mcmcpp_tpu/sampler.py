@@ -1,0 +1,341 @@
+"""Ensemble sampler: red/black half-ensemble stepping under ``lax.scan``.
+
+TPU-native rebuild of ``MCMCpp/EnsembleSampler.h`` (sequential) and
+``MCMCpp/ParallelEnsembleSampler.h`` (pthread pool) as ONE code path:
+
+- The walker ensemble is two device arrays ``(W/2, P)`` (red/black halves)
+  plus log-posterior vectors, not W heap objects
+  (cf. Walker layer, ``MCMCpp/Walker/Walker.h:42-150``).
+- ``performStep`` (EnsembleSampler.h:342-359) becomes a pure function:
+  red half updates against black, then black against the *new* red, both
+  as vmapped Metropolis updates. The two pthread barriers per step
+  (RedBlkCtrlerSpinLock.h:241-322) are implicit in SPMD data flow.
+- ``runMCMC`` (EnsembleSampler.h:285-331) becomes ``lax.scan`` over stored
+  steps with an inner ``fori_loop`` for thinning; chain rows are scan
+  outputs, fetched to a host :class:`~mcmcpp_tpu.chain.Chain` in chunks.
+- pcg64 seed/stream multiplexing is replaced by threefry key folding on the
+  global step counter — bitwise deterministic at any device count, which
+  the threaded reference explicitly is not (ParallelEnsembleSampler.h:71-76).
+
+The same step function runs single-chip or sharded over a
+``jax.sharding.Mesh`` (see ``mcmcpp_tpu.parallel``).
+"""
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu.chain import Chain
+from mcmcpp_tpu.movers.base import Mover
+from mcmcpp_tpu.movers.stretch import StretchMove
+
+
+class EnsembleState(NamedTuple):
+    """Carry for the sampling scan. ``red``/``black``: (W/2, P);
+    ``logp_*``: (W/2,); ``accepted``: (2,) int64 accept totals (red, black);
+    ``step``: global step counter (drives key folding)."""
+
+    red: jax.Array
+    black: jax.Array
+    logp_red: jax.Array
+    logp_black: jax.Array
+    accepted: jax.Array
+    step: jax.Array
+
+
+def init_state(positions, batched_logp):
+    """Build an :class:`EnsembleState` from initial walker positions (W, P).
+
+    Equivalent to ``setInitialWalkerPos`` (EnsembleSampler.h:221-243): the
+    first W/2 walkers become the red half, the rest black, and the
+    log-posterior is evaluated once up front.
+    """
+    positions = jnp.asarray(positions)
+    w = positions.shape[0]
+    if w % 2 != 0:
+        raise ValueError("number of walkers must be even (red/black halves)")
+    half = w // 2
+    red, black = positions[:half], positions[half:]
+    return EnsembleState(
+        red=red,
+        black=black,
+        logp_red=batched_logp(red),
+        logp_black=batched_logp(black),
+        accepted=jnp.zeros((2,), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_step_fn(batched_logp, mover: Mover, mover_state: Any, base_key):
+    """Return ``step(state) -> state`` performing one full red+black update."""
+
+    def step(state: EnsembleState) -> EnsembleState:
+        key = jax.random.fold_in(base_key, state.step)
+        k_red, k_black = jax.random.split(key)
+        red, logp_red, acc_r = mover.update_half(
+            k_red, state.red, state.logp_red, state.black, batched_logp, mover_state
+        )
+        # black proposes against the *updated* red half (EnsembleSampler.h:350-354)
+        black, logp_black, acc_b = mover.update_half(
+            k_black, state.black, state.logp_black, red, batched_logp, mover_state
+        )
+        accepted = state.accepted + jnp.stack(
+            [jnp.sum(acc_r, dtype=jnp.int32), jnp.sum(acc_b, dtype=jnp.int32)]
+        )
+        return EnsembleState(red, black, logp_red, logp_black, accepted, state.step + 1)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("step_fn", "n_store", "thin"))
+def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int):
+    """Run ``n_store·thin`` steps, emitting every ``thin``-th ensemble.
+
+    Returns (final_state, positions (n_store, W, P), logps (n_store, W)).
+    Thinning-at-source replaces the reference's save/skip bookkeeping
+    (EnsembleSampler.h:296-308) — skipped steps never touch HBM.
+    """
+
+    def body(carry, _):
+        carry = jax.lax.fori_loop(0, thin, lambda i, s: step_fn(s), carry)
+        pos = jnp.concatenate([carry.red, carry.black], axis=0)
+        logp = jnp.concatenate([carry.logp_red, carry.logp_black], axis=0)
+        return carry, (pos, logp)
+
+    final, (positions, logps) = jax.lax.scan(body, state, length=n_store)
+    return final, positions, logps
+
+
+@partial(jax.jit, static_argnames=("step_fn", "n_steps"))
+def run_nostore(state: EnsembleState, step_fn, n_steps: int):
+    """Advance ``n_steps`` without storing (burn-in fast path)."""
+    return jax.lax.fori_loop(0, n_steps, lambda i, s: step_fn(s), state)
+
+
+def sample_ball(key, center, scale, n_walkers, dtype=jnp.float32):
+    """Gaussian ball initializer for walker positions (emcee-style)."""
+    center = jnp.asarray(center, dtype)
+    scale = jnp.broadcast_to(jnp.asarray(scale, dtype), center.shape)
+    z = jax.random.normal(key, (n_walkers, center.shape[0]), dtype)
+    return center[None, :] + scale[None, :] * z
+
+
+class EnsembleSampler:
+    """User-facing driver (public surface ≙ EnsembleSampler.h:89-176).
+
+    Parameters
+    ----------
+    logp_fn : callable(theta (P,)) -> scalar log-posterior, JAX-traceable.
+        The reference's compile-time SFINAE check on the user Calculator
+        (UserOjbectsTest.h:144-151) becomes an ``eval_shape`` validation here.
+    n_walkers, n_params : ensemble dimensions (W must be even).
+    mover : a :class:`~mcmcpp_tpu.movers.base.Mover` (default StretchMove).
+    seed : base PRNG seed (threefry).
+    max_chain_bytes : host chain capacity (default 2 GiB, ≙ EnsembleSampler.h:67).
+    batched : set True if logp_fn already maps (n, P) -> (n,).
+    """
+
+    def __init__(
+        self,
+        logp_fn,
+        n_walkers,
+        n_params,
+        mover=None,
+        seed=0,
+        dtype=jnp.float32,
+        max_chain_bytes=2 << 30,
+        batched=False,
+        store_chunk_steps=None,
+    ):
+        if n_walkers % 2 != 0:
+            raise ValueError("n_walkers must be even")
+        if n_walkers < 4:
+            raise ValueError("need at least 4 walkers")
+        self.n_walkers = int(n_walkers)
+        self.n_params = int(n_params)
+        self.dtype = dtype
+        self.mover = mover if mover is not None else StretchMove()
+        self._logp_fn = logp_fn
+        self._batched_logp = logp_fn if batched else jax.vmap(logp_fn)
+        self._validate_logp()
+        self._mover_state = self.mover.init_state(self.n_params, dtype)
+        self._key = jax.random.key(seed)
+        self.chain = Chain(
+            n_walkers=self.n_walkers,
+            n_params=self.n_params,
+            max_bytes=max_chain_bytes,
+            dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
+        )
+        self.state = None
+        # host-side accumulators: device counters are int32 and harvested
+        # after every chunk, so runs of >2^31 updates can't overflow
+        self._accepted_host = 0
+        self._steps_host = 0
+        self._step_fn = make_step_fn(
+            self._batched_logp, self.mover, self._mover_state, self._key
+        )
+        if store_chunk_steps is None:
+            # bound device-side scan output to ~64 MiB per chunk
+            row_bytes = self.n_walkers * (self.n_params + 1) * jnp.dtype(dtype).itemsize
+            store_chunk_steps = max(1, (64 << 20) // max(row_bytes, 1))
+        self._chunk = int(store_chunk_steps)
+
+    # -- setup -----------------------------------------------------------
+
+    def _validate_logp(self):
+        """Shape-check the user's logp at wrap time (replaces SFINAE)."""
+        try:
+            out = jax.eval_shape(
+                self._batched_logp,
+                jax.ShapeDtypeStruct((self.n_walkers // 2, self.n_params), self.dtype),
+            )
+        except Exception as e:  # noqa: BLE001 - re-raise with context
+            raise TypeError(
+                "logp_fn is not traceable over a (n, P) batch; it must map a "
+                "(P,) parameter vector to a scalar log-posterior (or set "
+                "batched=True for a (n, P)->(n,) function)"
+            ) from e
+        if out.shape != (self.n_walkers // 2,):
+            raise TypeError(
+                f"batched logp returned shape {out.shape}, expected "
+                f"({self.n_walkers // 2},); logp_fn must return a scalar"
+            )
+
+    def set_initial_walker_pos(self, positions):
+        """≙ setInitialWalkerPos (EnsembleSampler.h:221). (W, P) array."""
+        positions = jnp.asarray(positions, self.dtype)
+        if positions.shape != (self.n_walkers, self.n_params):
+            raise ValueError(
+                f"positions shape {positions.shape} != "
+                f"({self.n_walkers}, {self.n_params})"
+            )
+        self.state = init_state(positions, self._batched_logp)
+        return self
+
+    def init_ball(self, center, scale=1e-2, seed=None):
+        """Initialize walkers in a Gaussian ball around ``center``."""
+        key = self._key if seed is None else jax.random.key(seed)
+        key = jax.random.fold_in(key, 0x1B17)
+        pos = sample_ball(key, center, scale, self.n_walkers, self.dtype)
+        return self.set_initial_walker_pos(pos)
+
+    # -- running ---------------------------------------------------------
+
+    def _require_state(self):
+        if self.state is None:
+            raise RuntimeError(
+                "walkers not initialized; call set_initial_walker_pos/init_ball"
+            )
+
+    def _harvest_counters(self):
+        """Move device accept counters into the host accumulator (int32-safe)."""
+        self._accepted_host += int(jnp.sum(self.state.accepted))
+        self.state = self.state._replace(accepted=jnp.zeros((2,), jnp.int32))
+
+    def store_current_walker_positions(self):
+        """≙ storeCurrentWalkerPositions (EnsembleSampler.h:249): push the
+        current ensemble into the chain as one stored step."""
+        self._require_state()
+        pos = np.asarray(
+            jnp.concatenate([self.state.red, self.state.black], axis=0)
+        )[None]
+        logp = np.asarray(
+            jnp.concatenate([self.state.logp_red, self.state.logp_black])
+        )[None]
+        return self.chain.append(pos, logp)
+
+    def run_mcmc(self, n_steps, thin=1, store=True):
+        """Run ``n_steps`` total steps; if ``store``, save every ``thin``-th.
+
+        Returns False if the chain hit its byte capacity before finishing
+        (≙ IncrementStatus::EndOfChain, Chain/Chain.h:230-234), else True.
+        """
+        self._require_state()
+        # keep any single device launch under 2^31 walker-updates so the
+        # int32 accept counters cannot overflow before being harvested
+        max_micro = max(1, (1 << 30) // self.n_walkers)
+        if not store:
+            remaining = int(n_steps)
+            while remaining > 0:
+                take = min(remaining, max_micro)
+                self.state = run_nostore(self.state, self._step_fn, take)
+                self._harvest_counters()
+                remaining -= take
+            return True
+        thin = int(thin)
+        n_store = int(n_steps) // thin
+        leftover = int(n_steps) - n_store * thin
+        chunk = min(self._chunk, max(1, max_micro // thin))
+        done = 0
+        while done < n_store:
+            take = min(chunk, n_store - done)
+            self.state, pos, logp = run_scan(self.state, self._step_fn, take, thin)
+            self._harvest_counters()
+            ok = self.chain.append(np.asarray(pos), np.asarray(logp))
+            done += take
+            if not ok:
+                return False
+        if leftover:
+            self.state = run_nostore(self.state, self._step_fn, leftover)
+            self._harvest_counters()
+        return True
+
+    def reset(self):
+        """≙ reset (EnsembleSampler.h:97): clear chain + counters, keep
+        current walker positions so sampling can restart from here."""
+        self._require_state()
+        self.chain.clear()
+        self._accepted_host = 0
+        self._steps_host += int(self.state.step)
+        # step counter keeps growing so threefry keys never repeat; the
+        # public counters below are relative to the last reset
+        self._reset_step_base = int(self.state.step)
+        self.state = self.state._replace(accepted=jnp.zeros((2,), jnp.int32))
+        return self
+
+    # -- statistics & access ----------------------------------------------
+
+    @property
+    def total_steps(self):
+        """Total walker-updates since last reset (W per step), ≙ getTotalSteps."""
+        self._require_state()
+        base = getattr(self, "_reset_step_base", 0)
+        return (int(self.state.step) - base) * self.n_walkers
+
+    @property
+    def accepted_steps(self):
+        """≙ getAcceptedSteps."""
+        self._require_state()
+        return self._accepted_host + int(jnp.sum(self.state.accepted))
+
+    @property
+    def acceptance_fraction(self):
+        """≙ getAcceptanceFraction (EnsembleSampler.h:245-282)."""
+        t = self.total_steps
+        return self.accepted_steps / t if t else 0.0
+
+    @property
+    def stored_steps(self):
+        """≙ getStoredSteps."""
+        return self.chain.n_steps
+
+    def get_samples(self, burn_in=0, thin=1, flat=False):
+        """Chain samples (S, W, P) (or flattened (S·W, P))."""
+        return self.chain.get(burn_in=burn_in, thin=thin, flat=flat)
+
+    def get_log_probs(self, burn_in=0, thin=1, flat=False):
+        return self.chain.get_logp(burn_in=burn_in, thin=thin, flat=flat)
+
+    def slice_and_burn_chain(self, thin, burn_in):
+        """≙ sliceAndBurnChain (EnsembleSampler.h:333): in-place chain
+        compaction to every ``thin``-th step after ``burn_in``."""
+        self.chain.compact(burn_in=burn_in, thin=thin)
+        return self
+
+    @property
+    def current_positions(self):
+        self._require_state()
+        return jnp.concatenate([self.state.red, self.state.black], axis=0)

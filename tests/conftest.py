@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars BEFORE jax is imported anywhere, so this lives at the top
+of conftest. Multi-chip sharding logic is validated on these virtual devices
+(the CI box has at most one real TPU chip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
