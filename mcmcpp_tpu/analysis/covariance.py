@@ -8,6 +8,7 @@ are float64 (compensation unnecessary) and the heavy lifting is one
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -24,7 +25,10 @@ def covariance_matrix(samples, thin=1, burn_in=0):
         arr = arr[burn_in::thin]
     else:
         raise ValueError("samples must be (S, W, P) or (N, P)")
-    x = jnp.asarray(arr, jnp.float64 if arr.dtype == np.float64 else jnp.float32)
+    if arr.dtype == np.float64 and not jax.config.jax_enable_x64:
+        # keep full precision on host rather than silently truncating
+        return np.cov(arr.T, ddof=1).reshape(arr.shape[1], arr.shape[1])
+    x = jnp.asarray(arr)
     n = x.shape[0]
     mean = jnp.mean(x, axis=0)
     xc = x - mean[None, :]

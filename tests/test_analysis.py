@@ -1,0 +1,191 @@
+"""Analysis-layer tests: the AR(1) ACT oracle (the reference's statistical
+baseline, test/sequential/AcTime/src/main.cpp:16-22) plus covariance,
+histogram, and percentile correctness on known data."""
+
+import numpy as np
+import pytest
+
+from mcmcpp_tpu import EnsembleSampler, AutoRegressiveMove, SequenceMove
+from mcmcpp_tpu.analysis import (
+    autocorr_time,
+    normalized_autocov,
+    covariance_matrix,
+    correlation_matrix,
+    CornerHistograms,
+    PercentileAndMaximumFinder,
+    effective_sample_size,
+)
+
+
+def _dummy_logp(theta):
+    return 0.0 * theta[0]
+
+
+class TestAutocorrOracle:
+    """≙ test/sequential/AcTime: AR(1) ensembles with analytic τ=(1+φ)/(1−φ)."""
+
+    def test_ar1_act_table(self):
+        # φ → τ: 0.8 → 9, 0.904761904762 → 20 (reduced steps vs the
+        # reference's 262143 to keep CPU CI fast; tolerance scaled to match)
+        phis = [0.8, 0.904761904762]
+        true_taus = [9.0, 20.0]
+        mover = AutoRegressiveMove(
+            offsets=[1.0, 1.0], phis=phis, variances=[1.0, 1.0]
+        )
+        s = EnsembleSampler(_dummy_logp, 100, 2, mover=mover, seed=0)
+        import jax
+
+        s.set_initial_walker_pos(
+            mover.initial_positions(jax.random.key(0), 100)
+        )
+        assert s.run_mcmc(65536)
+        taus = autocorr_time(s.get_samples())
+        for est, true in zip(taus, true_taus):
+            assert est > 0, f"window failed to close: {est}"
+            assert abs(est - true) / true < 0.12, f"tau {est} vs true {true}"
+
+    def test_unconverged_returns_negative(self):
+        # window that never closes must flag non-convergence with a negative
+        # estimate (≙ AutoCorrCalc.h:204-206): ρ ≡ 1 ⇒ τ(m) = 2m+1 > m/c ∀m
+        from mcmcpp_tpu.analysis.autocorr import _sokal_window_tau
+
+        rho = np.ones(128)
+        tau = _sokal_window_tau(rho, window_scaling=4.0)
+        assert tau < 0
+        assert tau == pytest.approx(-(2 * 128 - 1))
+
+    def test_walker_subset(self):
+        import jax
+
+        mover = AutoRegressiveMove([0.0], [0.8], [1.0])
+        s = EnsembleSampler(_dummy_logp, 64, 1, mover=mover, seed=0)
+        s.set_initial_walker_pos(mover.initial_positions(jax.random.key(1), 64))
+        s.run_mcmc(32768)
+        tau_all = autocorr_time(s.get_samples())
+        tau_sub = autocorr_time(
+            s.get_samples(), walkers_to_use=16, key=jax.random.key(2)
+        )
+        assert abs(tau_sub[0] - tau_all[0]) / tau_all[0] < 0.25
+
+    def test_chunked_matches_unchunked(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((4096, 32, 2)).astype(np.float32)
+        a = autocorr_time(x)
+        b = autocorr_time(x, walker_chunk=7)
+        assert np.allclose(a, b, rtol=1e-4)
+
+
+class TestNormalizedAutocov:
+    def test_white_noise(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(65536)
+        rho = normalized_autocov(x)
+        assert rho[0] == pytest.approx(1.0)
+        assert np.abs(rho[1:100]).max() < 0.05
+
+    def test_ar1_rho_decay(self):
+        rng = np.random.default_rng(2)
+        phi, n = 0.9, 1 << 17
+        eps = rng.standard_normal(n)
+        x = np.empty(n)
+        x[0] = eps[0]
+        for t in range(1, n):
+            x[t] = phi * x[t - 1] + eps[t]
+        rho = normalized_autocov(x)
+        for lag in (1, 5, 10):
+            assert rho[lag] == pytest.approx(phi**lag, abs=0.03)
+
+
+class TestCovariance:
+    def test_known_gaussian(self):
+        rng = np.random.default_rng(3)
+        true = np.array([[2.0, 0.6], [0.6, 1.0]])
+        l = np.linalg.cholesky(true)
+        x = rng.standard_normal((200_000, 2)) @ l.T
+        cov = covariance_matrix(x)
+        assert np.allclose(cov, true, atol=0.03)
+        corr = correlation_matrix(x)
+        assert np.allclose(np.diag(corr), 1.0)
+        assert corr[0, 1] == pytest.approx(0.6 / np.sqrt(2.0), abs=0.02)
+
+    def test_thin_burn(self):
+        x = np.arange(40, dtype=np.float64).reshape(10, 2, 2)
+        full = covariance_matrix(x)
+        sub = covariance_matrix(x, burn_in=2, thin=2)
+        assert sub.shape == full.shape == (2, 2)
+
+
+class TestHistograms:
+    def test_counts_and_csv(self, tmp_path):
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((10_000, 3))
+        ch = CornerHistograms(n_bins=50).calculate(x)
+        assert len(ch.hist1d) == 3
+        assert len(ch.hist2d) == 3  # P(P-1)/2
+        assert all(c.sum() == 10_000 for c, _ in ch.hist1d)
+        out = ch.save_csv(str(tmp_path))
+        import os
+
+        files = os.listdir(out)
+        assert len([f for f in files if "_1d_" in f]) == 3
+        assert len([f for f in files if "_2d_" in f]) == 3
+
+    def test_degenerate_param(self):
+        x = np.zeros((100, 2))
+        x[:, 1] = np.linspace(0, 1, 100)
+        ch = CornerHistograms(n_bins=10).calculate(x)
+        assert ch.hist1d[0][0].sum() == 100  # constant param still binned
+
+
+class TestPercentiles:
+    def test_roundtrip_gaussian(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((500_000, 1))
+        pf = PercentileAndMaximumFinder(n_bins=4096).process_chain_data(x)
+        # value→percentile
+        assert pf.get_percentile_from_value(0, 0.0) == pytest.approx(50.0, abs=0.5)
+        assert pf.get_percentile_from_value(0, 1.6449) == pytest.approx(95.0, abs=0.5)
+        # percentile→value
+        assert pf.get_value_from_percentile(0, 50.0) == pytest.approx(0.0, abs=0.02)
+        assert pf.get_value_from_percentile(0, 97.5) == pytest.approx(1.96, abs=0.05)
+        # mode
+        assert pf.get_peak_location(0) == pytest.approx(0.0, abs=0.15)
+
+    def test_all_negative_data(self):
+        # the reference's min()-vs-lowest() bound bug would break this
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((50_000, 1)) - 100.0
+        pf = PercentileAndMaximumFinder().process_chain_data(x)
+        assert pf.get_value_from_percentile(0, 50.0) == pytest.approx(-100.0, abs=0.05)
+
+    def test_csv(self, tmp_path):
+        x = np.random.default_rng(7).standard_normal((1000, 2))
+        pf = PercentileAndMaximumFinder(n_bins=64).process_chain_data(x)
+        out = pf.save_csv(str(tmp_path))
+        import os
+
+        assert len(os.listdir(out)) == 2
+
+
+class TestSequenceMove:
+    def test_deterministic_sequence(self):
+        # ≙ test/*/InnerBenchmark deterministic oracle (SequenceMove.h)
+        mover = SequenceMove(step_sizes=[1.0, 0.5])
+        s = EnsembleSampler(_dummy_logp, 8, 2, mover=mover, seed=0)
+        import jax
+
+        s.set_initial_walker_pos(mover.initial_positions(jax.random.key(0), 8))
+        s.run_mcmc(10)
+        samples = s.get_samples()
+        for t in range(10):
+            assert np.allclose(samples[t, :, 0], (t + 1) * 1.0)
+            assert np.allclose(samples[t, :, 1], (t + 1) * 0.5)
+        assert s.acceptance_fraction == 1.0
+
+
+class TestESS:
+    def test_iid_ess_near_total(self):
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((4096, 16, 1))
+        ess = effective_sample_size(x)
+        assert 0.5 * 4096 * 16 < ess[0] < 1.6 * 4096 * 16

@@ -1,0 +1,93 @@
+"""Per-mover statistical tests on the skewed Gaussian (SURVEY.md §4).
+
+Mirrors test/sequential/SkewedGaussian/{StretchMove,WalkMove,DiffEvo,MH}:
+every mover must reproduce the analytic covariance
+[[1+ε, (1−ε)/2], [(1−ε)/2, (1+ε)/4]], ε = 0.13.
+"""
+
+import numpy as np
+import pytest
+
+from mcmcpp_tpu import (
+    EnsembleSampler,
+    StretchMove,
+    WalkMove,
+    DifferentialEvolutionMove,
+    MetropolisHastingsMove,
+)
+from tests.targets import skewed_gaussian_logp, skewed_gaussian_cov
+
+
+def run_mover(mover, n_steps=4000, burn=800, n_walkers=100, seed=11):
+    s = EnsembleSampler(skewed_gaussian_logp, n_walkers, 2, mover=mover, seed=seed)
+    s.init_ball(np.zeros(2), scale=0.5)
+    s.run_mcmc(burn, store=False)
+    assert s.run_mcmc(n_steps)
+    return s
+
+
+def check_moments(s, atol=0.12):
+    flat = s.get_samples(flat=True)
+    cov = np.cov(flat.T)
+    true = skewed_gaussian_cov()
+    assert np.allclose(cov, true, atol=atol), f"cov=\n{cov}\ntrue=\n{true}"
+    assert np.allclose(flat.mean(axis=0), 0.0, atol=0.15)
+
+
+class TestWalkMove:
+    def test_moments(self):
+        s = run_mover(WalkMove(n_samples=6))
+        check_moments(s)
+        assert 0.3 < s.acceptance_fraction < 0.95
+
+    def test_bad_n_samples(self):
+        with pytest.raises(ValueError):
+            WalkMove(n_samples=1)
+
+    def test_n_samples_exceeds_half(self):
+        with pytest.raises(ValueError):
+            run_mover(WalkMove(n_samples=60), n_steps=2, burn=0)
+
+
+class TestDifferentialEvolution:
+    def test_moments(self):
+        s = run_mover(DifferentialEvolutionMove(), n_steps=6000)
+        check_moments(s, atol=0.15)
+
+    def test_custom_gamma(self):
+        s = run_mover(DifferentialEvolutionMove(gamma=1.0), n_steps=3000)
+        check_moments(s, atol=0.2)
+
+
+class TestMetropolisHastings:
+    def test_ideal_covariance(self):
+        # ≙ test/sequential/SkewedGaussian/MH with the ideal matrix
+        s = run_mover(
+            MetropolisHastingsMove(covariance=skewed_gaussian_cov(), scale=1.2),
+            n_steps=6000,
+        )
+        check_moments(s, atol=0.15)
+
+    def test_identity_default(self):
+        s = run_mover(MetropolisHastingsMove(scale=0.8), n_steps=6000)
+        check_moments(s, atol=0.15)
+
+    def test_diagonal_covariance(self):
+        s = run_mover(
+            MetropolisHastingsMove(covariance=np.array([1.1, 0.3])), n_steps=6000
+        )
+        check_moments(s, atol=0.15)
+
+    def test_bad_covariance_falls_back_to_identity(self):
+        # ≙ the deliberately-bad matrix branch of MH/src/main.cpp:74-97
+        bad = np.array([[1.0, 2.0], [2.0, 1.0]])  # symmetric but not PD
+        with pytest.warns(UserWarning, match="identity"):
+            mover = MetropolisHastingsMove(covariance=bad)
+        assert mover.fell_back_to_identity
+        s = run_mover(mover, n_steps=6000)
+        check_moments(s, atol=0.15)
+
+    def test_asymmetric_covariance_rejected(self):
+        with pytest.warns(UserWarning, match="symmetric"):
+            m = MetropolisHastingsMove(covariance=np.array([[1.0, 0.5], [0.2, 1.0]]))
+        assert m.fell_back_to_identity
