@@ -23,6 +23,10 @@ from mcmcpp_tpu.movers import (
 )
 from mcmcpp_tpu import analysis
 from mcmcpp_tpu import ops
+from mcmcpp_tpu import parallel
+from mcmcpp_tpu.parallel import ShardedEnsembleSampler, make_walker_mesh
+from mcmcpp_tpu import gradient
+from mcmcpp_tpu.gradient import HMCSampler, MALASampler, NUTSSampler
 
 __version__ = "0.1.0"
 
@@ -38,5 +42,12 @@ __all__ = [
     "SequenceMove",
     "analysis",
     "ops",
+    "parallel",
+    "gradient",
+    "HMCSampler",
+    "MALASampler",
+    "NUTSSampler",
+    "ShardedEnsembleSampler",
+    "make_walker_mesh",
     "sample_ball",
 ]

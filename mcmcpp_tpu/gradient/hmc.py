@@ -1,0 +1,320 @@
+"""Hamiltonian Monte Carlo, vmapped over chains, scan-driven.
+
+One chain's transition is a pure function (leapfrog integration under
+``lax.scan`` + Metropolis correction); many chains run as a vmapped batch
+whose chain axis shards over the device mesh like the ensemble walker axis.
+Warmup adapts the step size by dual averaging (the Hoffman–Gelman 2014 §3.2
+schedule, mean acceptance across chains) and a shared diagonal mass matrix
+by Welford variance accumulation over all chains' positions.
+
+No counterpart exists in the reference (gradient-free C++ library,
+cf. ``MCMCpp/Utility/UserOjbectsTest.h:144-151`` black-box Calculator
+contract); this is north-star scope. Chain store / analysis layers are
+shared with the ensemble sampler.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu.chain import Chain
+
+
+class HMCState(NamedTuple):
+    position: jax.Array  # (C, P)
+    logp: jax.Array  # (C,)
+    grad: jax.Array  # (C, P)
+
+
+class DualAveragingState(NamedTuple):
+    log_step: jax.Array
+    log_step_avg: jax.Array
+    h_sum: jax.Array
+    mu: jax.Array
+    count: jax.Array
+
+
+class WelfordState(NamedTuple):
+    mean: jax.Array
+    m2: jax.Array
+    count: jax.Array
+
+
+def _leapfrog(logp_grad_fn, position, momentum, grad, inv_mass, step_size, n_steps):
+    """Leapfrog with half-step kicks fused at segment ends; scan over steps."""
+
+    def body(carry, _):
+        q, p, g = carry
+        p = p + 0.5 * step_size * g
+        q = q + step_size * (inv_mass * p)
+        lp, g = logp_grad_fn(q)
+        p = p + 0.5 * step_size * g
+        return (q, p, g), lp
+
+    (q, p, g), lps = jax.lax.scan(body, (position, momentum, grad), length=n_steps)
+    return q, p, lps[-1], g
+
+
+def hmc_kernel(logp_fn, n_leapfrog):
+    """One-chain HMC transition.
+
+    Returns ``kernel(key, q, logp, grad, step_size, inv_mass) ->
+    ((q, logp, grad), (accept_prob, accepted))``. ``inv_mass`` is the
+    diagonal inverse mass matrix (P,).
+    """
+    logp_grad_fn = jax.value_and_grad(logp_fn)
+
+    def kernel(key, position, logp, grad, step_size, inv_mass):
+        k_mom, k_acc = jax.random.split(key)
+        # momentum ~ N(0, M) with M = diag(1/inv_mass)
+        z = jax.random.normal(k_mom, position.shape, position.dtype)
+        momentum = z * jax.lax.rsqrt(inv_mass)
+        kinetic0 = 0.5 * jnp.sum(inv_mass * momentum**2)
+        q, p, lp_new, g_new = _leapfrog(
+            logp_grad_fn, position, momentum, grad, inv_mass, step_size, n_leapfrog
+        )
+        kinetic1 = 0.5 * jnp.sum(inv_mass * p**2)
+        log_ratio = (lp_new - kinetic1) - (logp - kinetic0)
+        log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
+        log_u = -jax.random.exponential(k_acc, (), position.dtype)
+        accept = log_u < log_ratio
+        position = jnp.where(accept, q, position)
+        logp = jnp.where(accept, lp_new, logp)
+        grad = jnp.where(accept, g_new, grad)
+        return (position, logp, grad), (accept_prob, accept)
+
+    return kernel
+
+
+# -- dual averaging (Hoffman & Gelman 2014, §3.2) ---------------------------
+
+
+def da_init(step_size):
+    log_step = jnp.log(step_size)
+    return DualAveragingState(
+        log_step=log_step,
+        log_step_avg=log_step,
+        h_sum=jnp.zeros_like(log_step),
+        mu=jnp.log(10.0) + log_step,
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def da_update(da: DualAveragingState, accept_prob, target=0.8,
+              gamma=0.05, t0=10.0, kappa=0.75):
+    count = da.count + 1
+    tf = count.astype(da.log_step.dtype)
+    h_sum = da.h_sum + (target - accept_prob)
+    log_step = da.mu - (jnp.sqrt(tf) / gamma) * h_sum / (tf + t0)
+    eta = tf ** (-kappa)
+    log_step_avg = eta * log_step + (1 - eta) * da.log_step_avg
+    return DualAveragingState(log_step, log_step_avg, h_sum, da.mu, count)
+
+
+# -- Welford diagonal variance (batched over chains) -------------------------
+
+
+def welford_init(shape, dtype):
+    return WelfordState(
+        mean=jnp.zeros(shape, dtype),
+        m2=jnp.zeros(shape, dtype),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def welford_update_batch(w: WelfordState, x):
+    """Fold a whole (C, P) batch into the running moments (Chan et al.)."""
+    c = x.shape[0]
+    count = w.count + c
+    batch_mean = jnp.mean(x, axis=0)
+    batch_m2 = jnp.sum((x - batch_mean) ** 2, axis=0)
+    delta = batch_mean - w.mean
+    nf = count.astype(x.dtype)
+    wf = w.count.astype(x.dtype)
+    mean = w.mean + delta * (c / nf)
+    m2 = w.m2 + batch_m2 + delta**2 * (wf * c / nf)
+    return WelfordState(mean, m2, count)
+
+
+def welford_variance(w: WelfordState, regularize=True):
+    n = jnp.maximum(w.count - 1, 1).astype(w.m2.dtype)
+    var = w.m2 / n
+    if regularize:  # Stan-style shrinkage toward 1e-3 at small counts
+        c = w.count.astype(w.m2.dtype)
+        var = (c / (c + 5.0)) * var + 1e-3 * (5.0 / (c + 5.0))
+    return var
+
+
+class GradientSampler:
+    """Shared driver for vmapped gradient kernels (HMC/NUTS/MALA subclasses).
+
+    ``logp_fn`` maps (P,) -> scalar. ``n_chains`` chains run as one vmapped
+    batch. ``warmup`` adapts; ``run`` samples into the shared host Chain.
+    """
+
+    needs_mass = True
+
+    def __init__(self, logp_fn, n_chains, n_params, seed=0, dtype=jnp.float32,
+                 step_size=0.1, target_accept=0.8, max_chain_bytes=2 << 30):
+        self.logp_fn = logp_fn
+        self.n_chains = int(n_chains)
+        self.n_params = int(n_params)
+        self.dtype = dtype
+        self.step_size = float(step_size)
+        self.target_accept = float(target_accept)
+        self._key = jax.random.key(seed)
+        self.inv_mass = jnp.ones((self.n_params,), dtype)
+        self.state = None
+        self.chain = Chain(
+            n_walkers=self.n_chains, n_params=self.n_params,
+            max_bytes=max_chain_bytes,
+            dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
+        )
+        self._kernel = self._make_kernel()
+        self._step = self._batched_step(self._kernel)
+        self._run_cache = {}
+        self._warmup_cache = {}
+        self.last_mean_accept = None
+
+    def _make_kernel(self):
+        """Subclass hook: (key, q, lp, g, step_size, inv_mass) -> (s3, info)."""
+        raise NotImplementedError
+
+    def _batched_step(self, kernel):
+        def step(key, state, step_size, inv_mass):
+            keys = jax.random.split(key, self.n_chains)
+            (q, lp, g), (ap, acc) = jax.vmap(
+                lambda k, q, lp, g: kernel(k, q, lp, g, step_size, inv_mass)
+            )(keys, state.position, state.logp, state.grad)
+            return HMCState(q, lp, g), (ap, acc)
+
+        return step
+
+    # -- init ----------------------------------------------------------------
+
+    def init(self, positions):
+        positions = jnp.asarray(positions, self.dtype)
+        if positions.shape != (self.n_chains, self.n_params):
+            raise ValueError(f"positions must be ({self.n_chains}, {self.n_params})")
+        lp, g = jax.vmap(jax.value_and_grad(self.logp_fn))(positions)
+        self.state = HMCState(positions, lp, g)
+        return self
+
+    def init_ball(self, center, scale=1.0, seed=None):
+        key = self._key if seed is None else jax.random.key(seed)
+        key = jax.random.fold_in(key, 0xD06)
+        center = jnp.asarray(center, self.dtype)
+        z = jax.random.normal(key, (self.n_chains, self.n_params), self.dtype)
+        return self.init(center[None, :] + scale * z)
+
+    # -- warmup ----------------------------------------------------------------
+
+    def warmup(self, n_steps, adapt_mass=True):
+        """Adapt step size (dual averaging) and diagonal mass (Welford)."""
+        if self.state is None:
+            raise RuntimeError("call init/init_ball first")
+        adapt_mass = bool(adapt_mass and self.needs_mass)
+        fn = self._warmup_cache.get((int(n_steps), adapt_mass))
+        if fn is None:
+            fn = jax.jit(
+                lambda state, key, step0, im0: self._warmup_scan(
+                    state, key, step0, im0, int(n_steps), adapt_mass
+                )
+            )
+            self._warmup_cache[(int(n_steps), adapt_mass)] = fn
+        self._key, run_key = jax.random.split(self._key)
+        state, log_step_avg, inv_mass = fn(
+            self.state, run_key,
+            jnp.asarray(self.step_size, self.dtype), self.inv_mass,
+        )
+        self.state = jax.block_until_ready(state)
+        self.step_size = float(jnp.exp(log_step_avg))
+        self.inv_mass = inv_mass
+        return self
+
+    def _warmup_scan(self, state, key, step0, im0, n_steps, adapt_mass):
+        step = self._step
+
+        def body(carry, _):
+            state, da, wf, key = carry
+            key, sub = jax.random.split(key)
+            inv_mass = welford_variance(wf) if adapt_mass else im0
+            state, (ap, _) = step(sub, state, jnp.exp(da.log_step), inv_mass)
+            da = da_update(da, jnp.mean(ap), target=self.target_accept)
+            if adapt_mass:
+                wf = welford_update_batch(wf, state.position)
+            return (state, da, wf, key), None
+
+        da = da_init(step0)
+        wf = welford_init((self.n_params,), self.dtype)
+        (state, da, wf, _), _ = jax.lax.scan(
+            body, (state, da, wf, key), length=n_steps
+        )
+        inv_mass = welford_variance(wf) if adapt_mass else im0
+        return state, da.log_step_avg, inv_mass
+
+    # -- sampling ---------------------------------------------------------------
+
+    def _run_scan(self, state, key, step_size, inv_mass, n_store, thin):
+        step = self._step
+
+        def body(carry, _):
+            state, key = carry
+
+            def inner(j, sk):
+                s, k, a = sk
+                k, sub = jax.random.split(k)
+                s, (ap, _) = step(sub, s, step_size, inv_mass)
+                return (s, k, a + jnp.mean(ap))
+
+            state, key, acc = jax.lax.fori_loop(
+                0, thin, inner, (state, key, jnp.zeros((), self.dtype))
+            )
+            return (state, key), (state.position, state.logp, acc / thin)
+
+        (state, _), (pos, lp, acc) = jax.lax.scan(body, (state, key), length=n_store)
+        return state, pos, lp, jnp.mean(acc)
+
+    def run(self, n_steps, thin=1):
+        """Sample ``n_steps`` post-warmup transitions, storing every thin-th."""
+        if self.state is None:
+            raise RuntimeError("call init/init_ball first")
+        thin = int(thin)
+        n_store = int(n_steps) // thin
+        fn = self._run_cache.get((n_store, thin))
+        if fn is None:
+            fn = jax.jit(
+                lambda state, key, ss, im: self._run_scan(
+                    state, key, ss, im, n_store, thin
+                )
+            )
+            self._run_cache[(n_store, thin)] = fn
+        self._key, run_key = jax.random.split(self._key)
+        state, pos, lp, acc = fn(
+            self.state, run_key, jnp.asarray(self.step_size, self.dtype),
+            self.inv_mass,
+        )
+        self.state = state
+        self.last_mean_accept = float(acc)
+        self.chain.append(np.asarray(pos), np.asarray(lp))
+        return self
+
+    def get_samples(self, burn_in=0, thin=1, flat=False):
+        return self.chain.get(burn_in=burn_in, thin=thin, flat=flat)
+
+    def get_log_probs(self, burn_in=0, thin=1, flat=False):
+        return self.chain.get_logp(burn_in=burn_in, thin=thin, flat=flat)
+
+
+class HMCSampler(GradientSampler):
+    """HMC with fixed leapfrog length ``n_leapfrog`` and adapted step size."""
+
+    def __init__(self, *args, n_leapfrog=16, **kwargs):
+        self.n_leapfrog = int(n_leapfrog)
+        super().__init__(*args, **kwargs)
+
+    def _make_kernel(self):
+        return hmc_kernel(self.logp_fn, self.n_leapfrog)

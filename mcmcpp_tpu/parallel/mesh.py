@@ -1,0 +1,44 @@
+"""Mesh construction helpers for walker-sharded sampling.
+
+The reference's only parallelism axis is "walkers across pthreads on one
+node" (``MCMCpp/Threading/RedBlkCtrlerSpinLock.h:119`` work stealing). Here
+the same axis maps onto TPU hardware as a (possibly 2-D ``hosts × devices``)
+mesh whose flattened product shards the walker dimension: intra-host
+collectives ride ICI, cross-host ones DCN. Work stealing is unnecessary —
+walker updates are uniform cost, so a static equal shard is optimal.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+WALKER_AXES = ("hosts", "devices")
+
+
+def make_walker_mesh(devices=None, n_hosts=None):
+    """Build a ``(hosts, devices)`` mesh over ``devices`` (default: all).
+
+    ``n_hosts`` defaults to the number of distinct processes owning the
+    devices (1 in single-controller runs), so on a real multi-host pod slice
+    the ``hosts`` axis crosses DCN and ``devices`` stays on ICI.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if n_hosts is None:
+        n_hosts = len({getattr(d, "process_index", 0) for d in devices})
+    n = len(devices)
+    if n % n_hosts != 0:
+        raise ValueError(f"{n} devices not divisible by {n_hosts} hosts")
+    grid = np.asarray(devices, dtype=object).reshape(n_hosts, n // n_hosts)
+    return Mesh(grid, WALKER_AXES)
+
+
+def walker_sharding(mesh):
+    """NamedSharding putting the walker (leading) axis over the whole mesh."""
+    return NamedSharding(mesh, PartitionSpec(WALKER_AXES, None))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, PartitionSpec())

@@ -1,0 +1,181 @@
+"""Sequential Monte Carlo sampler with adaptive tempering.
+
+North-star scope (no reference counterpart). Anneals particles from a prior
+sample to the posterior along p_β ∝ prior^{1-β}·exp(β·loglike):
+
+1. adapt Δβ by bisection so the ESS of incremental weights stays at a
+   target fraction (default 0.5) of the particle count,
+2. resample systematically (O(N), sorted-uniform inverse-CDF — a single
+   cumsum + searchsorted, both XLA-friendly; on a sharded particle axis the
+   cumsum/gather become collectives),
+3. mutate with a few stretch-move MCMC steps targeting p_β (reusing the
+   ensemble mover layer, so SMC inherits every mover in movers/).
+
+Everything per-temperature-stage runs jitted; the β ladder is adaptive so
+stages loop in Python with on-device state.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu.movers.stretch import StretchMove
+
+
+class SMCState(NamedTuple):
+    particles: jax.Array  # (N, P)
+    log_prior: jax.Array  # (N,)
+    log_like: jax.Array  # (N,)
+    beta: jax.Array  # scalar
+    log_evidence: jax.Array  # scalar accumulator
+
+
+def ess_from_log_weights(log_w):
+    """Effective sample size of normalized weights, in particles."""
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    return jnp.exp(-jax.scipy.special.logsumexp(2.0 * log_w))
+
+
+def systematic_resample(key, log_w, n):
+    """Systematic resampling: indices (n,) drawn ∝ weights."""
+    w = jnp.exp(log_w - jax.scipy.special.logsumexp(log_w))
+    cum = jnp.cumsum(w)
+    cum = cum / cum[-1]
+    u0 = jax.random.uniform(key, (), cum.dtype)
+    pts = (u0 + jnp.arange(n, dtype=cum.dtype)) / n
+    return jnp.searchsorted(cum, pts, side="left").astype(jnp.int32)
+
+
+def _find_next_beta(log_like, beta, target_ess_frac, n):
+    """Largest Δβ (bisection, 32 iters) keeping incremental ESS ≥ target·N."""
+    target = target_ess_frac * n
+
+    def ess_at(b_new):
+        return ess_from_log_weights((b_new - beta) * log_like)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        ok = ess_at(mid) >= target
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    full = ess_at(jnp.ones_like(beta)) >= target
+    lo, hi = jax.lax.fori_loop(
+        0, 32, body, (beta, jnp.ones_like(beta))
+    )
+    return jnp.where(full, jnp.ones_like(beta), lo)
+
+
+class SMCSampler:
+    """Adaptive-tempering SMC from prior to posterior.
+
+    Parameters
+    ----------
+    log_prior_fn, log_like_fn : (P,) -> scalar, JAX-traceable.
+    prior_sample_fn : (key, n) -> (n, P) initial particles from the prior.
+    n_particles : particle count (even; stretch mutation uses halves).
+    n_mcmc : mutation steps per stage.
+    target_ess : ESS fraction triggering the β step size (default 0.5).
+    """
+
+    def __init__(self, log_prior_fn, log_like_fn, prior_sample_fn, n_particles,
+                 n_params, n_mcmc=5, target_ess=0.5, seed=0, dtype=jnp.float32,
+                 mover=None):
+        self.log_prior_fn = log_prior_fn
+        self.log_like_fn = log_like_fn
+        self.prior_sample_fn = prior_sample_fn
+        self.n = int(n_particles)
+        self.n_params = int(n_params)
+        self.n_mcmc = int(n_mcmc)
+        self.target_ess = float(target_ess)
+        self.dtype = dtype
+        self.mover = mover if mover is not None else StretchMove()
+        self._key = jax.random.key(seed)
+        self._stage = jax.jit(self._stage_impl)
+        self.state = None
+        self.n_stages = 0
+        self.beta_ladder = []
+
+    def init(self):
+        self._key, k = jax.random.split(self._key)
+        particles = jnp.asarray(self.prior_sample_fn(k, self.n), self.dtype)
+        lp = jax.vmap(self.log_prior_fn)(particles)
+        ll = jax.vmap(self.log_like_fn)(particles)
+        self.state = SMCState(
+            particles, lp, ll,
+            beta=jnp.zeros((), self.dtype),
+            log_evidence=jnp.zeros((), self.dtype),
+        )
+        return self
+
+    # -- one adaptive stage, fully jitted ---------------------------------
+
+    def _stage_impl(self, key, state: SMCState):
+        beta_new = _find_next_beta(
+            state.log_like, state.beta, self.target_ess, self.n
+        )
+        dbeta = beta_new - state.beta
+        log_w = dbeta * state.log_like
+        log_evidence = state.log_evidence + (
+            jax.scipy.special.logsumexp(log_w) - jnp.log(float(self.n))
+        )
+        k_rs, k_mut = jax.random.split(key)
+        idx = systematic_resample(k_rs, log_w, self.n)
+        particles = jnp.take(state.particles, idx, axis=0)
+        lp = jnp.take(state.log_prior, idx)
+        ll = jnp.take(state.log_like, idx)
+
+        # tempered target for mutation
+        def tempered_batch(x):
+            return jax.vmap(self.log_prior_fn)(x) + beta_new * jax.vmap(
+                self.log_like_fn
+            )(x)
+
+        half = self.n // 2
+        mover_state = self.mover.init_state(self.n_params, self.dtype)
+
+        def mcmc_body(i, carry):
+            red, black, lpr, lpb, key = carry
+            key, kr, kb = jax.random.split(key, 3)
+            red, lpr, _ = self.mover.update_half(
+                kr, red, lpr, black, tempered_batch, mover_state
+            )
+            black, lpb, _ = self.mover.update_half(
+                kb, black, lpb, red, tempered_batch, mover_state
+            )
+            return red, black, lpr, lpb, key
+
+        logp_t = lp + beta_new * ll
+        red, black, lpr, lpb, _ = jax.lax.fori_loop(
+            0, self.n_mcmc, mcmc_body,
+            (particles[:half], particles[half:], logp_t[:half], logp_t[half:],
+             k_mut),
+        )
+        particles = jnp.concatenate([red, black], axis=0)
+        lp = jax.vmap(self.log_prior_fn)(particles)
+        ll = jax.vmap(self.log_like_fn)(particles)
+        return SMCState(particles, lp, ll, beta_new, log_evidence)
+
+    def run(self, max_stages=100):
+        """Anneal β: 0 → 1. Returns self; particles then target the posterior."""
+        if self.state is None:
+            self.init()
+        for _ in range(max_stages):
+            if float(self.state.beta) >= 1.0:
+                break
+            self._key, k = jax.random.split(self._key)
+            self.state = self._stage(k, self.state)
+            self.n_stages += 1
+            self.beta_ladder.append(float(self.state.beta))
+        return self
+
+    @property
+    def particles(self):
+        return np.asarray(self.state.particles)
+
+    @property
+    def log_evidence(self):
+        """log Z estimate (likelihood normalizing constant)."""
+        return float(self.state.log_evidence)

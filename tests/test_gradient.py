@@ -1,0 +1,85 @@
+"""Gradient-based samplers (HMC / NUTS / MALA): statistical correctness.
+
+Oracle pattern follows the reference's test strategy (SURVEY.md §4): targets
+with analytically known moments, checked within Monte-Carlo error.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcmcpp_tpu.gradient import HMCSampler, MALASampler, NUTSSampler
+
+from tests.targets import correlated_gaussian_logp_factory
+
+
+DIM = 4
+RHO = 0.5
+
+
+def _target():
+    logp, cov = correlated_gaussian_logp_factory(dim=DIM, rho=RHO)
+    return logp, np.asarray(cov)
+
+
+def _run(cls, seed=0, warmup=300, steps=1500, **kw):
+    logp, cov = _target()
+    s = cls(logp, n_chains=32, n_params=DIM, seed=seed, **kw)
+    s.init_ball(np.zeros(DIM), scale=1.0, seed=seed + 1)
+    s.warmup(warmup)
+    s.run(steps)
+    return s, cov
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (HMCSampler, {"n_leapfrog": 12}),
+    (MALASampler, {}),
+    (NUTSSampler, {"max_depth": 8}),
+])
+def test_moments(cls, kw):
+    s, cov = _run(cls, **kw)
+    flat = s.get_samples(burn_in=100, flat=True)
+    mean = flat.mean(axis=0)
+    emp_cov = np.cov(flat.T)
+    np.testing.assert_allclose(mean, np.zeros(DIM), atol=0.15)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.3)
+
+
+def test_hmc_step_size_adapts_toward_target():
+    s, _ = _run(HMCSampler, n_leapfrog=12)
+    # post-warmup acceptance should be in a sane band around the 0.8 target
+    assert 0.5 < s.last_mean_accept < 0.99
+    assert s.step_size > 1e-3
+
+
+def test_mass_matrix_adaptation_learns_scales():
+    """Anisotropic Gaussian: adapted inv_mass ≈ marginal variances."""
+    scales = jnp.asarray([0.1, 1.0, 10.0], jnp.float32)
+
+    def logp(theta):
+        return -0.5 * jnp.sum((theta / scales) ** 2)
+
+    s = HMCSampler(logp, n_chains=32, n_params=3, seed=2, n_leapfrog=16)
+    s.init_ball(np.zeros(3), scale=1.0, seed=3)
+    s.warmup(800)
+    ratio = np.asarray(s.inv_mass) / np.asarray(scales) ** 2
+    # each adapted variance within ~3x of truth (wide MC tolerance)
+    assert np.all(ratio > 0.2) and np.all(ratio < 5.0)
+
+
+def test_nuts_moves_every_chain():
+    logp, _ = _target()
+    s = NUTSSampler(logp, n_chains=8, n_params=DIM, seed=5, max_depth=6)
+    s.init_ball(np.zeros(DIM), scale=1.0, seed=6)
+    before = np.asarray(s.state.position)
+    s.warmup(50)
+    s.run(50)
+    after = np.asarray(s.state.position)
+    assert np.all(np.any(before != after, axis=1))
+
+
+def test_deterministic_given_seed():
+    s1, _ = _run(HMCSampler, seed=9, warmup=50, steps=100, n_leapfrog=8)
+    s2, _ = _run(HMCSampler, seed=9, warmup=50, steps=100, n_leapfrog=8)
+    np.testing.assert_array_equal(s1.get_samples(), s2.get_samples())
