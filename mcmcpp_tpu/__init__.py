@@ -22,11 +22,14 @@ from mcmcpp_tpu.movers import (
     SequenceMove,
 )
 from mcmcpp_tpu import analysis
+from mcmcpp_tpu import io
 from mcmcpp_tpu import ops
 from mcmcpp_tpu import parallel
 from mcmcpp_tpu.parallel import ShardedEnsembleSampler, make_walker_mesh
 from mcmcpp_tpu import gradient
 from mcmcpp_tpu.gradient import HMCSampler, MALASampler, NUTSSampler
+from mcmcpp_tpu.smc import SMCSampler
+from mcmcpp_tpu.vi import ADVI
 
 __version__ = "0.1.0"
 
@@ -41,12 +44,15 @@ __all__ = [
     "AutoRegressiveMove",
     "SequenceMove",
     "analysis",
+    "io",
     "ops",
     "parallel",
     "gradient",
     "HMCSampler",
     "MALASampler",
     "NUTSSampler",
+    "SMCSampler",
+    "ADVI",
     "ShardedEnsembleSampler",
     "make_walker_mesh",
     "sample_ball",

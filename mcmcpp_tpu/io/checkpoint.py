@@ -1,0 +1,169 @@
+"""Checkpoint / resume for every sampler family.
+
+The reference has NO checkpointing (SURVEY.md §5: in-memory chain only; the
+closest thing is ``reset()`` + ``storeCurrentWalkerPositions()``). Here a
+checkpoint is one ``.npz`` archive holding the device state (walker/chain
+positions, log-probs, counters), the threefry key data, adaptation state
+(step size / inverse mass for gradient samplers), and the host chain —
+enough to resume sampling bitwise-identically to an uninterrupted run.
+
+Format: flat name → array dict plus a JSON meta blob; no pickling, so
+checkpoints are portable and safe to load from untrusted storage.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+_FORMAT_VERSION = 1
+
+
+def _key_data(key):
+    return np.asarray(jax.random.key_data(key))
+
+
+def _wrap_key(data):
+    return jax.random.wrap_key_data(jnp.asarray(data))
+
+
+def save_checkpoint(sampler, path):
+    """Write ``sampler``'s full resumable state to ``path`` (.npz)."""
+    from mcmcpp_tpu.sampler import EnsembleSampler
+    from mcmcpp_tpu.gradient.hmc import GradientSampler
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {}
+    meta = {
+        "format": _FORMAT_VERSION,
+        "class": type(sampler).__name__,
+        "n_params": sampler.n_params,
+    }
+    if isinstance(sampler, EnsembleSampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="ensemble",
+            n_walkers=sampler.n_walkers,
+            accepted_host=sampler._accepted_host,
+            steps_host=sampler._steps_host,
+            reset_step_base=getattr(sampler, "_reset_step_base", 0),
+        )
+        s = sampler.state
+        arrays.update(
+            red=np.asarray(s.red), black=np.asarray(s.black),
+            logp_red=np.asarray(s.logp_red), logp_black=np.asarray(s.logp_black),
+            accepted=np.asarray(s.accepted), step=np.asarray(s.step),
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
+    elif isinstance(sampler, GradientSampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="gradient",
+            n_chains=sampler.n_chains,
+            step_size=sampler.step_size,
+        )
+        s = sampler.state
+        arrays.update(
+            position=np.asarray(s.position), logp=np.asarray(s.logp),
+            grad=np.asarray(s.grad),
+            inv_mass=np.asarray(sampler.inv_mass),
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
+    else:
+        raise TypeError(f"unsupported sampler type {type(sampler).__name__}")
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_checkpoint(sampler, path):
+    """Restore state saved by :func:`save_checkpoint` into ``sampler``.
+
+    ``sampler`` must be constructed with the same target/shape configuration
+    (validated against the stored meta). Returns the sampler.
+    """
+    from mcmcpp_tpu.sampler import EnsembleSampler, EnsembleState
+    from mcmcpp_tpu.gradient.hmc import GradientSampler, HMCState
+
+    with np.load(Path(path), allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    if meta["n_params"] != sampler.n_params:
+        raise ValueError(
+            f"checkpoint has n_params={meta['n_params']}, "
+            f"sampler has {sampler.n_params}"
+        )
+    if meta["kind"] == "ensemble":
+        if not isinstance(sampler, EnsembleSampler):
+            raise TypeError("checkpoint is for an EnsembleSampler")
+        if meta["n_walkers"] != sampler.n_walkers:
+            raise ValueError("walker count mismatch")
+        sampler.state = EnsembleState(
+            red=jnp.asarray(arrays["red"]),
+            black=jnp.asarray(arrays["black"]),
+            logp_red=jnp.asarray(arrays["logp_red"]),
+            logp_black=jnp.asarray(arrays["logp_black"]),
+            accepted=jnp.asarray(arrays["accepted"]),
+            step=jnp.asarray(arrays["step"]),
+        )
+        sampler._key = _wrap_key(arrays["key"])
+        sampler._step_fn = _rebind_step_fn(sampler)
+        sampler._accepted_host = int(meta["accepted_host"])
+        sampler._steps_host = int(meta["steps_host"])
+        sampler._reset_step_base = int(meta["reset_step_base"])
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "gradient":
+        if not isinstance(sampler, GradientSampler):
+            raise TypeError("checkpoint is for a gradient sampler")
+        if meta["n_chains"] != sampler.n_chains:
+            raise ValueError("chain count mismatch")
+        sampler.state = HMCState(
+            position=jnp.asarray(arrays["position"]),
+            logp=jnp.asarray(arrays["logp"]),
+            grad=jnp.asarray(arrays["grad"]),
+        )
+        sampler.step_size = float(meta["step_size"])
+        sampler.inv_mass = jnp.asarray(arrays["inv_mass"])
+        sampler._key = _wrap_key(arrays["key"])
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    else:
+        raise ValueError(f"unknown checkpoint kind {meta['kind']!r}")
+    return sampler
+
+
+def _rebind_step_fn(sampler):
+    """Rebuild the step closure around the restored base key."""
+    from mcmcpp_tpu.sampler import make_step_fn
+
+    step = make_step_fn(
+        sampler._batched_logp, sampler.mover, sampler._mover_state, sampler._key
+    )
+    # ShardedEnsembleSampler wraps the step with sharding constraints
+    if hasattr(sampler, "_half_sharding"):
+        from mcmcpp_tpu.parallel.sharded import constrain_state
+
+        base = step
+
+        def sharded_step(state):
+            return constrain_state(
+                base(constrain_state(state, sampler._half_sharding, sampler._rep)),
+                sampler._half_sharding,
+                sampler._rep,
+            )
+
+        return sharded_step
+    return step

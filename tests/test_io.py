@@ -1,0 +1,109 @@
+"""IO subsystem: engines × outputs matrix, checkpoint/resume round trips."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mcmcpp_tpu import EnsembleSampler, HMCSampler
+from mcmcpp_tpu.analysis.histograms import CornerHistograms
+from mcmcpp_tpu.io import (
+    BinaryEngine, CsvEngine, Hdf5Engine, NpzEngine,
+    DataWriter, ScalarOutput, MatrixOutput, Hist1dOutput, Hist2dOutput,
+    HistMultiOutput, ChainOutput, save_checkpoint, load_checkpoint,
+)
+from mcmcpp_tpu.io.engines import read_npz
+
+from tests.targets import skewed_gaussian_logp
+
+
+def _sampled(tmp_path, n_steps=50):
+    s = EnsembleSampler(skewed_gaussian_logp, n_walkers=16, n_params=2, seed=0)
+    s.init_ball(np.zeros(2), scale=0.3, seed=1)
+    s.run_mcmc(n_steps)
+    return s
+
+
+@pytest.mark.parametrize("engine_cls", [BinaryEngine, CsvEngine, Hdf5Engine,
+                                        NpzEngine])
+def test_engines_write_all_output_kinds(tmp_path, engine_cls):
+    s = _sampled(tmp_path)
+    ch = CornerHistograms(n_bins=8).calculate(s.get_samples())
+    target = tmp_path / ("out.h5" if engine_cls is Hdf5Engine
+                         else "out.npz" if engine_cls is NpzEngine else "out")
+    with DataWriter(engine_cls(target)) as w:
+        w.add(ScalarOutput("acceptance", s.acceptance_fraction))
+        w.add(MatrixOutput("cov", np.cov(s.get_samples(flat=True).T)))
+        counts, edges = ch.hist1d[0]
+        w.add(Hist1dOutput("h1", counts, edges))
+        c2, xe, ye = ch.hist2d[(0, 1)]
+        w.add(Hist2dOutput("h2", c2, xe, ye))
+        w.add(HistMultiOutput("corner", ch))
+        w.add(ChainOutput("chain", s.chain))
+    assert target.exists()
+
+
+def test_npz_round_trip(tmp_path):
+    s = _sampled(tmp_path)
+    target = tmp_path / "chain.npz"
+    with DataWriter(NpzEngine(target)) as w:
+        w.add(ChainOutput("chain", s.chain, meta={"run": "r1"}))
+        w.add(ScalarOutput("accept", s.acceptance_fraction))
+    arrays, meta = read_npz(target)
+    np.testing.assert_array_equal(arrays["chain_samples"], s.get_samples())
+    np.testing.assert_array_equal(arrays["chain_logp"], s.get_log_probs())
+    assert meta["chain_samples"]["run"] == "r1"
+    assert arrays["accept"] == pytest.approx(s.acceptance_fraction)
+
+
+def test_hdf5_readback(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    s = _sampled(tmp_path)
+    target = tmp_path / "out.h5"
+    with DataWriter(Hdf5Engine(target)) as w:
+        w.add(ChainOutput("chain", s.chain))
+    with h5py.File(target, "r") as f:
+        np.testing.assert_array_equal(f["chain_samples"][...], s.get_samples())
+
+
+def test_checkpoint_resume_ensemble_bitwise(tmp_path):
+    """Resume from checkpoint == uninterrupted run, bit for bit."""
+    a = _sampled(tmp_path, n_steps=30)
+    ckpt = save_checkpoint(a, tmp_path / "ck.npz")
+    a.run_mcmc(30)  # uninterrupted continuation
+
+    b = EnsembleSampler(skewed_gaussian_logp, n_walkers=16, n_params=2, seed=99)
+    b.init_ball(np.zeros(2), scale=0.3, seed=2)  # different everything
+    load_checkpoint(b, ckpt)
+    b.run_mcmc(30)
+
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+    assert a.accepted_steps == b.accepted_steps
+    assert a.total_steps == b.total_steps
+
+
+def test_checkpoint_resume_gradient_bitwise(tmp_path):
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    a = HMCSampler(logp, n_chains=8, n_params=3, seed=4, n_leapfrog=8)
+    a.init_ball(np.zeros(3), scale=1.0, seed=5)
+    a.warmup(50)
+    a.run(20)
+    ckpt = save_checkpoint(a, tmp_path / "g.npz")
+    a.run(20)
+
+    b = HMCSampler(logp, n_chains=8, n_params=3, seed=123, n_leapfrog=8)
+    b.init_ball(np.ones(3), scale=2.0, seed=6)
+    load_checkpoint(b, ckpt)
+    b.run(20)
+
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+    assert a.step_size == b.step_size
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    a = _sampled(tmp_path, n_steps=5)
+    ckpt = save_checkpoint(a, tmp_path / "ck.npz")
+    wrong = EnsembleSampler(skewed_gaussian_logp, n_walkers=32, n_params=2)
+    with pytest.raises(ValueError):
+        load_checkpoint(wrong, ckpt)

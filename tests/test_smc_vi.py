@@ -1,0 +1,90 @@
+"""SMC and ADVI correctness against analytic targets."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcmcpp_tpu.smc import SMCSampler, systematic_resample, ess_from_log_weights
+from mcmcpp_tpu.vi import ADVI
+
+
+def test_systematic_resample_unbiased():
+    key = jax.random.key(0)
+    log_w = jnp.log(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    counts = np.zeros(4)
+    for i in range(200):
+        idx = systematic_resample(jax.random.fold_in(key, i), log_w, 400)
+        counts += np.bincount(np.asarray(idx), minlength=4)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.01)
+
+
+def test_ess_uniform_weights():
+    log_w = jnp.zeros(100)
+    assert float(ess_from_log_weights(log_w)) == pytest.approx(100.0, rel=1e-5)
+
+
+def test_smc_gaussian_posterior_and_evidence():
+    """Prior N(0, 2²I), likelihood N(1, 1²I) in 2-D: conjugate ground truth.
+
+    Posterior: N(mu_n, s²I) with s² = 1/(1/4+1), mu_n = s²·(1·1/1 + 0/4).
+    Evidence per dim: N(1 | 0, sqrt(4+1)) marginal.
+    """
+    dim = 2
+    s2 = 1.0 / (1.0 / 4.0 + 1.0)
+    mu_n = s2 * 1.0
+    logz_true = dim * (-0.5 * np.log(2 * np.pi * 5.0) - 0.5 * 1.0 / 5.0)
+
+    def log_prior(t):
+        return -0.5 * jnp.sum(t**2) / 4.0 - dim / 2 * jnp.log(2 * jnp.pi * 4.0)
+
+    def log_like(t):
+        return -0.5 * jnp.sum((t - 1.0) ** 2) - dim / 2 * jnp.log(2 * jnp.pi)
+
+    def prior_sample(key, n):
+        return 2.0 * jax.random.normal(key, (n, dim))
+
+    s = SMCSampler(log_prior, log_like, prior_sample,
+                   n_particles=2048, n_params=dim, n_mcmc=5, seed=0)
+    s.run()
+    assert float(s.state.beta) == 1.0
+    p = s.particles
+    np.testing.assert_allclose(p.mean(axis=0), [mu_n, mu_n], atol=0.08)
+    np.testing.assert_allclose(p.var(axis=0), [s2, s2], atol=0.1)
+    assert s.log_evidence == pytest.approx(logz_true, abs=0.15)
+    # adaptive ladder must be monotone in (0, 1]
+    assert all(b2 > b1 for b1, b2 in zip(s.beta_ladder, s.beta_ladder[1:]))
+
+
+@pytest.mark.parametrize("full_rank", [False, True])
+def test_advi_recovers_gaussian(full_rank):
+    cov = np.array([[1.0, 0.6], [0.6, 1.0]], np.float32)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mean = jnp.asarray([1.0, -2.0])
+
+    def logp(t):
+        d = t - mean
+        return -0.5 * d @ (prec @ d)
+
+    vi = ADVI(logp, n_params=2, full_rank=full_rank, n_mc=32,
+              learning_rate=0.05, seed=0)
+    vi.fit(2000)
+    np.testing.assert_allclose(vi.mean, [1.0, -2.0], atol=0.1)
+    if full_rank:
+        np.testing.assert_allclose(vi.cov, cov, atol=0.15)
+    else:  # mean-field matches marginal precisions, not covariances
+        assert vi.cov[0, 1] == 0.0
+        np.testing.assert_allclose(
+            np.diag(vi.cov), 1.0 / np.diag(np.linalg.inv(cov)), atol=0.12
+        )
+    # ELBO should have improved and converged
+    t = vi.elbo_trace
+    assert np.mean(t[-100:]) > np.mean(t[:100])
+
+
+def test_advi_sample_shape():
+    vi = ADVI(lambda t: -0.5 * jnp.sum(t**2), n_params=3, seed=1)
+    vi.fit(200)
+    s = vi.sample(64)
+    assert s.shape == (64, 3)
