@@ -29,7 +29,8 @@ class Chain:
     cached until the chain changes.
     """
 
-    def __init__(self, n_walkers, n_params, max_bytes=2 << 30, dtype=np.float32):
+    def __init__(self, n_walkers, n_params, max_bytes=2 << 30, dtype=np.float32,
+                 backend="auto"):
         self.n_walkers = int(n_walkers)
         self.n_params = int(n_params)
         self.max_bytes = int(max_bytes)
@@ -39,6 +40,24 @@ class Chain:
         self._bytes = 0
         self._cache = None
         self._logp_cache = None
+        self._native = None
+        if backend not in ("auto", "native", "numpy"):
+            raise ValueError(f"unknown chain backend {backend!r}")
+        if backend in ("auto", "native"):
+            from mcmcpp_tpu import native as _nat
+
+            if _nat.available():
+                self._native = _nat.NativeChainStore(
+                    self.n_walkers, self.n_params, self.max_bytes, self.dtype
+                )
+            elif backend == "native":
+                raise RuntimeError(
+                    "native chain store not built; run `make -C mcmcpp_tpu/native`"
+                )
+
+    @property
+    def backend(self):
+        return "native" if self._native is not None else "numpy"
 
     # -- writing -----------------------------------------------------------
 
@@ -63,6 +82,11 @@ class Chain:
             logps = np.asarray(logps, self.dtype)
             if logps.shape != positions.shape[:2]:
                 raise ValueError("logps shape must be (S, W)")
+        if self._native is not None:
+            ok = self._native.append(positions, logps)
+            self._cache = None
+            self._logp_cache = None
+            return ok
         room = (self.max_bytes - self._bytes) // self._row_bytes()
         take = min(positions.shape[0], max(room, 0))
         if take > 0:
@@ -75,6 +99,8 @@ class Chain:
 
     def clear(self):
         """Drop all stored steps (≙ Chain reset via sampler.reset)."""
+        if self._native is not None:
+            self._native.clear()
         self._blocks = []
         self._logp_blocks = []
         self._bytes = 0
@@ -85,15 +111,21 @@ class Chain:
 
     @property
     def n_steps(self):
+        if self._native is not None:
+            return self._native.n_steps
         return sum(b.shape[0] for b in self._blocks)
 
     @property
     def nbytes(self):
+        if self._native is not None:
+            return self._native.nbytes
         return self._bytes
 
     def _materialize(self):
         if self._cache is None:
-            if self._blocks:
+            if self._native is not None:
+                self._cache, self._logp_cache = self._native.read()
+            elif self._blocks:
                 self._cache = (
                     self._blocks[0]
                     if len(self._blocks) == 1
@@ -107,7 +139,9 @@ class Chain:
 
     def _materialize_logp(self):
         if self._logp_cache is None:
-            if self._logp_blocks:
+            if self._native is not None:
+                self._cache, self._logp_cache = self._native.read()
+            elif self._logp_blocks:
                 self._logp_cache = (
                     self._logp_blocks[0]
                     if len(self._logp_blocks) == 1
@@ -133,6 +167,11 @@ class Chain:
 
     def compact(self, burn_in=0, thin=1):
         """In-place burn+thin (≙ resetChainForSubSampling, Chain.h:269-305)."""
+        if self._native is not None:
+            self._native.compact(burn_in, thin)
+            self._cache = None
+            self._logp_cache = None
+            return
         kept = self._materialize()[burn_in::thin].copy()
         kept_logp = self._materialize_logp()[burn_in::thin].copy()
         self.clear()

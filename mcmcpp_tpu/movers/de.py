@@ -14,23 +14,23 @@ import jax
 import jax.numpy as jnp
 
 from mcmcpp_tpu.movers.base import Mover
+from mcmcpp_tpu.ops.partner import select_partners
 
 
 class DifferentialEvolutionMove(Mover):
-    def __init__(self, gamma=None, jitter=1e-4):
+    """``partner_mode``: "roll" (TPU-fast, two distinct shared shifts) or
+    "gather" (iid distinct pair per walker); see ops/partner.py."""
+
+    def __init__(self, gamma=None, jitter=1e-4, partner_mode="roll"):
         self.gamma = None if gamma is None else float(gamma)
         self.jitter = float(jitter)
+        self.partner_mode = partner_mode
 
     def propose(self, key, active, other, state):
         n, p = active.shape
-        m = other.shape[0]
         gamma = self.gamma if self.gamma is not None else 2.38 / jnp.sqrt(2.0 * p)
-        ki, kj, ku = jax.random.split(key, 3)
-        i = jax.random.randint(ki, (n,), 0, m)
-        j = jax.random.randint(kj, (n,), 0, m - 1)
-        j = j + (j >= i)  # distinct pair, uniform, no rejection loop
-        x1 = jnp.take(other, i, axis=0)
-        x2 = jnp.take(other, j, axis=0)
+        kp, ku = jax.random.split(key)
+        x1, x2 = select_partners(kp, other, n, 2, self.partner_mode)
         noise = jax.random.uniform(
             ku, (n, p), active.dtype, minval=-self.jitter, maxval=self.jitter
         )

@@ -12,21 +12,25 @@ import jax.numpy as jnp
 
 from mcmcpp_tpu.movers.base import Mover
 from mcmcpp_tpu.ops.gw import gw_sample
+from mcmcpp_tpu.ops.partner import select_partners
 
 
 class StretchMove(Mover):
-    """Affine-invariant stretch move with scale parameter ``a`` (default 2)."""
+    """Affine-invariant stretch move with scale parameter ``a`` (default 2).
 
-    def __init__(self, a=2.0):
+    ``partner_mode``: "roll" (default, TPU-fast shared-shift pairing) or
+    "gather" (reference-faithful iid pick ≙ StretchMove.h:102); see
+    ``mcmcpp_tpu/ops/partner.py`` for the validity argument and benchmarks.
+    """
+
+    def __init__(self, a=2.0, partner_mode="roll"):
         self.a = float(a)
+        self.partner_mode = partner_mode
 
     def propose(self, key, active, other, state):
         n, p = active.shape
-        m = other.shape[0]
         kj, kz = jax.random.split(key)
-        # complementary pick ≙ MCMCpp/Movers/StretchMove.h:102 (getNonOffSetInt)
-        j = jax.random.randint(kj, (n,), 0, m)
-        partner = jnp.take(other, j, axis=0)
+        partner = select_partners(kj, other, n, 1, self.partner_mode)[0]
         u = jax.random.uniform(kz, (n,), active.dtype)
         z = gw_sample(u, self.a)
         proposal = partner + z[:, None] * (active - partner)

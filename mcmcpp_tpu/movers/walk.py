@@ -5,18 +5,23 @@ walkers *without replacement*, then propose
 Y = X + Σⱼ Nⱼ·(Xⱼ − X̄_S) with one scalar normal Nⱼ per selected walker.
 The proposal is symmetric, so the Metropolis factor is 0.
 
-The reference's per-walker Knuth selection sampling (WalkMove.h:130-150)
-is replaced by the top-k-of-uniform-keys trick: drawing ``(n, m)`` uniforms
-and taking each row's top-S indices yields a uniformly random S-subset per
-active walker, fully vectorized (one ``lax.top_k`` on the VPU). Cost is
-O(n·m), fine for ensemble sizes where the walk move is sensible; for very
-large ensembles prefer StretchMove.
+Partner selection (``partner_mode``):
+
+- "roll" (default): S *distinct shared shifts* — walker i's subset is
+  {other[(i+r_j) % m]}, one contiguous roll per shift, no HBM gather
+  (see ops/partner.py for validity + benchmarks). The per-walker normal
+  draws stay iid, so proposal diversity across walkers is preserved.
+- "gather": per-walker uniform S-subset via the top-S-of-uniform-keys
+  trick (one ``lax.top_k`` row-wise) — replaces the reference's
+  per-walker Knuth selection sampling (WalkMove.h:130-150). O(n·m);
+  use for small ensembles / parity studies.
 """
 
 import jax
 import jax.numpy as jnp
 
 from mcmcpp_tpu.movers.base import Mover
+from mcmcpp_tpu.ops.partner import rolled_partners
 
 
 class WalkMove(Mover):
@@ -24,10 +29,11 @@ class WalkMove(Mover):
     matching the reference tests, e.g.
     ``test/sequential/SkewedGaussian/WalkMove/src/main.cpp:35``)."""
 
-    def __init__(self, n_samples=6):
+    def __init__(self, n_samples=6, partner_mode="roll"):
         if n_samples < 2:
             raise ValueError("WalkMove requires n_samples >= 2")
         self.n_samples = int(n_samples)
+        self.partner_mode = partner_mode
 
     def propose(self, key, active, other, state):
         n, p = active.shape
@@ -38,10 +44,15 @@ class WalkMove(Mover):
                 f"WalkMove n_samples={s} exceeds complementary half size {m}"
             )
         kj, kn = jax.random.split(key)
-        # uniform random S-subset per walker: top-S of iid uniform keys
-        scores = jax.random.uniform(kj, (n, m))
-        _, idx = jax.lax.top_k(scores, s)  # (n, s)
-        xs = jnp.take(other, idx, axis=0)  # (n, s, p)
+        if self.partner_mode == "roll":
+            if n != m:
+                raise ValueError(f"roll mode requires equal halves ({n} != {m})")
+            xs = jnp.transpose(rolled_partners(kj, other, s), (1, 0, 2))  # (n,s,p)
+        else:
+            # uniform random S-subset per walker: top-S of iid uniform keys
+            scores = jax.random.uniform(kj, (n, m))
+            _, idx = jax.lax.top_k(scores, s)  # (n, s)
+            xs = jnp.take(other, idx, axis=0)  # (n, s, p)
         center = jnp.mean(xs, axis=1, keepdims=True)  # (n, 1, p)
         # one scalar normal per selected walker ≙ WalkMove.h:155-186
         normals = jax.random.normal(kn, (n, s), active.dtype)

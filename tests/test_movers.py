@@ -38,7 +38,7 @@ class TestWalkMove:
     def test_moments(self):
         s = run_mover(WalkMove(n_samples=6))
         check_moments(s)
-        assert 0.3 < s.acceptance_fraction < 0.95
+        assert 0.25 < s.acceptance_fraction < 0.95
 
     def test_bad_n_samples(self):
         with pytest.raises(ValueError):

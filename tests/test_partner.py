@@ -1,0 +1,88 @@
+"""Partner-selection ops: distinctness, uniformity, roll/gather parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcmcpp_tpu import EnsembleSampler, StretchMove, DifferentialEvolutionMove
+from mcmcpp_tpu.ops.partner import (
+    distinct_shifts,
+    gather_partners,
+    rolled_partners,
+    select_partners,
+)
+
+from tests.targets import skewed_gaussian_logp, skewed_gaussian_cov
+
+
+def test_distinct_shifts_are_distinct_and_uniform():
+    m, k = 12, 5
+    counts = np.zeros(m)
+    for i in range(400):
+        s = np.asarray(distinct_shifts(jax.random.key(i), m, k))
+        assert len(set(s.tolist())) == k
+        assert s.min() >= 0 and s.max() < m
+        counts[s] += 1
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, np.full(m, 1 / m), atol=0.012)
+
+
+def test_distinct_shifts_k_equals_m():
+    s = np.sort(np.asarray(distinct_shifts(jax.random.key(0), 6, 6)))
+    np.testing.assert_array_equal(s, np.arange(6))
+
+
+def test_gather_partners_distinct_rows():
+    other = jnp.arange(40.0).reshape(8, 5)
+    parts = gather_partners(jax.random.key(3), other, 8, 3)
+    ids = np.asarray(parts[:, :, 0]) / 5  # recover row index from content
+    for w in range(8):
+        assert len(set(ids[:, w].tolist())) == 3
+
+
+def test_rolled_partners_layout():
+    other = jnp.arange(12.0).reshape(6, 2)
+    parts = rolled_partners(jax.random.key(1), other, 2)
+    # row i of each stack must be other[(i + r_j) % m] for a constant shift
+    for j in range(2):
+        r = int((parts[j, 0, 0] - other[0, 0]) / 2) % 6
+        np.testing.assert_array_equal(
+            np.asarray(parts[j]), np.roll(np.asarray(other), -r, axis=0)
+        )
+
+
+def test_select_partners_bad_mode():
+    other = jnp.zeros((4, 2))
+    with pytest.raises(ValueError):
+        select_partners(jax.random.key(0), other, 4, 1, "nope")
+
+
+@pytest.mark.parametrize("mode", ["roll", "gather"])
+def test_stretch_moments_both_modes(mode):
+    """Both pairing modes must recover the skewed-Gaussian covariance."""
+    s = EnsembleSampler(
+        skewed_gaussian_logp, n_walkers=128, n_params=2, seed=21,
+        mover=StretchMove(partner_mode=mode),
+    )
+    s.init_ball(np.zeros(2), scale=0.5, seed=2)
+    s.run_mcmc(400, store=False)
+    s.run_mcmc(3000)
+    cov = np.cov(s.get_samples(flat=True).T)
+    np.testing.assert_allclose(cov, skewed_gaussian_cov(), atol=0.15)
+    assert 0.3 < s.acceptance_fraction < 0.9
+
+
+def test_roll_gather_acceptance_agreement():
+    """Roll pairing must not change acceptance statistics materially."""
+    res = {}
+    for mode in ["roll", "gather"]:
+        s = EnsembleSampler(
+            skewed_gaussian_logp, n_walkers=128, n_params=2, seed=5,
+            mover=DifferentialEvolutionMove(partner_mode=mode),
+        )
+        s.init_ball(np.zeros(2), scale=0.5, seed=3)
+        s.run_mcmc(300, store=False)
+        s.run_mcmc(1500)
+        res[mode] = s.acceptance_fraction
+    assert abs(res["roll"] - res["gather"]) < 0.08
