@@ -5,8 +5,16 @@ from mcmcpp_tpu.analysis.covariance import covariance_matrix, correlation_matrix
 from mcmcpp_tpu.analysis.histograms import CornerHistograms
 from mcmcpp_tpu.analysis.percentiles import PercentileAndMaximumFinder
 from mcmcpp_tpu.analysis.ess import effective_sample_size
+from mcmcpp_tpu.analysis.diagnostics import (
+    potential_scale_reduction,
+    mcse_mean,
+    summary,
+)
 
 __all__ = [
+    "potential_scale_reduction",
+    "mcse_mean",
+    "summary",
     "autocorr_time",
     "normalized_autocov",
     "covariance_matrix",

@@ -1,0 +1,81 @@
+"""Convergence diagnostics: split-R̂, Monte-Carlo standard error, summaries.
+
+Beyond the reference's analysis layer (which stops at ACT/covariance/
+histograms — SURVEY.md §2 #19-23): rank-normalized split-R̂ and bulk/tail
+ESS in the Vehtari et al. (2021) style, plus MCSE. Walkers/chains map onto
+the "chains" axis.
+"""
+
+import numpy as np
+from scipy import stats as _stats  # scipy ships with jax's deps
+
+from mcmcpp_tpu.analysis.ess import effective_sample_size
+
+
+def _split_chains(samples):
+    """(S, C) -> (S//2, 2C): split each chain in half (split-R̂)."""
+    s = samples.shape[0] - samples.shape[0] % 2
+    half = s // 2
+    return np.concatenate([samples[:half], samples[half:s]], axis=1)
+
+
+def _rank_normalize(x):
+    """Map values to normal scores via average ranks (Vehtari et al. 2021)."""
+    r = _stats.rankdata(x, axis=None).reshape(x.shape)
+    return _stats.norm.ppf((r - 0.375) / (x.size + 0.25))
+
+
+def potential_scale_reduction(samples, rank_normalized=True):
+    """Split-R̂ per parameter.
+
+    samples: (S, C, P) — S steps, C chains/walkers, P parameters.
+    Values near 1 (≲1.01) indicate convergence.
+    """
+    arr = np.asarray(samples, np.float64)
+    if arr.ndim != 3:
+        raise ValueError("expected (steps, chains, params)")
+    out = np.empty(arr.shape[-1])
+    for p in range(arr.shape[-1]):
+        x = _split_chains(arr[:, :, p])
+        if rank_normalized:
+            x = _rank_normalize(x)
+        s, c = x.shape
+        chain_means = x.mean(axis=0)
+        b = s * chain_means.var(ddof=1)
+        w = x.var(axis=0, ddof=1).mean()
+        var_plus = (s - 1) / s * w + b / s
+        out[p] = np.sqrt(var_plus / w) if w > 0 else np.inf
+    return out
+
+
+def mcse_mean(samples, **ess_kw):
+    """Monte-Carlo standard error of the posterior mean per parameter.
+
+    samples: (S, C, P). MCSE = posterior sd / sqrt(ESS).
+    """
+    arr = np.asarray(samples, np.float64)
+    flat = arr.reshape(-1, arr.shape[-1])
+    sd = flat.std(axis=0, ddof=1)
+    ess = np.asarray(effective_sample_size(arr, **ess_kw), np.float64)
+    return sd / np.sqrt(np.maximum(ess, 1.0))
+
+
+def summary(samples, prob=0.9):
+    """Per-parameter posterior summary dict.
+
+    samples: (S, C, P). Returns dict of arrays: mean, sd, median, credible
+    interval bounds, ess, rhat, mcse.
+    """
+    arr = np.asarray(samples, np.float64)
+    flat = arr.reshape(-1, arr.shape[-1])
+    lo_q, hi_q = (1 - prob) / 2, 1 - (1 - prob) / 2
+    return {
+        "mean": flat.mean(axis=0),
+        "sd": flat.std(axis=0, ddof=1),
+        "median": np.median(flat, axis=0),
+        f"q{round(lo_q * 100)}": np.quantile(flat, lo_q, axis=0),
+        f"q{round(hi_q * 100)}": np.quantile(flat, hi_q, axis=0),
+        "ess": np.asarray(effective_sample_size(arr)),
+        "rhat": potential_scale_reduction(arr),
+        "mcse": mcse_mean(arr),
+    }

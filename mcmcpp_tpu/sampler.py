@@ -90,23 +90,33 @@ def make_step_fn(batched_logp, mover: Mover, mover_state: Any, base_key):
     return step
 
 
-@partial(jax.jit, static_argnames=("step_fn", "n_store", "thin"))
-def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int):
+@partial(jax.jit, static_argnames=("step_fn", "n_store", "thin", "step_action"))
+def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int,
+             step_action=None):
     """Run ``n_store·thin`` steps, emitting every ``thin``-th ensemble.
 
-    Returns (final_state, positions (n_store, W, P), logps (n_store, W)).
-    Thinning-at-source replaces the reference's save/skip bookkeeping
-    (EnsembleSampler.h:296-308) — skipped steps never touch HBM.
+    Returns (final_state, positions (n_store, W, P), logps (n_store, W),
+    metrics). Thinning-at-source replaces the reference's save/skip
+    bookkeeping (EnsembleSampler.h:296-308) — skipped steps never touch HBM.
+
+    ``step_action(positions (W, P), logps (W)) -> pytree`` is the jitted
+    equivalent of the reference's PostStepAction hook (called once per
+    completed stored step, ≙ EnsembleSampler.h:356-359); its outputs are
+    stacked along the leading axis and returned as ``metrics`` (None if no
+    action given).
     """
 
     def body(carry, _):
         carry = jax.lax.fori_loop(0, thin, lambda i, s: step_fn(s), carry)
         pos = jnp.concatenate([carry.red, carry.black], axis=0)
         logp = jnp.concatenate([carry.logp_red, carry.logp_black], axis=0)
-        return carry, (pos, logp)
+        metrics = step_action(pos, logp) if step_action is not None else 0
+        return carry, (pos, logp, metrics)
 
-    final, (positions, logps) = jax.lax.scan(body, state, length=n_store)
-    return final, positions, logps
+    final, (positions, logps, metrics) = jax.lax.scan(body, state, length=n_store)
+    if step_action is None:
+        metrics = None
+    return final, positions, logps, metrics
 
 
 @partial(jax.jit, static_argnames=("step_fn", "n_steps"))
@@ -247,13 +257,28 @@ class EnsembleSampler:
         )[None]
         return self.chain.append(pos, logp)
 
-    def run_mcmc(self, n_steps, thin=1, store=True):
+    def set_sampling_mode(self, thin):
+        """≙ setSamplingMode (EnsembleSampler.h): default thinning interval
+        applied by subsequent ``run_mcmc`` calls that don't pass ``thin``."""
+        self._default_thin = int(thin)
+        return self
+
+    def run_mcmc(self, n_steps, thin=None, store=True, step_action=None,
+                 chunk_action=None):
         """Run ``n_steps`` total steps; if ``store``, save every ``thin``-th.
 
         Returns False if the chain hit its byte capacity before finishing
         (≙ IncrementStatus::EndOfChain, Chain/Chain.h:230-234), else True.
+
+        ``step_action``: jittable ``(positions (W, P), logps (W)) -> pytree``
+        run on-device once per stored step — the PostStepAction hook of the
+        reference (EnsembleSampler.h:356-359, NoAction.h default) in jitted
+        form; results accumulate in ``self.step_metrics`` (leaves stacked
+        over steps). ``chunk_action(chain)`` runs on host after each chunk
+        lands (streaming writers / convergence monitors).
         """
         self._require_state()
+        self.step_metrics = None
         # keep any single device launch under 2^31 walker-updates so the
         # int32 accept counters cannot overflow before being harvested
         max_micro = max(1, (1 << 30) // self.n_walkers)
@@ -265,19 +290,34 @@ class EnsembleSampler:
                 self._harvest_counters()
                 remaining -= take
             return True
-        thin = int(thin)
+        thin = int(thin) if thin is not None else getattr(self, "_default_thin", 1)
         n_store = int(n_steps) // thin
         leftover = int(n_steps) - n_store * thin
         chunk = min(self._chunk, max(1, max_micro // thin))
         done = 0
+        hit_capacity = False
+        metric_chunks = []
         while done < n_store:
             take = min(chunk, n_store - done)
-            self.state, pos, logp = run_scan(self.state, self._step_fn, take, thin)
+            self.state, pos, logp, metrics = run_scan(
+                self.state, self._step_fn, take, thin, step_action
+            )
             self._harvest_counters()
             ok = self.chain.append(np.asarray(pos), np.asarray(logp))
+            if metrics is not None:
+                metric_chunks.append(jax.tree.map(np.asarray, metrics))
+            if chunk_action is not None:
+                chunk_action(self.chain)
             done += take
             if not ok:
-                return False
+                hit_capacity = True
+                break
+        if metric_chunks:
+            self.step_metrics = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *metric_chunks
+            )
+        if hit_capacity:
+            return False
         if leftover:
             self.state = run_nostore(self.state, self._step_fn, leftover)
             self._harvest_counters()
