@@ -26,8 +26,13 @@ def _key_data(key):
     return np.asarray(jax.random.key_data(key))
 
 
-def _wrap_key(data):
-    return jax.random.wrap_key_data(jnp.asarray(data))
+def _key_impl_name(key):
+    impl = jax.random.key_impl(key)
+    return getattr(impl, "name", None) or str(impl).strip("'\"")
+
+
+def _wrap_key(data, impl=None):
+    return jax.random.wrap_key_data(jnp.asarray(data), impl=impl)
 
 
 def save_checkpoint(sampler, path):
@@ -52,6 +57,7 @@ def save_checkpoint(sampler, path):
             accepted_host=sampler._accepted_host,
             steps_host=sampler._steps_host,
             reset_step_base=getattr(sampler, "_reset_step_base", 0),
+            prng_impl=_key_impl_name(sampler._key),
         )
         s = sampler.state
         arrays.update(
@@ -69,6 +75,7 @@ def save_checkpoint(sampler, path):
             kind="gradient",
             n_chains=sampler.n_chains,
             step_size=sampler.step_size,
+            prng_impl=_key_impl_name(sampler._key),
         )
         s = sampler.state
         arrays.update(
@@ -116,7 +123,7 @@ def load_checkpoint(sampler, path):
             accepted=jnp.asarray(arrays["accepted"]),
             step=jnp.asarray(arrays["step"]),
         )
-        sampler._key = _wrap_key(arrays["key"])
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler._step_fn = _rebind_step_fn(sampler)
         sampler._accepted_host = int(meta["accepted_host"])
         sampler._steps_host = int(meta["steps_host"])
@@ -136,7 +143,7 @@ def load_checkpoint(sampler, path):
         )
         sampler.step_size = float(meta["step_size"])
         sampler.inv_mass = jnp.asarray(arrays["inv_mass"])
-        sampler._key = _wrap_key(arrays["key"])
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:
             sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
