@@ -23,6 +23,7 @@ from mcmcpp_tpu.movers import (
 )
 from mcmcpp_tpu import analysis
 from mcmcpp_tpu import io
+from mcmcpp_tpu import models
 from mcmcpp_tpu import ops
 from mcmcpp_tpu import parallel
 from mcmcpp_tpu.parallel import ShardedEnsembleSampler, make_walker_mesh
@@ -45,6 +46,7 @@ __all__ = [
     "SequenceMove",
     "analysis",
     "io",
+    "models",
     "ops",
     "parallel",
     "gradient",

@@ -1,0 +1,26 @@
+"""Model / target-distribution library.
+
+The reference ships its targets as example code (``test/sequential/
+SkewedGaussian/Common/SkewedGaussian.h``); here they are first-class,
+JAX-traceable, and carry their analytic ground truth for testing
+(BASELINE.json configs: correlated Gaussian, Rosenbrock banana, multimodal
+mixture, plus the reference's skewed Gaussian).
+"""
+
+from mcmcpp_tpu.models.targets import (
+    Target,
+    correlated_gaussian,
+    gaussian_mixture,
+    neal_funnel,
+    rosenbrock,
+    skewed_gaussian,
+)
+
+__all__ = [
+    "Target",
+    "correlated_gaussian",
+    "gaussian_mixture",
+    "neal_funnel",
+    "rosenbrock",
+    "skewed_gaussian",
+]
