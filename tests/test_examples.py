@@ -1,0 +1,55 @@
+"""Examples must stay runnable (subprocess smoke on the CPU mesh)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(script, *args, timeout=420):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"  # stripped by the site plugin, but harmless
+    # force cpu the reliable way: sitecustomize-level config via -c wrapper
+    path = str(REPO / "examples" / script)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        f"import sys; sys.argv = {[path, *args]!r};"
+        f"exec(compile(open({path!r}).read(), {path!r}, 'exec'),"
+        f" {{'__file__': {path!r}, '__name__': '__main__'}})"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=timeout, cwd=REPO,
+    )
+
+
+def test_skewed_gaussian_example():
+    r = _run("skewed_gaussian.py", "--steps", "400", "--thin", "4",
+             "--walkers", "64", "--burn", "100")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "acceptance fraction" in r.stdout
+    assert "covariance" in r.stdout
+
+
+def test_actime_example():
+    r = _run("actime.py", "--steps", "4096", "--walkers", "32")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "true tau" in r.stdout
+
+
+def test_actime_example_sharded():
+    r = _run("actime.py", "--steps", "2048", "--walkers", "32", "--sharded")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_inner_benchmark_example():
+    r = _run("inner_benchmark.py", "--steps", "500", "--walkers", "128")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "walker-updates/s" in r.stdout
