@@ -32,7 +32,9 @@ def covariance_matrix(samples, thin=1, burn_in=0):
     n = x.shape[0]
     mean = jnp.mean(x, axis=0)
     xc = x - mean[None, :]
-    cov = (xc.T @ xc) / (n - 1)
+    # HIGHEST keeps the f32 matmul in true f32 on TPU (default precision
+    # decomposes to bf16 passes — worse than the Kahan sums this replaces)
+    cov = jnp.matmul(xc.T, xc, precision=jax.lax.Precision.HIGHEST) / (n - 1)
     return np.asarray(cov, np.float64)
 
 

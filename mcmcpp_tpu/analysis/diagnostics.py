@@ -48,15 +48,18 @@ def potential_scale_reduction(samples, rank_normalized=True):
     return out
 
 
-def mcse_mean(samples, **ess_kw):
+def mcse_mean(samples, ess=None, **ess_kw):
     """Monte-Carlo standard error of the posterior mean per parameter.
 
-    samples: (S, C, P). MCSE = posterior sd / sqrt(ESS).
+    samples: (S, C, P). MCSE = posterior sd / sqrt(ESS). Pass a
+    precomputed ``ess`` to skip re-running the ACT analysis.
     """
     arr = np.asarray(samples, np.float64)
     flat = arr.reshape(-1, arr.shape[-1])
     sd = flat.std(axis=0, ddof=1)
-    ess = np.asarray(effective_sample_size(arr, **ess_kw), np.float64)
+    if ess is None:
+        ess = effective_sample_size(arr, **ess_kw)
+    ess = np.asarray(ess, np.float64)
     return sd / np.sqrt(np.maximum(ess, 1.0))
 
 
@@ -69,13 +72,14 @@ def summary(samples, prob=0.9):
     arr = np.asarray(samples, np.float64)
     flat = arr.reshape(-1, arr.shape[-1])
     lo_q, hi_q = (1 - prob) / 2, 1 - (1 - prob) / 2
+    ess = np.asarray(effective_sample_size(arr))
     return {
         "mean": flat.mean(axis=0),
         "sd": flat.std(axis=0, ddof=1),
         "median": np.median(flat, axis=0),
         f"q{round(lo_q * 100)}": np.quantile(flat, lo_q, axis=0),
         f"q{round(hi_q * 100)}": np.quantile(flat, hi_q, axis=0),
-        "ess": np.asarray(effective_sample_size(arr)),
+        "ess": ess,
         "rhat": potential_scale_reduction(arr),
-        "mcse": mcse_mean(arr),
+        "mcse": mcse_mean(arr, ess=ess),
     }

@@ -166,7 +166,17 @@ class Chain:
         return arr
 
     def compact(self, burn_in=0, thin=1):
-        """In-place burn+thin (≙ resetChainForSubSampling, Chain.h:269-305)."""
+        """In-place burn+thin (≙ resetChainForSubSampling, Chain.h:269-305).
+
+        Negative ``burn_in`` follows Python slice semantics (keep the last
+        ``|burn_in|`` steps) on both backends.
+        """
+        thin = int(thin)
+        if thin < 1:
+            raise ValueError("thin must be >= 1")
+        burn_in = int(burn_in)
+        if burn_in < 0:
+            burn_in = max(0, self.n_steps + burn_in)
         if self._native is not None:
             self._native.compact(burn_in, thin)
             self._cache = None

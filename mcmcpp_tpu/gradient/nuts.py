@@ -51,11 +51,6 @@ def nuts_kernel(logp_fn, max_depth=10, max_delta_energy=1000.0):
     logp_grad_fn = jax.value_and_grad(logp_fn)
     D = int(max_depth)
 
-    def leapfrog(z: _Z, eps):
-        p = z.p + 0.5 * eps * z.g
-        q = z.q + eps * p  # inv_mass folded into eps-scaled momentum below
-        return q, p
-
     def leapfrog_full(z: _Z, eps, inv_mass):
         p = z.p + 0.5 * eps * z.g
         q = z.q + eps * (inv_mass * p)

@@ -124,6 +124,7 @@ def load_checkpoint(sampler, path):
             step=jnp.asarray(arrays["step"]),
         )
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler._step_key, sampler._aux_key = jax.random.split(sampler._key)
         sampler._step_fn = _rebind_step_fn(sampler)
         sampler._accepted_host = int(meta["accepted_host"])
         sampler._steps_host = int(meta["steps_host"])
@@ -157,7 +158,8 @@ def _rebind_step_fn(sampler):
     from mcmcpp_tpu.sampler import make_step_fn
 
     step = make_step_fn(
-        sampler._batched_logp, sampler.mover, sampler._mover_state, sampler._key
+        sampler._batched_logp, sampler.mover, sampler._mover_state,
+        sampler._step_key,
     )
     # ShardedEnsembleSampler wraps the step with sharding constraints
     if hasattr(sampler, "_half_sharding"):

@@ -125,6 +125,25 @@ def run_nostore(state: EnsembleState, step_fn, n_steps: int):
     return jax.lax.fori_loop(0, n_steps, lambda i, s: step_fn(s), state)
 
 
+def fetch_addressable(arr, walker_axis):
+    """Host-fetch an array that may span non-addressable devices.
+
+    Fully-addressable (single-host) arrays round-trip through
+    ``np.asarray``. Under multi-host SPMD each process assembles only ITS
+    walker shards (deduplicated, ordered by global offset) — chains are
+    stored per host (see parallel/distributed.py).
+    """
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    parts = {}
+    for s in arr.addressable_shards:
+        sl = s.index[walker_axis]
+        start = 0 if sl.start is None else int(sl.start)
+        if start not in parts:
+            parts[start] = np.asarray(s.data)
+    return np.concatenate([parts[k] for k in sorted(parts)], axis=walker_axis)
+
+
 def sample_ball(key, center, scale, n_walkers, dtype=jnp.float32):
     """Gaussian ball initializer for walker positions (emcee-style)."""
     center = jnp.asarray(center, dtype)
@@ -177,6 +196,9 @@ class EnsembleSampler:
         self._validate_logp()
         self._mover_state = self.mover.init_state(self.n_params, dtype)
         self._key = jax.random.key(seed, impl=prng_impl)
+        # domain-separated keys: steps fold the step counter into _step_key,
+        # aux draws (init_ball etc.) use _aux_key — no stream can collide
+        self._step_key, self._aux_key = jax.random.split(self._key)
         self.chain = Chain(
             n_walkers=self.n_walkers,
             n_params=self.n_params,
@@ -189,7 +211,7 @@ class EnsembleSampler:
         self._accepted_host = 0
         self._steps_host = 0
         self._step_fn = make_step_fn(
-            self._batched_logp, self.mover, self._mover_state, self._key
+            self._batched_logp, self.mover, self._mover_state, self._step_key
         )
         if store_chunk_steps is None:
             # bound device-side scan output to ~64 MiB per chunk
@@ -231,7 +253,7 @@ class EnsembleSampler:
 
     def init_ball(self, center, scale=1e-2, seed=None):
         """Initialize walkers in a Gaussian ball around ``center``."""
-        key = self._key if seed is None else jax.random.key(seed)
+        key = self._aux_key if seed is None else jax.random.key(seed)
         key = jax.random.fold_in(key, 0x1B17)
         pos = sample_ball(key, center, scale, self.n_walkers, self.dtype)
         return self.set_initial_walker_pos(pos)
@@ -249,17 +271,36 @@ class EnsembleSampler:
         self._accepted_host += int(jnp.sum(self.state.accepted))
         self.state = self.state._replace(accepted=jnp.zeros((2,), jnp.int32))
 
+    def _append_chain(self, pos, logp):
+        """Fetch (S, W, P)/(S, W) device chunks and append to the chain.
+
+        Under multi-host, each process fetches and stores only its walker
+        shard; the chain is resized to the local width on first use.
+        """
+        pos_np = fetch_addressable(pos, walker_axis=1)
+        logp_np = fetch_addressable(logp, walker_axis=1)
+        if pos_np.shape[1] != self.chain.n_walkers:
+            if self.chain.n_steps:
+                raise RuntimeError(
+                    "chain walker width changed mid-run (sharding changed?)"
+                )
+            self.chain = Chain(
+                n_walkers=pos_np.shape[1],
+                n_params=self.n_params,
+                max_bytes=self.chain.max_bytes,
+                dtype=self.chain.dtype,
+            )
+        return self.chain.append(pos_np, logp_np)
+
     def store_current_walker_positions(self):
         """≙ storeCurrentWalkerPositions (EnsembleSampler.h:249): push the
         current ensemble into the chain as one stored step."""
         self._require_state()
-        pos = np.asarray(
-            jnp.concatenate([self.state.red, self.state.black], axis=0)
+        pos = jnp.concatenate([self.state.red, self.state.black], axis=0)[None]
+        logp = jnp.concatenate(
+            [self.state.logp_red, self.state.logp_black]
         )[None]
-        logp = np.asarray(
-            jnp.concatenate([self.state.logp_red, self.state.logp_black])
-        )[None]
-        return self.chain.append(pos, logp)
+        return self._append_chain(pos, logp)
 
     def set_sampling_mode(self, thin):
         """≙ setSamplingMode (EnsembleSampler.h): default thinning interval
@@ -285,7 +326,8 @@ class EnsembleSampler:
         self.step_metrics = None
         # keep any single device launch under 2^31 walker-updates so the
         # int32 accept counters cannot overflow before being harvested
-        max_micro = max(1, (1 << 30) // self.n_walkers)
+        max_micro = max(1, getattr(self, "_max_micro_updates", 1 << 30)
+                        // self.n_walkers)
         if not store:
             remaining = int(n_steps)
             while remaining > 0:
@@ -297,6 +339,22 @@ class EnsembleSampler:
         thin = int(thin) if thin is not None else getattr(self, "_default_thin", 1)
         n_store = int(n_steps) // thin
         leftover = int(n_steps) - n_store * thin
+        if thin > max_micro:
+            # one stored row would exceed the int32-safe launch size: advance
+            # in harvested micro-chunks, then store the row explicitly
+            ok = True
+            for _ in range(n_store):
+                self.run_mcmc(thin - 1, store=False)
+                self.state = run_nostore(self.state, self._step_fn, 1)
+                self._harvest_counters()
+                ok = self.store_current_walker_positions()
+                if chunk_action is not None:
+                    chunk_action(self.chain)
+                if not ok:
+                    return False
+            if leftover:
+                self.run_mcmc(leftover, store=False)
+            return ok
         chunk = min(self._chunk, max(1, max_micro // thin))
         done = 0
         hit_capacity = False
@@ -307,7 +365,7 @@ class EnsembleSampler:
                 self.state, self._step_fn, take, thin, step_action
             )
             self._harvest_counters()
-            ok = self.chain.append(np.asarray(pos), np.asarray(logp))
+            ok = self._append_chain(pos, logp)
             if metrics is not None:
                 metric_chunks.append(jax.tree.map(np.asarray, metrics))
             if chunk_action is not None:
@@ -333,7 +391,9 @@ class EnsembleSampler:
         self._require_state()
         self.chain.clear()
         self._accepted_host = 0
-        self._steps_host += int(self.state.step)
+        self._steps_host += int(self.state.step) - getattr(
+            self, "_reset_step_base", 0
+        )
         # step counter keeps growing so threefry keys never repeat; the
         # public counters below are relative to the last reset
         self._reset_step_base = int(self.state.step)

@@ -1,7 +1,8 @@
 """Sequential Monte Carlo sampler with adaptive tempering.
 
 North-star scope (no reference counterpart). Anneals particles from a prior
-sample to the posterior along p_β ∝ prior^{1-β}·exp(β·loglike):
+sample to the posterior along the likelihood-tempered path
+p_β ∝ prior · like^β (β: 0 → 1), so incremental weights are like^Δβ:
 
 1. adapt Δβ by bisection so the ESS of incremental weights stays at a
    target fraction (default 0.5) of the particle count,

@@ -139,8 +139,12 @@ class ADVI:
         return np.diag(sig**2)
 
     def sample(self, n, seed=None):
-        """Draw n posterior-approximation samples (n, P)."""
-        key = self._key if seed is None else jax.random.key(seed)
+        """Draw n posterior-approximation samples (n, P). Successive calls
+        draw fresh samples (the internal key advances)."""
+        if seed is None:
+            self._key, key = jax.random.split(self._key)
+        else:
+            key = jax.random.key(seed)
         key = jax.random.fold_in(key, 0x5A11)
         eps = jax.random.normal(key, (n, self.n_params), self.dtype)
         return np.asarray(jax.vmap(lambda e: self._sample(self.params, e))(eps))
