@@ -31,6 +31,8 @@ from mcmcpp_tpu import gradient
 from mcmcpp_tpu.gradient import HMCSampler, MALASampler, NUTSSampler
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.vi import ADVI
+from mcmcpp_tpu import dsl
+from mcmcpp_tpu.dsl import Model
 
 __version__ = "0.1.0"
 
@@ -55,6 +57,8 @@ __all__ = [
     "NUTSSampler",
     "SMCSampler",
     "ADVI",
+    "dsl",
+    "Model",
     "ShardedEnsembleSampler",
     "make_walker_mesh",
     "sample_ball",

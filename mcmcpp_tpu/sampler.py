@@ -303,9 +303,15 @@ class EnsembleSampler:
         return self._append_chain(pos, logp)
 
     def set_sampling_mode(self, thin):
-        """≙ setSamplingMode (EnsembleSampler.h): default thinning interval
-        applied by subsequent ``run_mcmc`` calls that don't pass ``thin``."""
+        """Default thinning interval applied by subsequent ``run_mcmc``
+        calls that don't pass ``thin``."""
         self._default_thin = int(thin)
+        return self
+
+    def set_slicing_mode(self, use_slicing=False, slicing_interval=1):
+        """≙ setSlicingMode (EnsembleSampler.h:137,325-329): toggle
+        sub-sampling and set its interval in one call."""
+        self._default_thin = int(slicing_interval) if use_slicing else 1
         return self
 
     def run_mcmc(self, n_steps, thin=None, store=True, step_action=None,
