@@ -165,6 +165,20 @@ class Chain:
             return arr.reshape(-1)
         return arr
 
+    def iter_steps(self, burn_in=0, thin=1):
+        """Yield one (W, P) array per stored step — the generator analogue
+        of ChainStepIterator (``Chain/ChainStepIterator.h``)."""
+        arr = self.get(burn_in=burn_in, thin=thin)
+        for row in arr:
+            yield row
+
+    def iter_psets(self, burn_in=0, thin=1):
+        """Yield one (P,) parameter set per walker per step (step-major,
+        walker-minor) — the analogue of ChainPsetIterator
+        (``Chain/ChainPsetIterator.h``)."""
+        for row in self.get(burn_in=burn_in, thin=thin, flat=True):
+            yield row
+
     def compact(self, burn_in=0, thin=1):
         """In-place burn+thin (≙ resetChainForSubSampling, Chain.h:269-305).
 

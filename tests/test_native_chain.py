@@ -84,3 +84,14 @@ def test_block_boundary_crossing():
     got, got_lp = a.get(), a.get_logp()
     np.testing.assert_array_equal(got, pos)
     np.testing.assert_array_equal(got_lp, logp)
+
+
+def test_iterators_match_views():
+    a = Chain(n_walkers=4, n_params=2, backend="numpy")
+    rng = np.random.default_rng(3)
+    _fill(a, rng)
+    steps = list(a.iter_steps(burn_in=1, thin=2))
+    np.testing.assert_array_equal(np.stack(steps), a.get(burn_in=1, thin=2))
+    psets = list(a.iter_psets())
+    assert len(psets) == a.n_steps * 4
+    np.testing.assert_array_equal(psets[5], a.get(flat=True)[5])
