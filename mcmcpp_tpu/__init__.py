@@ -33,6 +33,7 @@ from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
 from mcmcpp_tpu.dsl import Model
+from mcmcpp_tpu.tempering import ParallelTemperingSampler
 
 __version__ = "0.1.0"
 
@@ -59,6 +60,7 @@ __all__ = [
     "ADVI",
     "dsl",
     "Model",
+    "ParallelTemperingSampler",
     "ShardedEnsembleSampler",
     "make_walker_mesh",
     "sample_ball",

@@ -44,15 +44,20 @@ class Mover:
         """
         raise NotImplementedError
 
-    def update_half(self, key, active, active_logp, other, logp_fn, state):
-        """One Metropolis update of the active half against the other half."""
+    def update_half(self, key, active, active_logp, other, logp_fn, state,
+                    beta=1.0):
+        """One Metropolis update of the active half against the other half.
+
+        ``beta`` tempers the target to π^β (log-probs stay RAW; only the
+        acceptance ratio is scaled) — used by parallel tempering.
+        """
         kp, ka = jax.random.split(key)
         proposal, log_factor = self.propose(kp, active, other, state)
         prop_logp = logp_fn(proposal)
         if self.always_accept:
             n = active.shape[0]
             return proposal, prop_logp, jnp.ones((n,), dtype=bool)
-        log_ratio = log_factor + prop_logp - active_logp
+        log_ratio = log_factor + beta * (prop_logp - active_logp)
         # log u = -Exp(1); accept iff log u < log_ratio (strict, as reference)
         log_u = -jax.random.exponential(ka, active_logp.shape, active_logp.dtype)
         accept = log_u < log_ratio

@@ -116,7 +116,12 @@ def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int,
     final, (positions, logps, metrics) = jax.lax.scan(body, state, length=n_store)
     if step_action is None:
         metrics = None
-    return final, positions, logps, metrics
+    # emit the chunk's accept total and zero the carried counter so the
+    # driver can harvest asynchronously (int32-safe per chunk; the pipelined
+    # store loop never syncs on the in-flight chunk)
+    accepted = jnp.sum(final.accepted)
+    final = final._replace(accepted=jnp.zeros((2,), jnp.int32))
+    return final, positions, logps, metrics, accepted
 
 
 @partial(jax.jit, static_argnames=("step_fn", "n_steps"))
@@ -365,21 +370,36 @@ class EnsembleSampler:
         done = 0
         hit_capacity = False
         metric_chunks = []
-        while done < n_store:
-            take = min(chunk, n_store - done)
-            self.state, pos, logp, metrics = run_scan(
-                self.state, self._step_fn, take, thin, step_action
-            )
-            self._harvest_counters()
-            ok = self._append_chain(pos, logp)
-            if metrics is not None:
-                metric_chunks.append(jax.tree.map(np.asarray, metrics))
-            if chunk_action is not None:
-                chunk_action(self.chain)
-            done += take
-            if not ok:
-                hit_capacity = True
-                break
+        pending = None  # chunk k-1's device futures
+        while done < n_store or pending is not None:
+            if done < n_store:
+                take = min(chunk, n_store - done)
+                # JAX dispatch is async: launch chunk k before fetching
+                # chunk k-1, overlapping device compute with the D2H copy
+                self.state, pos, logp, metrics, acc = run_scan(
+                    self.state, self._step_fn, take, thin, step_action
+                )
+                done += take
+                launched = (pos, logp, metrics, acc)
+            else:
+                launched = None
+            if pending is not None:
+                p_pos, p_logp, p_metrics, p_acc = pending
+                ok = self._append_chain(p_pos, p_logp)
+                self._accepted_host += int(np.asarray(p_acc))
+                if p_metrics is not None:
+                    metric_chunks.append(jax.tree.map(np.asarray, p_metrics))
+                if chunk_action is not None:
+                    chunk_action(self.chain)
+                if not ok:
+                    hit_capacity = True
+                    pending = None
+                    # the already-launched chunk still advanced the state;
+                    # fold its accept count in before bailing
+                    if launched is not None:
+                        self._accepted_host += int(np.asarray(launched[3]))
+                    break
+            pending = launched
         if metric_chunks:
             self.step_metrics = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=0), *metric_chunks
