@@ -158,7 +158,8 @@ class GradientSampler:
     needs_mass = True
 
     def __init__(self, logp_fn, n_chains, n_params, seed=0, dtype=jnp.float32,
-                 step_size=0.1, target_accept=0.8, max_chain_bytes=2 << 30):
+                 step_size=0.1, target_accept=0.8, max_chain_bytes=2 << 30,
+                 mesh=None):
         self.logp_fn = logp_fn
         self.n_chains = int(n_chains)
         self.n_params = int(n_params)
@@ -173,6 +174,20 @@ class GradientSampler:
             max_bytes=max_chain_bytes,
             dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
         )
+        # optional chains-axis sharding: the vmapped chain batch distributes
+        # over the mesh exactly like the ensemble walker axis (see
+        # parallel/mesh.py); scalars (step size, mass) stay replicated
+        self.mesh = mesh
+        self._chain_sharding = None
+        if mesh is not None:
+            from mcmcpp_tpu.parallel.mesh import walker_sharding
+
+            if self.n_chains % mesh.size != 0:
+                raise ValueError(
+                    f"n_chains={self.n_chains} not divisible by mesh size "
+                    f"{mesh.size}"
+                )
+            self._chain_sharding = walker_sharding(mesh)
         self._kernel = self._make_kernel()
         self._step = self._batched_step(self._kernel)
         self._run_cache = {}
@@ -183,13 +198,27 @@ class GradientSampler:
         """Subclass hook: (key, q, lp, g, step_size, inv_mass) -> (s3, info)."""
         raise NotImplementedError
 
+    def _constrain(self, state):
+        if self._chain_sharding is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        vec = NamedSharding(
+            self._chain_sharding.mesh,
+            PartitionSpec(self._chain_sharding.spec[0]),
+        )
+        c = lambda x: jax.lax.with_sharding_constraint(x, self._chain_sharding)
+        v = lambda x: jax.lax.with_sharding_constraint(x, vec)
+        return HMCState(c(state.position), v(state.logp), c(state.grad))
+
     def _batched_step(self, kernel):
         def step(key, state, step_size, inv_mass):
+            state = self._constrain(state)
             keys = jax.random.split(key, self.n_chains)
             (q, lp, g), (ap, acc) = jax.vmap(
                 lambda k, q, lp, g: kernel(k, q, lp, g, step_size, inv_mass)
             )(keys, state.position, state.logp, state.grad)
-            return HMCState(q, lp, g), (ap, acc)
+            return self._constrain(HMCState(q, lp, g)), (ap, acc)
 
         return step
 
@@ -199,6 +228,8 @@ class GradientSampler:
         positions = jnp.asarray(positions, self.dtype)
         if positions.shape != (self.n_chains, self.n_params):
             raise ValueError(f"positions must be ({self.n_chains}, {self.n_params})")
+        if self._chain_sharding is not None:
+            positions = jax.device_put(positions, self._chain_sharding)
         lp, g = jax.vmap(jax.value_and_grad(self.logp_fn))(positions)
         self.state = HMCState(positions, lp, g)
         return self

@@ -83,7 +83,7 @@ class SMCSampler:
 
     def __init__(self, log_prior_fn, log_like_fn, prior_sample_fn, n_particles,
                  n_params, n_mcmc=5, target_ess=0.5, seed=0, dtype=jnp.float32,
-                 mover=None):
+                 mover=None, mesh=None):
         self.log_prior_fn = log_prior_fn
         self.log_like_fn = log_like_fn
         self.prior_sample_fn = prior_sample_fn
@@ -94,6 +94,17 @@ class SMCSampler:
         self.dtype = dtype
         self.mover = mover if mover is not None else StretchMove()
         self._key = jax.random.key(seed)
+        # optional particle-axis sharding: ESS/logsumexp reduce over the
+        # mesh, resampling's cumsum/searchsorted/gather become collectives
+        self._particle_sharding = None
+        if mesh is not None:
+            from mcmcpp_tpu.parallel.mesh import walker_sharding
+
+            if self.n % mesh.size != 0:
+                raise ValueError(
+                    f"n_particles={self.n} not divisible by mesh {mesh.size}"
+                )
+            self._particle_sharding = walker_sharding(mesh)
         self._stage = jax.jit(self._stage_impl)
         self.state = None
         self.n_stages = 0
@@ -102,6 +113,8 @@ class SMCSampler:
     def init(self):
         self._key, k = jax.random.split(self._key)
         particles = jnp.asarray(self.prior_sample_fn(k, self.n), self.dtype)
+        if self._particle_sharding is not None:
+            particles = jax.device_put(particles, self._particle_sharding)
         lp = jax.vmap(self.log_prior_fn)(particles)
         ll = jax.vmap(self.log_like_fn)(particles)
         self.state = SMCState(
@@ -114,6 +127,11 @@ class SMCSampler:
     # -- one adaptive stage, fully jitted ---------------------------------
 
     def _stage_impl(self, key, state: SMCState):
+        if self._particle_sharding is not None:
+            c = lambda x: jax.lax.with_sharding_constraint(
+                x, self._particle_sharding
+            )
+            state = state._replace(particles=c(state.particles))
         beta_new = _find_next_beta(
             state.log_like, state.beta, self.target_ess, self.n
         )
