@@ -95,3 +95,17 @@ def test_iterators_match_views():
     psets = list(a.iter_psets())
     assert len(psets) == a.n_steps * 4
     np.testing.assert_array_equal(psets[5], a.get(flat=True)[5])
+
+
+def test_asan_harness():
+    """Build + run the C++ store under AddressSanitizer/UBSan."""
+    import subprocess, shutil
+    from pathlib import Path
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    native = Path(__file__).resolve().parents[1] / "mcmcpp_tpu" / "native"
+    r = subprocess.run(["make", "-s", "-C", str(native), "test"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "ASAN tests passed" in r.stdout
