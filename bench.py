@@ -32,8 +32,11 @@ def main():
         return -0.5 * jnp.sum(y * y, axis=-1)
 
     n_walkers = 1 << 21  # 2097152 walkers (throughput peak on v5e)
+    # rbg: hardware RngBitGenerator (~16% faster steps; cross-topology
+    # bitwise reproducibility is irrelevant for a throughput benchmark)
     s = EnsembleSampler(
-        logp_batched, n_walkers=n_walkers, n_params=dim, seed=0, batched=True
+        logp_batched, n_walkers=n_walkers, n_params=dim, seed=0, batched=True,
+        prng_impl="rbg",
     )
     s.init_ball(np.zeros(dim), scale=0.5, seed=1)
 
