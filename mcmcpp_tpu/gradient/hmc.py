@@ -3,9 +3,11 @@
 One chain's transition is a pure function (leapfrog integration under
 ``lax.scan`` + Metropolis correction); many chains run as a vmapped batch
 whose chain axis shards over the device mesh like the ensemble walker axis.
-Warmup adapts the step size by dual averaging (the Hoffman–Gelman 2014 §3.2
-schedule, mean acceptance across chains) and a shared diagonal mass matrix
-by Welford variance accumulation over all chains' positions.
+Warmup adapts a PER-CHAIN step size by dual averaging (the Hoffman–Gelman
+2014 §3.2 schedule vectorized over the chain axis — a chain initialized in
+a difficult region adapts its own step instead of dragging a shared one
+down) and a shared diagonal mass matrix by Welford variance accumulation
+over all chains' positions.
 
 No counterpart exists in the reference (gradient-free C++ library,
 cf. ``MCMCpp/Utility/UserOjbectsTest.h:144-151`` black-box Calculator
@@ -89,7 +91,7 @@ def hmc_kernel(logp_fn, n_leapfrog):
     return kernel
 
 
-# -- dual averaging (Hoffman & Gelman 2014, §3.2) ---------------------------
+# -- dual averaging (Hoffman & Gelman 2014, §3.2; vectorizes over chains) ----
 
 
 def da_init(step_size):
@@ -215,9 +217,10 @@ class GradientSampler:
         def step(key, state, step_size, inv_mass):
             state = self._constrain(state)
             keys = jax.random.split(key, self.n_chains)
+            step_vec = jnp.broadcast_to(step_size, (self.n_chains,))
             (q, lp, g), (ap, acc) = jax.vmap(
-                lambda k, q, lp, g: kernel(k, q, lp, g, step_size, inv_mass)
-            )(keys, state.position, state.logp, state.grad)
+                lambda k, q, lp, g, ss: kernel(k, q, lp, g, ss, inv_mass)
+            )(keys, state.position, state.logp, state.grad, step_vec)
             return self._constrain(HMCState(q, lp, g)), (ap, acc)
 
         return step
@@ -257,12 +260,16 @@ class GradientSampler:
             )
             self._warmup_cache[(int(n_steps), adapt_mass)] = fn
         self._key, run_key = jax.random.split(self._key)
+        step0 = jnp.broadcast_to(
+            jnp.asarray(self.step_size, self.dtype), (self.n_chains,)
+        )
         state, log_step_avg, inv_mass = fn(
-            self.state, run_key,
-            jnp.asarray(self.step_size, self.dtype), self.inv_mass,
+            self.state, run_key, step0, self.inv_mass
         )
         self.state = jax.block_until_ready(state)
-        self.step_size = float(jnp.exp(log_step_avg))
+        # per-chain adapted step sizes (a chain initialized in a hard region
+        # adapts its own step instead of dragging a shared one down)
+        self.step_size = jnp.exp(log_step_avg)
         self.inv_mass = inv_mass
         return self
 
@@ -274,7 +281,7 @@ class GradientSampler:
             key, sub = jax.random.split(key)
             inv_mass = welford_variance(wf) if adapt_mass else im0
             state, (ap, _) = step(sub, state, jnp.exp(da.log_step), inv_mass)
-            da = da_update(da, jnp.mean(ap), target=self.target_accept)
+            da = da_update(da, ap, target=self.target_accept)
             if adapt_mass:
                 wf = welford_update_batch(wf, state.position)
             return (state, da, wf, key), None
@@ -325,7 +332,10 @@ class GradientSampler:
             self._run_cache[(n_store, thin)] = fn
         self._key, run_key = jax.random.split(self._key)
         state, pos, lp, acc = fn(
-            self.state, run_key, jnp.asarray(self.step_size, self.dtype),
+            self.state, run_key,
+            jnp.broadcast_to(
+                jnp.asarray(self.step_size, self.dtype), (self.n_chains,)
+            ),
             self.inv_mass,
         )
         self.state = state

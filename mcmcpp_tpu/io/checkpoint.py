@@ -74,13 +74,13 @@ def save_checkpoint(sampler, path):
         meta.update(
             kind="gradient",
             n_chains=sampler.n_chains,
-            step_size=sampler.step_size,
             prng_impl=_key_impl_name(sampler._key),
         )
         s = sampler.state
         arrays.update(
             position=np.asarray(s.position), logp=np.asarray(s.logp),
             grad=np.asarray(s.grad),
+            step_size=np.asarray(sampler.step_size),
             inv_mass=np.asarray(sampler.inv_mass),
             key=_key_data(sampler._key),
             chain_samples=sampler.chain.get(),
@@ -142,7 +142,8 @@ def load_checkpoint(sampler, path):
             logp=jnp.asarray(arrays["logp"]),
             grad=jnp.asarray(arrays["grad"]),
         )
-        sampler.step_size = float(meta["step_size"])
+        step_size = jnp.asarray(arrays["step_size"])
+        sampler.step_size = float(step_size) if step_size.ndim == 0 else step_size
         sampler.inv_mass = jnp.asarray(arrays["inv_mass"])
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()

@@ -98,7 +98,7 @@ def test_checkpoint_resume_gradient_bitwise(tmp_path):
     b.run(20)
 
     np.testing.assert_array_equal(a.get_samples(), b.get_samples())
-    assert a.step_size == b.step_size
+    np.testing.assert_array_equal(np.asarray(a.step_size), np.asarray(b.step_size))
 
 
 def test_checkpoint_shape_mismatch_rejected(tmp_path):
