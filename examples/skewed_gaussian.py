@@ -41,17 +41,36 @@ def true_cov():
     return np.array([[1 + EPS, (1 - EPS) / 2], [(1 - EPS) / 2, (1 + EPS) / 4]])
 
 
+def _mh_cov(kind):
+    """≙ the MH example's CLI-selectable covariance
+    (test/sequential/SkewedGaussian/MH/src/main.cpp:74-97): ideal /
+    identity / a deliberately non-PD matrix exercising the validation
+    fallback."""
+    if kind == "ideal":
+        return true_cov()
+    if kind == "identity":
+        return None
+    if kind == "bad":
+        return np.array([[1.0, 5.0], [5.0, 1.0]])  # not positive definite
+    raise ValueError(kind)
+
+
 MOVERS = {
-    "stretch": lambda: StretchMove(),
-    "walk": lambda: WalkMove(n_samples=6),
-    "de": lambda: DifferentialEvolutionMove(),
-    "mh": lambda: MetropolisHastingsMove(covariance=true_cov(), scale=1.2),
+    "stretch": lambda **kw: StretchMove(),
+    "walk": lambda **kw: WalkMove(n_samples=6),
+    "de": lambda **kw: DifferentialEvolutionMove(),
+    "mh": lambda mh_cov="ideal": MetropolisHastingsMove(
+        covariance=_mh_cov(mh_cov), scale=1.2
+    ),
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mover", choices=MOVERS, default="stretch")
+    ap.add_argument("--mh-cov", choices=["ideal", "identity", "bad"],
+                    default="ideal",
+                    help="MH proposal covariance (bad -> identity fallback)")
     ap.add_argument("--walkers", type=int, default=320)
     ap.add_argument("--steps", type=int, default=40000)
     ap.add_argument("--thin", type=int, default=30)
@@ -59,8 +78,10 @@ def main():
     ap.add_argument("--outdir", default=None)
     args = ap.parse_args()
 
+    mover = (MOVERS["mh"](mh_cov=args.mh_cov) if args.mover == "mh"
+             else MOVERS[args.mover]())
     s = EnsembleSampler(
-        logp, n_walkers=args.walkers, n_params=2, seed=0, mover=MOVERS[args.mover]()
+        logp, n_walkers=args.walkers, n_params=2, seed=0, mover=mover
     )
     s.init_ball(np.zeros(2), scale=0.3)
     s.run_mcmc(args.burn, store=False)

@@ -320,7 +320,7 @@ class EnsembleSampler:
         return self
 
     def run_mcmc(self, n_steps, thin=None, store=True, step_action=None,
-                 chunk_action=None):
+                 chunk_action=None, checkpoint_path=None, checkpoint_every=1):
         """Run ``n_steps`` total steps; if ``store``, save every ``thin``-th.
 
         Returns False if the chain hit its byte capacity before finishing
@@ -332,8 +332,29 @@ class EnsembleSampler:
         form; results accumulate in ``self.step_metrics`` (leaves stacked
         over steps). ``chunk_action(chain)`` runs on host after each chunk
         lands (streaming writers / convergence monitors).
+
+        ``checkpoint_path``: if set, a full resumable checkpoint
+        (io.checkpoint) is written after every ``checkpoint_every`` chunks —
+        crash recovery for long runs (the reference has none, SURVEY.md §5).
+        Mid-run snapshots are self-consistent but, because the store loop
+        pipelines one chunk ahead, a resume replays the in-flight chunk
+        (sampling stays correct; the stored chain differs from an
+        uninterrupted run by that boundary).
         """
         self._require_state()
+        if checkpoint_path is not None:
+            from mcmcpp_tpu.io.checkpoint import save_checkpoint
+
+            user_chunk_action = chunk_action
+            counter = {"n": 0}
+
+            def chunk_action(chain, _p=checkpoint_path, _e=int(checkpoint_every)):
+                counter["n"] += 1
+                if counter["n"] % _e == 0:
+                    save_checkpoint(self, _p)
+                if user_chunk_action is not None:
+                    user_chunk_action(chain)
+
         self.step_metrics = None
         # keep any single device launch under 2^31 walker-updates so the
         # int32 accept counters cannot overflow before being harvested

@@ -107,3 +107,39 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
     wrong = EnsembleSampler(skewed_gaussian_logp, n_walkers=32, n_params=2)
     with pytest.raises(ValueError):
         load_checkpoint(wrong, ckpt)
+
+
+def test_auto_checkpoint_during_run(tmp_path):
+    """checkpoint_path writes resumable snapshots while sampling."""
+    ck = tmp_path / "auto.npz"
+    s = EnsembleSampler(skewed_gaussian_logp, n_walkers=16, n_params=2,
+                        seed=0, store_chunk_steps=10)
+    s.init_ball(np.zeros(2), scale=0.3, seed=1)
+    s.run_mcmc(50, checkpoint_path=ck, checkpoint_every=2)
+    assert ck.exists()
+    r = EnsembleSampler(skewed_gaussian_logp, n_walkers=16, n_params=2, seed=9)
+    r.init_ball(np.ones(2), seed=2)
+    load_checkpoint(r, ck)
+    # snapshot is self-consistent and resumable
+    assert r.stored_steps > 0
+    assert r.run_mcmc(10) is True
+    assert r.stored_steps > 10
+
+
+def test_readme_quickstart_flow():
+    """The README quickstart must keep working verbatim (shrunk sizes)."""
+    from mcmcpp_tpu import analysis as _an
+    import jax.numpy as _jnp
+
+    def logp(theta):
+        return -0.5 * (theta @ theta)
+
+    s = EnsembleSampler(logp, n_walkers=64, n_params=2, seed=0)
+    s.init_ball(np.zeros(2), scale=0.3)
+    s.run_mcmc(200, store=False)
+    s.run_mcmc(2000, thin=10)
+    assert 0.3 < s.acceptance_fraction < 0.95
+    tau = _an.autocorr_time(s.get_samples())
+    assert np.all(tau > 0)
+    summ = _an.summary(s.get_samples())
+    assert np.all(summ["rhat"] < 1.1)
