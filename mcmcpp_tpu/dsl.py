@@ -258,28 +258,34 @@ class Model:
     def dim(self):
         return sum(size for *_, size in self._params)
 
-    def _unpack(self, theta):
-        """flat unconstrained (D,) -> ({name: constrained}, total log|J|)."""
-        out = {}
-        logdet = 0.0
-        i = 0
-        for name, dist, shape, size in self._params:
-            u = theta[i : i + size].reshape(shape) if shape else theta[i]
-            t = dist.transform
-            out[name] = t.forward(u)
-            logdet = logdet + jnp.sum(t.log_det(u))
-            i += size
-        return out, logdet
-
     def build(self):
-        """Returns (logp, dim, constrain)."""
+        """Returns (logp, dim, constrain).
+
+        The returned closures snapshot the parameter list: mutating the
+        Model afterwards (adding params) does NOT affect an already-built
+        logp — rebuild to pick up changes.
+        """
         if not self._params:
             raise ValueError("model has no parameters")
-        params = list(self._params)
+        params = tuple(self._params)
         loglike = self._loglike
+        dim = sum(size for *_, size in params)
+
+        def unpack(theta):
+            """flat unconstrained (D,) -> ({name: constrained}, log|J|)."""
+            out = {}
+            logdet = 0.0
+            i = 0
+            for name, dist, shape, size in params:
+                u = theta[i : i + size].reshape(shape) if shape else theta[i]
+                t = dist.transform
+                out[name] = t.forward(u)
+                logdet = logdet + jnp.sum(t.log_det(u))
+                i += size
+            return out, logdet
 
         def logp(theta):
-            values, logdet = self._unpack(theta)
+            values, logdet = unpack(theta)
             lp = logdet
             for name, dist, shape, size in params:
                 lp = lp + jnp.sum(dist.logpdf(values[name]))
@@ -290,10 +296,10 @@ class Model:
         def constrain(flat_draws):
             """(N, D) unconstrained draws -> {name: (N, *shape)} arrays."""
             arr = jnp.atleast_2d(jnp.asarray(flat_draws))
-            out = jax.vmap(lambda t: self._unpack(t)[0])(arr)
+            out = jax.vmap(lambda t: unpack(t)[0])(arr)
             return {k: np.asarray(v) for k, v in out.items()}
 
-        return logp, self.dim, constrain
+        return logp, dim, constrain
 
     def prior_sample(self, key, n):
         """(n, D) UNCONSTRAINED draws from the priors (SMC-ready)."""

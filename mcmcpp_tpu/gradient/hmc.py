@@ -316,32 +316,68 @@ class GradientSampler:
         (state, _), (pos, lp, acc) = jax.lax.scan(body, (state, key), length=n_store)
         return state, pos, lp, jnp.mean(acc)
 
+    def _store_chunk_steps(self):
+        """Bound each scan's device-side output to ~64 MiB (like the
+        ensemble sampler's store_chunk_steps)."""
+        row = self.n_chains * (self.n_params + 1) * jnp.dtype(self.dtype).itemsize
+        return max(1, (64 << 20) // max(row, 1))
+
     def run(self, n_steps, thin=1):
-        """Sample ``n_steps`` post-warmup transitions, storing every thin-th."""
+        """Sample ``n_steps`` post-warmup transitions, storing every thin-th.
+
+        Returns True, or False if the host chain hit its byte capacity
+        (subsequent samples are NOT silently dropped). ``n_steps % thin``
+        leftover steps still advance the state (unstored), matching the
+        ensemble sampler.
+        """
         if self.state is None:
             raise RuntimeError("call init/init_ball first")
         thin = int(thin)
         n_store = int(n_steps) // thin
-        fn = self._run_cache.get((n_store, thin))
-        if fn is None:
-            fn = jax.jit(
-                lambda state, key, ss, im: self._run_scan(
-                    state, key, ss, im, n_store, thin
-                )
-            )
-            self._run_cache[(n_store, thin)] = fn
-        self._key, run_key = jax.random.split(self._key)
-        state, pos, lp, acc = fn(
-            self.state, run_key,
-            jnp.broadcast_to(
-                jnp.asarray(self.step_size, self.dtype), (self.n_chains,)
-            ),
-            self.inv_mass,
+        leftover = int(n_steps) - n_store * thin
+        step_vec = jnp.broadcast_to(
+            jnp.asarray(self.step_size, self.dtype), (self.n_chains,)
         )
-        self.state = state
-        self.last_mean_accept = float(acc)
-        self.chain.append(np.asarray(pos), np.asarray(lp))
-        return self
+        chunk = self._store_chunk_steps()
+        done = 0
+        acc_sum, acc_n = 0.0, 0
+        ok = True
+        while done < n_store:
+            take = min(chunk, n_store - done)
+            fn = self._run_cache.get((take, thin))
+            if fn is None:
+                fn = jax.jit(
+                    lambda state, key, ss, im, t=take: self._run_scan(
+                        state, key, ss, im, t, thin
+                    )
+                )
+                self._run_cache[(take, thin)] = fn
+            self._key, run_key = jax.random.split(self._key)
+            state, pos, lp, acc = fn(self.state, run_key, step_vec, self.inv_mass)
+            self.state = state
+            acc_sum += float(acc) * take
+            acc_n += take
+            done += take
+            if not self.chain.append(np.asarray(pos), np.asarray(lp)):
+                ok = False
+                break
+        if leftover:
+            fn = self._run_cache.get((1, leftover))
+            if fn is None:
+                fn = jax.jit(
+                    lambda state, key, ss, im, t=leftover: self._run_scan(
+                        state, key, ss, im, 1, t
+                    )
+                )
+                self._run_cache[(1, leftover)] = fn
+            self._key, run_key = jax.random.split(self._key)
+            state, _, _, acc = fn(self.state, run_key, step_vec, self.inv_mass)
+            self.state = state
+            acc_sum += float(acc)
+            acc_n += 1
+        if acc_n:
+            self.last_mean_accept = acc_sum / acc_n
+        return ok
 
     def get_samples(self, burn_in=0, thin=1, flat=False):
         return self.chain.get(burn_in=burn_in, thin=thin, flat=flat)

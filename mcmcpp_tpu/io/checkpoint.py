@@ -12,6 +12,7 @@ checkpoints are portable and safe to load from untrusted storage.
 """
 
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -41,6 +42,10 @@ def save_checkpoint(sampler, path):
     from mcmcpp_tpu.gradient.hmc import GradientSampler
 
     path = Path(path)
+    if path.suffix != ".npz":
+        # np.savez appends .npz itself; normalize so the returned path is
+        # the file that actually exists
+        path = path.with_name(path.name + ".npz")
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {}
     meta = {
@@ -57,6 +62,8 @@ def save_checkpoint(sampler, path):
             accepted_host=sampler._accepted_host,
             steps_host=sampler._steps_host,
             reset_step_base=getattr(sampler, "_reset_step_base", 0),
+            step_epoch=getattr(sampler, "_step_epoch", 0),
+            epoch_base_steps=getattr(sampler, "_epoch_base_steps", 0),
             prng_impl=_key_impl_name(sampler._key),
         )
         s = sampler.state
@@ -89,7 +96,11 @@ def save_checkpoint(sampler, path):
     else:
         raise TypeError(f"unsupported sampler type {type(sampler).__name__}")
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
-    np.savez_compressed(path, **arrays)
+    # atomic replace: a crash mid-save must not destroy the previous good
+    # checkpoint (the whole point of checkpointing)
+    tmp = path.with_name(path.name + ".tmp.npz")
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
     return path
 
 
@@ -102,7 +113,10 @@ def load_checkpoint(sampler, path):
     from mcmcpp_tpu.sampler import EnsembleSampler, EnsembleState
     from mcmcpp_tpu.gradient.hmc import GradientSampler, HMCState
 
-    with np.load(Path(path), allow_pickle=False) as z:
+    path = Path(path)
+    if path.suffix != ".npz" and not path.exists():
+        path = path.with_name(path.name + ".npz")
+    with np.load(path, allow_pickle=False) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         arrays = {k: z[k] for k in z.files if k != "__meta__"}
     if meta["n_params"] != sampler.n_params:
@@ -125,7 +139,9 @@ def load_checkpoint(sampler, path):
         )
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler._step_key, sampler._aux_key = jax.random.split(sampler._key)
-        sampler._step_fn = _rebind_step_fn(sampler)
+        sampler._step_epoch = int(meta.get("step_epoch", 0))
+        sampler._epoch_base_steps = int(meta.get("epoch_base_steps", 0))
+        sampler._rebuild_step_fn()
         sampler._accepted_host = int(meta["accepted_host"])
         sampler._steps_host = int(meta["steps_host"])
         sampler._reset_step_base = int(meta["reset_step_base"])
@@ -153,27 +169,3 @@ def load_checkpoint(sampler, path):
         raise ValueError(f"unknown checkpoint kind {meta['kind']!r}")
     return sampler
 
-
-def _rebind_step_fn(sampler):
-    """Rebuild the step closure around the restored base key."""
-    from mcmcpp_tpu.sampler import make_step_fn
-
-    step = make_step_fn(
-        sampler._batched_logp, sampler.mover, sampler._mover_state,
-        sampler._step_key,
-    )
-    # ShardedEnsembleSampler wraps the step with sharding constraints
-    if hasattr(sampler, "_half_sharding"):
-        from mcmcpp_tpu.parallel.sharded import constrain_state
-
-        base = step
-
-        def sharded_step(state):
-            return constrain_state(
-                base(constrain_state(state, sampler._half_sharding, sampler._rep)),
-                sampler._half_sharding,
-                sampler._rep,
-            )
-
-        return sharded_step
-    return step

@@ -64,6 +64,14 @@ class ShardedEnsembleSampler(EnsembleSampler):
             )
         self._half_sharding = walker_sharding(self.mesh)
         self._rep = replicated(self.mesh)
+        self._rebuild_step_fn()
+
+    def _rebuild_step_fn(self):
+        super()._rebuild_step_fn()
+        # mesh attributes exist only after __init__ progresses past the
+        # parent constructor's first build
+        if not hasattr(self, "_half_sharding"):
+            return
         base_step = self._step_fn
 
         def sharded_step(state):

@@ -204,6 +204,10 @@ class EnsembleSampler:
         # domain-separated keys: steps fold the step counter into _step_key,
         # aux draws (init_ball etc.) use _aux_key — no stream can collide
         self._step_key, self._aux_key = jax.random.split(self._key)
+        # the int32 step counter is rebased to 0 (and the stream rotated to
+        # a new epoch) once it crosses 2^30, so multi-week runs never wrap
+        self._step_epoch = 0
+        self._epoch_base_steps = 0
         self.chain = Chain(
             n_walkers=self.n_walkers,
             n_params=self.n_params,
@@ -215,9 +219,7 @@ class EnsembleSampler:
         # after every chunk, so runs of >2^31 updates can't overflow
         self._accepted_host = 0
         self._steps_host = 0
-        self._step_fn = make_step_fn(
-            self._batched_logp, self.mover, self._mover_state, self._step_key
-        )
+        self._rebuild_step_fn()
         if store_chunk_steps is None:
             # bound device-side scan output to ~64 MiB per chunk
             row_bytes = self.n_walkers * (self.n_params + 1) * jnp.dtype(dtype).itemsize
@@ -225,6 +227,28 @@ class EnsembleSampler:
         self._chunk = int(store_chunk_steps)
 
     # -- setup -----------------------------------------------------------
+
+    def _effective_step_key(self):
+        return jax.random.fold_in(self._step_key, self._step_epoch)
+
+    def _rebuild_step_fn(self):
+        """(Re)build the step closure; overridden by the sharded sampler."""
+        self._step_fn = make_step_fn(
+            self._batched_logp, self.mover, self._mover_state,
+            self._effective_step_key(),
+        )
+
+    def _maybe_rebase_steps(self):
+        """Rotate to a fresh key epoch before the int32 step counter can
+        wrap (wrapping would repeat threefry streams)."""
+        cur = int(self.state.step)
+        if cur < (1 << 30):
+            return
+        self._step_epoch += 1
+        self._epoch_base_steps += cur
+        self._reset_step_base = getattr(self, "_reset_step_base", 0) - cur
+        self.state = self.state._replace(step=jnp.zeros((), jnp.int32))
+        self._rebuild_step_fn()
 
     def _validate_logp(self):
         """Shape-check the user's logp at wrap time (replaces SFINAE)."""
@@ -336,25 +360,15 @@ class EnsembleSampler:
         ``checkpoint_path``: if set, a full resumable checkpoint
         (io.checkpoint) is written after every ``checkpoint_every`` chunks —
         crash recovery for long runs (the reference has none, SURVEY.md §5).
-        Mid-run snapshots are self-consistent but, because the store loop
-        pipelines one chunk ahead, a resume replays the in-flight chunk
-        (sampling stays correct; the stored chain differs from an
-        uninterrupted run by that boundary).
+        The store pipeline is drained before each save, so snapshots are
+        exactly consistent (state == chain == counters); saves are atomic.
         """
         self._require_state()
-        if checkpoint_path is not None:
-            from mcmcpp_tpu.io.checkpoint import save_checkpoint
-
-            user_chunk_action = chunk_action
-            counter = {"n": 0}
-
-            def chunk_action(chain, _p=checkpoint_path, _e=int(checkpoint_every)):
-                counter["n"] += 1
-                if counter["n"] % _e == 0:
-                    save_checkpoint(self, _p)
-                if user_chunk_action is not None:
-                    user_chunk_action(chain)
-
+        if int(n_steps) > (1 << 30):
+            raise ValueError(
+                "split runs over 2^30 steps into multiple run_mcmc calls "
+                "(the int32 step counter is rebased between calls)"
+            )
         self.step_metrics = None
         # keep any single device launch under 2^31 walker-updates so the
         # int32 accept counters cannot overflow before being harvested
@@ -367,6 +381,7 @@ class EnsembleSampler:
                 self.state = run_nostore(self.state, self._step_fn, take)
                 self._harvest_counters()
                 remaining -= take
+            self._maybe_rebase_steps()
             return True
         thin = int(thin) if thin is not None else getattr(self, "_default_thin", 1)
         n_store = int(n_steps) // thin
@@ -389,9 +404,25 @@ class EnsembleSampler:
             return ok
         chunk = min(self._chunk, max(1, max_micro // thin))
         done = 0
+        fetched = 0
         hit_capacity = False
         metric_chunks = []
+        ckpt_every = max(1, int(checkpoint_every))
         pending = None  # chunk k-1's device futures
+
+        def fetch(chunk_data):
+            """Append one chunk's futures to the chain; returns append ok."""
+            nonlocal fetched
+            p_pos, p_logp, p_metrics, p_acc = chunk_data
+            ok = self._append_chain(p_pos, p_logp)
+            self._accepted_host += int(np.asarray(p_acc))
+            if p_metrics is not None:
+                metric_chunks.append(jax.tree.map(np.asarray, p_metrics))
+            if chunk_action is not None:
+                chunk_action(self.chain)
+            fetched += 1
+            return ok
+
         while done < n_store or pending is not None:
             if done < n_store:
                 take = min(chunk, n_store - done)
@@ -405,13 +436,7 @@ class EnsembleSampler:
             else:
                 launched = None
             if pending is not None:
-                p_pos, p_logp, p_metrics, p_acc = pending
-                ok = self._append_chain(p_pos, p_logp)
-                self._accepted_host += int(np.asarray(p_acc))
-                if p_metrics is not None:
-                    metric_chunks.append(jax.tree.map(np.asarray, p_metrics))
-                if chunk_action is not None:
-                    chunk_action(self.chain)
+                ok = fetch(pending)
                 if not ok:
                     hit_capacity = True
                     pending = None
@@ -420,6 +445,19 @@ class EnsembleSampler:
                     if launched is not None:
                         self._accepted_host += int(np.asarray(launched[3]))
                     break
+                if (checkpoint_path is not None
+                        and fetched % ckpt_every == 0):
+                    # drain the in-flight chunk so the snapshot is exactly
+                    # consistent (chain == state == counters), then save
+                    if launched is not None:
+                        ok = fetch(launched)
+                        launched = None
+                        if not ok:
+                            hit_capacity = True
+                            break
+                    from mcmcpp_tpu.io.checkpoint import save_checkpoint
+
+                    save_checkpoint(self, checkpoint_path)
             pending = launched
         if metric_chunks:
             self.step_metrics = jax.tree.map(
@@ -430,6 +468,11 @@ class EnsembleSampler:
         if leftover:
             self.state = run_nostore(self.state, self._step_fn, leftover)
             self._harvest_counters()
+        self._maybe_rebase_steps()
+        if checkpoint_path is not None:
+            from mcmcpp_tpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(self, checkpoint_path)  # final consistent snapshot
         return True
 
     def reset(self):

@@ -178,16 +178,38 @@ class SMCSampler:
         return SMCState(particles, lp, ll, beta_new, log_evidence)
 
     def run(self, max_stages=100):
-        """Anneal β: 0 → 1. Returns self; particles then target the posterior."""
+        """Anneal β: 0 → 1. Returns self; particles then target the posterior.
+
+        Warns (and stops) if the adaptive β step stalls (float32 ulp near a
+        very peaked likelihood) or ``max_stages`` is exhausted before β
+        reaches 1 — check ``state.beta`` before trusting the particles.
+        """
+        import warnings
+
         if self.state is None:
             self.init()
         for _ in range(max_stages):
             if float(self.state.beta) >= 1.0:
                 break
+            beta_before = float(self.state.beta)
             self._key, k = jax.random.split(self._key)
             self.state = self._stage(k, self.state)
             self.n_stages += 1
-            self.beta_ladder.append(float(self.state.beta))
+            beta_now = float(self.state.beta)
+            self.beta_ladder.append(beta_now)
+            if beta_now <= beta_before:
+                warnings.warn(
+                    f"SMC tempering stalled at beta={beta_now:.6g} (ESS "
+                    f"target unreachable within float precision); particles "
+                    f"target the INTERMEDIATE distribution, log_evidence is "
+                    f"partial. Lower target_ess or increase n_particles."
+                )
+                return self
+        if float(self.state.beta) < 1.0:
+            warnings.warn(
+                f"SMC exhausted max_stages={max_stages} at beta="
+                f"{float(self.state.beta):.4g} < 1; increase max_stages."
+            )
         return self
 
     @property

@@ -115,6 +115,8 @@ class ParallelTemperingSampler:
         self._batched_logp = logp_fn if batched else jax.vmap(logp_fn)
         self._key = jax.random.key(seed)
         self._step_key, self._aux_key = jax.random.split(self._key)
+        self._step_epoch = 0
+        self._epoch_key = jax.random.fold_in(self._step_key, 0)
         self.state = None
         self.chain = Chain(
             n_walkers=self.n_walkers, n_params=self.n_params,
@@ -143,7 +145,7 @@ class ParallelTemperingSampler:
         return self
 
     def _step(self, state: PTState) -> PTState:
-        key = jax.random.fold_in(self._step_key, state.step)
+        key = jax.random.fold_in(self._epoch_key, state.step)
         k_red, k_black, k_swap = jax.random.split(key, 3)
 
         def half_update(key, active, lp, other, beta):
@@ -179,12 +181,7 @@ class ParallelTemperingSampler:
         return PTState(red, black, lp_red, lp_black, state.step + 1,
                        swaps_acc, swaps_prop)
 
-    def run_mcmc(self, n_steps, thin=1):
-        """Advance all replicas; store the cold chain every ``thin`` steps."""
-        if self.state is None:
-            raise RuntimeError("call init_ball first")
-        thin = int(thin)
-        n_store = int(n_steps) // thin
+    def _scan_fn(self, n_store, thin):
         fn = self._run_cache.get((n_store, thin))
         if fn is None:
 
@@ -203,15 +200,77 @@ class ParallelTemperingSampler:
 
             fn = jax.jit(scan_run)
             self._run_cache[(n_store, thin)] = fn
-        self.state, (pos, lp) = fn(self.state)
-        self.chain.append(np.asarray(pos), np.asarray(lp))
-        return True
+        return fn
+
+    def _harvest_swaps(self):
+        """Move int32 device swap counters into host ints (overflow-safe)."""
+        self._swaps_acc_host = getattr(self, "_swaps_acc_host",
+                                       np.zeros(self.n_temps - 1, np.int64))
+        self._swaps_prop_host = getattr(self, "_swaps_prop_host",
+                                        np.zeros(self.n_temps - 1, np.int64))
+        self._swaps_acc_host += np.asarray(self.state.swaps_accepted, np.int64)
+        self._swaps_prop_host += np.asarray(self.state.swaps_proposed, np.int64)
+        zero = jnp.zeros((self.n_temps - 1,), jnp.int32)
+        self.state = self.state._replace(
+            swaps_accepted=zero, swaps_proposed=zero
+        )
+
+    def run_mcmc(self, n_steps, thin=1):
+        """Advance all replicas; store the cold chain every ``thin`` steps.
+
+        Returns False if the cold chain hit its byte capacity (further
+        stores are skipped, ≙ EndOfChain), else True. Leftover
+        ``n_steps % thin`` steps still advance the replicas unstored.
+        """
+        if self.state is None:
+            raise RuntimeError("call init_ball first")
+        if int(n_steps) > (1 << 30):
+            raise ValueError("split runs over 2^30 steps into multiple calls")
+        thin = int(thin)
+        n_store = int(n_steps) // thin
+        leftover = int(n_steps) - n_store * thin
+        # bound the scan's device output to ~64 MiB per chunk
+        row = self.n_walkers * (self.n_params + 1) * jnp.dtype(self.dtype).itemsize
+        chunk = max(1, (64 << 20) // max(row, 1))
+        done = 0
+        ok = True
+        while done < n_store:
+            take = min(chunk, n_store - done)
+            self.state, (pos, lp) = self._scan_fn(take, thin)(self.state)
+            done += take
+            if not self.chain.append(np.asarray(pos), np.asarray(lp)):
+                ok = False
+                break
+        if leftover:
+            fn = self._run_cache.get(("leftover", leftover))
+            if fn is None:
+                fn = jax.jit(
+                    lambda s, t=leftover: jax.lax.fori_loop(
+                        0, t, lambda i, x: self._step(x), s
+                    )
+                )
+                self._run_cache[("leftover", leftover)] = fn
+            self.state = fn(self.state)
+        self._harvest_swaps()
+        # rotate the key epoch before the int32 step counter can wrap
+        if int(self.state.step) >= (1 << 30):
+            self._step_epoch += 1
+            self._epoch_key = jax.random.fold_in(
+                self._step_key, self._step_epoch
+            )
+            self.state = self.state._replace(step=jnp.zeros((), jnp.int32))
+            self._run_cache.clear()  # cached scans captured the old key
+        return ok
 
     @property
     def swap_acceptance(self):
         """Per-ladder-pair swap acceptance rates, (K-1,)."""
-        prop = np.asarray(self.state.swaps_proposed, np.float64)
-        acc = np.asarray(self.state.swaps_accepted, np.float64)
+        prop = (getattr(self, "_swaps_prop_host", 0)
+                + np.asarray(self.state.swaps_proposed, np.int64)).astype(
+                    np.float64)
+        acc = (getattr(self, "_swaps_acc_host", 0)
+               + np.asarray(self.state.swaps_accepted, np.int64)).astype(
+                   np.float64)
         return np.where(prop > 0, acc / np.maximum(prop, 1), 0.0)
 
     def get_samples(self, burn_in=0, thin=1, flat=False):
