@@ -4,7 +4,7 @@ from mcmcpp_tpu.analysis.autocorr import autocorr_time, normalized_autocov
 from mcmcpp_tpu.analysis.covariance import covariance_matrix, correlation_matrix
 from mcmcpp_tpu.analysis.histograms import CornerHistograms
 from mcmcpp_tpu.analysis.percentiles import PercentileAndMaximumFinder
-from mcmcpp_tpu.analysis.ess import effective_sample_size
+from mcmcpp_tpu.analysis.ess import batch_means_ess, effective_sample_size
 from mcmcpp_tpu.analysis.diagnostics import (
     potential_scale_reduction,
     mcse_mean,
@@ -12,6 +12,7 @@ from mcmcpp_tpu.analysis.diagnostics import (
 )
 
 __all__ = [
+    "batch_means_ess",
     "potential_scale_reduction",
     "mcse_mean",
     "summary",

@@ -1,0 +1,80 @@
+"""Goodness-of-fit (KS) tests per mover + batch-means ESS validation.
+
+Stronger than moment checks: the full marginal CDFs must match analytic
+truth. Thinning by ~ACT before the KS test keeps samples ~independent.
+"""
+
+import numpy as np
+import jax
+from scipy import stats
+import pytest
+
+from mcmcpp_tpu import (
+    AutoRegressiveMove, DifferentialEvolutionMove, EnsembleSampler,
+    NUTSSampler, StretchMove, WalkMove, analysis,
+)
+
+from tests.targets import skewed_gaussian_logp, EPSILON
+
+
+def _marginal_sds():
+    # skewed-Gaussian true covariance diag: 1+eps, (1+eps)/4
+    return np.sqrt([1 + EPSILON, (1 + EPSILON) / 4])
+
+
+@pytest.mark.parametrize("mover", [
+    StretchMove(), WalkMove(n_samples=6), DifferentialEvolutionMove(),
+])
+def test_ks_marginals(mover):
+    s = EnsembleSampler(skewed_gaussian_logp, n_walkers=256, n_params=2,
+                        seed=3, mover=mover)
+    s.init_ball(np.zeros(2), scale=0.5, seed=4)
+    s.run_mcmc(500, store=False)
+    s.run_mcmc(4000, thin=20)  # thin ≳ ACT -> ~independent draws
+    flat = s.get_samples(flat=True)
+    sds = _marginal_sds()
+    for i in range(2):
+        # subsample to keep KS power reasonable vs residual correlation
+        x = flat[::8, i]
+        p = stats.kstest(x, "norm", args=(0.0, sds[i])).pvalue
+        assert p > 1e-3, f"param {i}: KS p={p}"
+
+
+def test_ks_nuts_standard_normal():
+    s = NUTSSampler(lambda t: -0.5 * (t @ t), n_chains=32, n_params=2, seed=5)
+    s.init_ball(np.zeros(2), scale=1.0, seed=6)
+    s.warmup(300)
+    s.run(2000, thin=5)
+    flat = s.get_samples(burn_in=50, flat=True)
+    for i in range(2):
+        p = stats.kstest(flat[::16, i], "norm").pvalue
+        assert p > 1e-3
+
+
+def test_batch_means_ess_matches_fft_on_ar1():
+    """Both ESS estimators must agree on the AR(1) oracle."""
+    phis = np.array([0.8])
+    mover = AutoRegressiveMove(np.zeros(1), phis, np.ones(1))
+    s = EnsembleSampler(lambda t: 0.0, n_walkers=64, n_params=1, seed=0,
+                        mover=mover)
+    s.set_initial_walker_pos(mover.initial_positions(jax.random.key(1), 64))
+    s.run_mcmc(16384)
+    samples = s.get_samples()
+    ess_fft = analysis.effective_sample_size(samples)[0]
+    ess_bm = analysis.batch_means_ess(samples, n_batches=64)[0]
+    true_ess = 16384 * 64 / 9.0  # tau = (1+phi)/(1-phi) = 9
+    assert ess_fft == pytest.approx(true_ess, rel=0.15)
+    assert ess_bm == pytest.approx(true_ess, rel=0.25)
+
+
+def test_batch_means_ess_iid_upper_bound():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2048, 16, 2))
+    ess = analysis.batch_means_ess(x)
+    n = 2048 // 32 * 32 * 16
+    assert np.all(ess > 0.5 * n) and np.all(ess <= n)
+
+
+def test_batch_means_ess_too_short():
+    with pytest.raises(ValueError):
+        analysis.batch_means_ess(np.zeros((16, 4, 1)), n_batches=32)
