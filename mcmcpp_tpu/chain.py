@@ -21,6 +21,16 @@ path is the always-available fallback with identical semantics.
 import numpy as np
 
 
+def default_chunk_steps(n_rows, n_params, dtype, budget_bytes=64 << 20):
+    """Steps per device->host chunk bounding scan output to ~budget_bytes.
+
+    One stored step costs n_rows·(n_params+1)·itemsize (positions + logp);
+    shared by the ensemble, gradient, and tempering drivers.
+    """
+    row = int(n_rows) * (int(n_params) + 1) * np.dtype(dtype).itemsize
+    return max(1, int(budget_bytes) // max(row, 1))
+
+
 class Chain:
     """Append-only (step, walker, param) store with byte capacity.
 

@@ -243,9 +243,9 @@ class Model:
     def param(self, name, dist, shape=()):
         if any(n == name for n, *_ in self._params):
             raise ValueError(f"duplicate parameter {name!r}")
-        shape = tuple(int(s) for s in (
-            shape if isinstance(shape, (tuple, list)) else (shape,)
-        )) if shape != () else ()
+        if not isinstance(shape, (tuple, list)):
+            shape = (shape,)
+        shape = tuple(int(s) for s in shape)
         size = int(np.prod(shape)) if shape else 1
         self._params.append((name, dist, shape, size))
         return self

@@ -203,12 +203,9 @@ class GradientSampler:
     def _constrain(self, state):
         if self._chain_sharding is None:
             return state
-        from jax.sharding import NamedSharding, PartitionSpec
+        from mcmcpp_tpu.parallel.mesh import vector_sharding
 
-        vec = NamedSharding(
-            self._chain_sharding.mesh,
-            PartitionSpec(self._chain_sharding.spec[0]),
-        )
+        vec = vector_sharding(self._chain_sharding)
         c = lambda x: jax.lax.with_sharding_constraint(x, self._chain_sharding)
         v = lambda x: jax.lax.with_sharding_constraint(x, vec)
         return HMCState(c(state.position), v(state.logp), c(state.grad))
@@ -319,8 +316,9 @@ class GradientSampler:
     def _store_chunk_steps(self):
         """Bound each scan's device-side output to ~64 MiB (like the
         ensemble sampler's store_chunk_steps)."""
-        row = self.n_chains * (self.n_params + 1) * jnp.dtype(self.dtype).itemsize
-        return max(1, (64 << 20) // max(row, 1))
+        from mcmcpp_tpu.chain import default_chunk_steps
+
+        return default_chunk_steps(self.n_chains, self.n_params, self.dtype)
 
     def run(self, n_steps, thin=1):
         """Sample ``n_steps`` post-warmup transitions, storing every thin-th.

@@ -40,5 +40,12 @@ def walker_sharding(mesh):
     return NamedSharding(mesh, PartitionSpec(WALKER_AXES, None))
 
 
+def vector_sharding(matrix_sharding):
+    """The (N,)-vector sharding matching a (N, P) walker sharding's rows."""
+    return NamedSharding(
+        matrix_sharding.mesh, PartitionSpec(matrix_sharding.spec[0])
+    )
+
+
 def replicated(mesh):
     return NamedSharding(mesh, PartitionSpec())

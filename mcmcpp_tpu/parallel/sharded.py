@@ -26,11 +26,9 @@ from mcmcpp_tpu.parallel.mesh import make_walker_mesh, walker_sharding, replicat
 
 def constrain_state(state: EnsembleState, half_sharding, rep) -> EnsembleState:
     """Pin ensemble halves to the walker sharding, scalars replicated."""
-    from jax.sharding import NamedSharding, PartitionSpec
+    from mcmcpp_tpu.parallel.mesh import vector_sharding
 
-    vec_sharding = NamedSharding(
-        half_sharding.mesh, PartitionSpec(half_sharding.spec[0])
-    )
+    vec_sharding = vector_sharding(half_sharding)
     c = lambda x: jax.lax.with_sharding_constraint(x, half_sharding)
     v = lambda x: jax.lax.with_sharding_constraint(x, vec_sharding)
     r = lambda x: jax.lax.with_sharding_constraint(x, rep)

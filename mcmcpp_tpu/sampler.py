@@ -28,15 +28,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mcmcpp_tpu.chain import Chain
+from mcmcpp_tpu.chain import Chain, default_chunk_steps
 from mcmcpp_tpu.movers.base import Mover
 from mcmcpp_tpu.movers.stretch import StretchMove
 
 
 class EnsembleState(NamedTuple):
     """Carry for the sampling scan. ``red``/``black``: (W/2, P);
-    ``logp_*``: (W/2,); ``accepted``: (2,) int64 accept totals (red, black);
-    ``step``: global step counter (drives key folding)."""
+    ``logp_*``: (W/2,); ``accepted``: (2,) int32 accept totals (red, black),
+    harvested to host accumulators per chunk; ``step``: global step counter
+    (drives key folding, epoch-rebased before it can wrap)."""
 
     red: jax.Array
     black: jax.Array
@@ -222,8 +223,9 @@ class EnsembleSampler:
         self._rebuild_step_fn()
         if store_chunk_steps is None:
             # bound device-side scan output to ~64 MiB per chunk
-            row_bytes = self.n_walkers * (self.n_params + 1) * jnp.dtype(dtype).itemsize
-            store_chunk_steps = max(1, (64 << 20) // max(row_bytes, 1))
+            store_chunk_steps = default_chunk_steps(
+                self.n_walkers, self.n_params, dtype
+            )
         self._chunk = int(store_chunk_steps)
 
     # -- setup -----------------------------------------------------------

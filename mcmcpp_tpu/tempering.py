@@ -14,14 +14,13 @@ in alternating even/odd pair phases (the red/black idea applied to the
 ladder). Samples are read from the β = 1 replica.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mcmcpp_tpu.chain import Chain
+from mcmcpp_tpu.chain import Chain, default_chunk_steps
 from mcmcpp_tpu.movers.stretch import StretchMove
 
 
@@ -124,6 +123,8 @@ class ParallelTemperingSampler:
             dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
         )
         self._run_cache = {}
+        self._swaps_acc_host = np.zeros(self.n_temps - 1, np.int64)
+        self._swaps_prop_host = np.zeros(self.n_temps - 1, np.int64)
 
     def init_ball(self, center, scale=1e-2, seed=None):
         key = self._aux_key if seed is None else jax.random.key(seed)
@@ -204,10 +205,6 @@ class ParallelTemperingSampler:
 
     def _harvest_swaps(self):
         """Move int32 device swap counters into host ints (overflow-safe)."""
-        self._swaps_acc_host = getattr(self, "_swaps_acc_host",
-                                       np.zeros(self.n_temps - 1, np.int64))
-        self._swaps_prop_host = getattr(self, "_swaps_prop_host",
-                                        np.zeros(self.n_temps - 1, np.int64))
         self._swaps_acc_host += np.asarray(self.state.swaps_accepted, np.int64)
         self._swaps_prop_host += np.asarray(self.state.swaps_proposed, np.int64)
         zero = jnp.zeros((self.n_temps - 1,), jnp.int32)
@@ -230,8 +227,7 @@ class ParallelTemperingSampler:
         n_store = int(n_steps) // thin
         leftover = int(n_steps) - n_store * thin
         # bound the scan's device output to ~64 MiB per chunk
-        row = self.n_walkers * (self.n_params + 1) * jnp.dtype(self.dtype).itemsize
-        chunk = max(1, (64 << 20) // max(row, 1))
+        chunk = default_chunk_steps(self.n_walkers, self.n_params, self.dtype)
         done = 0
         ok = True
         while done < n_store:
@@ -265,10 +261,10 @@ class ParallelTemperingSampler:
     @property
     def swap_acceptance(self):
         """Per-ladder-pair swap acceptance rates, (K-1,)."""
-        prop = (getattr(self, "_swaps_prop_host", 0)
+        prop = (self._swaps_prop_host
                 + np.asarray(self.state.swaps_proposed, np.int64)).astype(
                     np.float64)
-        acc = (getattr(self, "_swaps_acc_host", 0)
+        acc = (self._swaps_acc_host
                + np.asarray(self.state.swaps_accepted, np.int64)).astype(
                    np.float64)
         return np.where(prop > 0, acc / np.maximum(prop, 1), 0.0)
