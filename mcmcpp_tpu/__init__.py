@@ -14,6 +14,7 @@ MCMCpp/EnsembleSampler.h:89-176, in idiomatic JAX form).
 from mcmcpp_tpu.sampler import EnsembleSampler, EnsembleState, sample_ball
 from mcmcpp_tpu.chain import Chain
 from mcmcpp_tpu.movers import (
+    MixtureMover,
     StretchMove,
     WalkMove,
     DifferentialEvolutionMove,
@@ -45,6 +46,7 @@ __all__ = [
     "WalkMove",
     "DifferentialEvolutionMove",
     "MetropolisHastingsMove",
+    "MixtureMover",
     "AutoRegressiveMove",
     "SequenceMove",
     "analysis",

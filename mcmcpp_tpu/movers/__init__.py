@@ -6,6 +6,7 @@ from mcmcpp_tpu.movers.walk import WalkMove
 from mcmcpp_tpu.movers.de import DifferentialEvolutionMove
 from mcmcpp_tpu.movers.mh import MetropolisHastingsMove
 from mcmcpp_tpu.movers.diagnostic import AutoRegressiveMove, SequenceMove
+from mcmcpp_tpu.movers.mixture import MixtureMover
 
 __all__ = [
     "Mover",
@@ -13,6 +14,7 @@ __all__ = [
     "WalkMove",
     "DifferentialEvolutionMove",
     "MetropolisHastingsMove",
+    "MixtureMover",
     "AutoRegressiveMove",
     "SequenceMove",
 ]

@@ -258,6 +258,38 @@ class ParallelTemperingSampler:
             self._run_cache.clear()  # cached scans captured the old key
         return ok
 
+    def tune_ladder(self, n_blocks=10, block_steps=100, target=0.4,
+                    eta=0.6, min_rate=0.02):
+        """Adapt the β ladder toward uniform swap acceptance ≈ ``target``.
+
+        Multiplicative log-spacing updates per block (a simplified
+        Vousden-et-al.-style scheme): pairs swapping too often move apart,
+        pairs swapping too rarely move together; β[0] stays 1. Call before
+        production sampling (the chain is cleared afterwards). Returns self.
+        """
+        if self.state is None:
+            raise RuntimeError("call init_ball first")
+        log_gaps = -np.diff(np.log(np.asarray(self.betas, np.float64)))
+        for _ in range(int(n_blocks)):
+            before_acc = self._swaps_acc_host.copy()
+            before_prop = self._swaps_prop_host.copy()
+            self.run_mcmc(int(block_steps), thin=int(block_steps))
+            d_acc = self._swaps_acc_host - before_acc
+            d_prop = np.maximum(self._swaps_prop_host - before_prop, 1)
+            rates = np.maximum(d_acc / d_prop, min_rate)
+            # too-frequent swaps -> widen the gap; too-rare -> shrink it
+            log_gaps = log_gaps * (rates / target) ** eta
+            log_gaps = np.clip(log_gaps, 1e-3, 10.0)
+            self.betas = jnp.asarray(
+                np.exp(-np.concatenate([[0.0], np.cumsum(log_gaps)])),
+                self.dtype,
+            )
+            self._run_cache.clear()  # cached scans captured the old ladder
+        self.chain.clear()
+        self._swaps_acc_host[:] = 0
+        self._swaps_prop_host[:] = 0
+        return self
+
     @property
     def swap_acceptance(self):
         """Per-ladder-pair swap acceptance rates, (K-1,)."""

@@ -91,3 +91,29 @@ class TestMetropolisHastings:
         with pytest.warns(UserWarning, match="symmetric"):
             m = MetropolisHastingsMove(covariance=np.array([[1.0, 0.5], [0.2, 1.0]]))
         assert m.fell_back_to_identity
+
+
+class TestMixtureMover:
+    def test_moments(self):
+        from mcmcpp_tpu import MixtureMover, DifferentialEvolutionMove
+
+        mover = MixtureMover([
+            (StretchMove(), 2.0),
+            (DifferentialEvolutionMove(), 1.0),
+            (WalkMove(n_samples=4), 1.0),
+        ])
+        s = run_mover(mover, n_steps=6000)
+        check_moments(s, atol=0.15)
+        assert 0.2 < s.acceptance_fraction < 0.95
+
+    def test_validation(self):
+        from mcmcpp_tpu import MixtureMover, AutoRegressiveMove
+        import numpy as _np
+
+        with pytest.raises(ValueError):
+            MixtureMover([])
+        with pytest.raises(ValueError):
+            MixtureMover([(StretchMove(), -1.0)])
+        with pytest.raises(ValueError):
+            MixtureMover([AutoRegressiveMove(_np.zeros(1), _np.zeros(1),
+                                             _np.ones(1))])

@@ -58,3 +58,26 @@ def test_tempering_mixes_separated_modes():
     frac_right = (flat > 0).mean()
     assert 0.2 < frac_right < 0.8  # both modes populated
     np.testing.assert_allclose(flat.mean(), 0.0, atol=1.6)
+
+
+def test_ladder_tuning_equalizes_swap_rates():
+    """Start with a badly spaced ladder; tuning must pull pairwise swap
+    rates toward the target band and keep beta[0] == 1, monotone."""
+    bad_betas = [1.0, 0.9, 0.8, 0.001]  # tiny gaps up top, a cliff below
+    s = ParallelTemperingSampler(
+        skewed_gaussian_logp, n_walkers=64, n_params=2, betas=bad_betas,
+        seed=3, swap_every=1,
+    )
+    s.init_ball(np.zeros(2), scale=0.5)
+    s.run_mcmc(200, thin=200)
+    rates_before = s.swap_acceptance.copy()
+    s.tune_ladder(n_blocks=8, block_steps=100, target=0.4)
+    b = np.asarray(s.betas, np.float64)
+    assert b[0] == 1.0 and np.all(np.diff(b) < 0)
+    s.run_mcmc(400, thin=4)
+    rates_after = s.swap_acceptance
+    # the cliff pair must have improved toward the target
+    assert rates_after[-1] > rates_before[-1] + 0.1
+    assert np.all(rates_after > 0.1)
+    # and the spread of rates tightened
+    assert rates_after.std() < max(rates_before.std(), 0.3)
