@@ -32,3 +32,13 @@ def test_distributed_single_host():
     x = jax.numpy.arange(8.0)
     out = distributed.process_allgather(x)
     np.testing.assert_array_equal(np.asarray(out).ravel()[:8], np.arange(8.0))
+
+
+def test_trace_profile_writes_trace(tmp_path):
+    from mcmcpp_tpu.utils import trace_profile
+    import jax.numpy as jnp
+
+    with trace_profile(tmp_path):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    written = list(tmp_path.rglob("*"))
+    assert written, "profiler produced no trace files"
