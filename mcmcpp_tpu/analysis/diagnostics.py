@@ -77,8 +77,8 @@ def summary(samples, prob=0.9):
         "mean": flat.mean(axis=0),
         "sd": flat.std(axis=0, ddof=1),
         "median": np.median(flat, axis=0),
-        f"q{round(lo_q * 100)}": np.quantile(flat, lo_q, axis=0),
-        f"q{round(hi_q * 100)}": np.quantile(flat, hi_q, axis=0),
+        f"q{round(lo_q * 100, 6):g}": np.quantile(flat, lo_q, axis=0),
+        f"q{round(hi_q * 100, 6):g}": np.quantile(flat, hi_q, axis=0),
         "ess": ess,
         "rhat": potential_scale_reduction(arr),
         "mcse": mcse_mean(arr, ess=ess),

@@ -12,6 +12,15 @@ import os
 import numpy as np
 
 
+def padded_range(lo, hi):
+    """Widen a degenerate [lo, hi] observation range (≙ the reference's
+    degeneracy guards, CornerHistograms.h:316-371)."""
+    if hi <= lo:
+        pad = 0.5 if lo == 0.0 else abs(lo) * 0.05
+        return lo - pad, hi + pad
+    return lo, hi
+
+
 class CornerHistograms:
     """Compute & hold the full corner set for (S, W, P) or (N, P) samples."""
 
@@ -29,10 +38,9 @@ class CornerHistograms:
         self.n_params = p
         edges = []
         for i in range(p):
-            lo, hi = float(arr[:, i].min()), float(arr[:, i].max())
-            if hi <= lo:  # degenerate parameter: widen (≙ :316-371 guards)
-                pad = 0.5 if lo == 0.0 else abs(lo) * 0.05
-                lo, hi = lo - pad, hi + pad
+            lo, hi = padded_range(
+                float(arr[:, i].min()), float(arr[:, i].max())
+            )
             edges.append(np.linspace(lo, hi, self.n_bins + 1))
         self.hist1d = [
             (np.histogram(arr[:, i], bins=edges[i])[0], edges[i]) for i in range(p)
@@ -62,4 +70,12 @@ class CornerHistograms:
         for (i, j), (counts, xe, ye) in self.hist2d.items():
             path = os.path.join(directory, f"{prefix}_2d_p{i}_p{j}.csv")
             np.savetxt(path, counts, delimiter=",")
+            # axes are unrecoverable from bare counts: save the edges too
+            np.savetxt(
+                os.path.join(directory, f"{prefix}_2d_p{i}_p{j}_edges.csv"),
+                np.column_stack([xe, ye]),
+                delimiter=",",
+                header="xedges,yedges",
+                comments="",
+            )
         return directory

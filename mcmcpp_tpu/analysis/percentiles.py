@@ -12,6 +12,8 @@ import os
 
 import numpy as np
 
+from mcmcpp_tpu.analysis.histograms import padded_range
+
 
 class PercentileAndMaximumFinder:
     def __init__(self, n_bins=4096):
@@ -33,10 +35,9 @@ class PercentileAndMaximumFinder:
         self.edges = np.empty((p, self.n_bins + 1))
         self.cum = np.empty((p, self.n_bins))
         for i in range(p):
-            lo, hi = float(arr[:, i].min()), float(arr[:, i].max())
-            if hi <= lo:
-                pad = 0.5 if lo == 0.0 else abs(lo) * 0.05
-                lo, hi = lo - pad, hi + pad
+            lo, hi = padded_range(
+                float(arr[:, i].min()), float(arr[:, i].max())
+            )
             c, e = np.histogram(arr[:, i], bins=self.n_bins, range=(lo, hi))
             self.counts[i] = c
             self.edges[i] = e

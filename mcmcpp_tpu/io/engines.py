@@ -26,6 +26,11 @@ class _EngineBase:
     def close(self):
         self._open = False
 
+    def abort(self):
+        """Close WITHOUT finalizing (no archive/manifest written); used by
+        DataWriter when the managed body raised."""
+        self._open = False
+
     def __enter__(self):
         return self.open()
 
@@ -93,6 +98,9 @@ class NpzEngine(_EngineBase):
     """Single compressed ``.npz`` archive holding every output."""
 
     def open(self):
+        if self.path.suffix != ".npz":
+            # np.savez appends .npz itself; keep self.path == the real file
+            self.path = self.path.with_name(self.path.name + ".npz")
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._arrays = {}
         self._meta = {}
@@ -129,9 +137,19 @@ class Hdf5Engine(_EngineBase):
         self._h5 = h5py.File(self.path, "w")
         return super().open()
 
+    def abort(self):
+        if self._open:
+            self._h5.close()
+            self.path.unlink(missing_ok=True)  # file was created at open()
+        super().abort()
+
     def write(self, name, array, meta=None):
         ds = self._h5.create_dataset(name, data=np.asarray(array))
         for k, v in (meta or {}).items():
+            # h5py attrs accept scalars/strings only; JSON-encode the rest
+            # so every engine tolerates the same meta values
+            if v is None or isinstance(v, (dict, list, tuple)):
+                v = json.dumps(v)
             ds.attrs[k] = v
         return self.path
 

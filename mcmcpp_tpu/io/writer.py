@@ -21,13 +21,8 @@ class DataWriter:
             self._pending.append(output_or_name)
         else:
             from mcmcpp_tpu.io.outputs import MatrixOutput
-            import numpy as np
 
-            arr = np.asarray(array)
-            out = MatrixOutput(output_or_name, np.atleast_2d(arr), meta)
-            # preserve the original rank for raw adds
-            out.matrix = arr
-            self._pending.append(out)
+            self._pending.append(MatrixOutput(output_or_name, array, meta))
         return self
 
     def flush(self):
@@ -41,7 +36,13 @@ class DataWriter:
         self.engine.open()
         return self
 
-    def __exit__(self, *exc):
-        self.flush()
-        self.engine.close()
+    def __exit__(self, exc_type, exc, tb):
+        # transactional: when the body raised, discard pending outputs and
+        # abort the engine so no partial/empty artifact is finalized
+        if exc_type is None:
+            self.flush()
+            self.engine.close()
+        else:
+            self._pending.clear()
+            self.engine.abort()
         return False

@@ -25,7 +25,13 @@ class FusedStretchMove(Mover):
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
 
-    def update_half(self, key, active, active_logp, other, logp_fn, state):
+    def update_half(self, key, active, active_logp, other, logp_fn, state,
+                    beta=1.0):
+        if not (isinstance(beta, (int, float)) and float(beta) == 1.0):
+            raise NotImplementedError(
+                "FusedStretchMove does not support tempered acceptance "
+                "(beta != 1); use StretchMove for parallel tempering"
+            )
         return fused_stretch_half(
             key, active, active_logp, other,
             a=self.a, logp_fn=logp_fn, tile=self.tile,

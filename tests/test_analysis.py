@@ -128,7 +128,9 @@ class TestHistograms:
 
         files = os.listdir(out)
         assert len([f for f in files if "_1d_" in f]) == 3
-        assert len([f for f in files if "_2d_" in f]) == 3
+        assert len([f for f in files if "_2d_" in f and "edges" not in f]) == 3
+        # 2-D histograms also persist their bin edges (axes recoverable)
+        assert len([f for f in files if "_2d_" in f and "edges" in f]) == 3
 
     def test_degenerate_param(self):
         x = np.zeros((100, 2))

@@ -143,3 +143,19 @@ def test_readme_quickstart_flow():
     assert np.all(tau > 0)
     summ = _an.summary(s.get_samples())
     assert np.all(summ["rhat"] < 1.1)
+
+
+def test_writer_aborts_on_exception(tmp_path):
+    """Body raising inside `with DataWriter(...)` must not finalize ANY
+    artifact (no empty .npz, no manifest, no stale .h5)."""
+    h5py = pytest.importorskip("h5py", reason="hdf5 abort path needs h5py")
+    for engine, artifact in [
+        (NpzEngine(tmp_path / "t"), tmp_path / "t.npz"),
+        (BinaryEngine(tmp_path / "bin"), tmp_path / "bin" / "manifest.json"),
+        (Hdf5Engine(tmp_path / "t.h5"), tmp_path / "t.h5"),
+    ]:
+        with pytest.raises(RuntimeError, match="boom"):
+            with DataWriter(engine) as w:
+                w.add("x", np.ones(3))
+                raise RuntimeError("boom")
+        assert not artifact.exists(), artifact
