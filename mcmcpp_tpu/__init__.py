@@ -29,7 +29,9 @@ from mcmcpp_tpu import ops
 from mcmcpp_tpu import parallel
 from mcmcpp_tpu.parallel import ShardedEnsembleSampler, make_walker_mesh
 from mcmcpp_tpu import gradient
-from mcmcpp_tpu.gradient import HMCSampler, MALASampler, NUTSSampler
+from mcmcpp_tpu.gradient import (
+    CheesHMCSampler, HMCSampler, MALASampler, NUTSSampler,
+)
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
@@ -55,6 +57,7 @@ __all__ = [
     "ops",
     "parallel",
     "gradient",
+    "CheesHMCSampler",
     "HMCSampler",
     "MALASampler",
     "NUTSSampler",

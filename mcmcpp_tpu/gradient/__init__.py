@@ -9,11 +9,14 @@ iterative multinomial NUTS, and MALA, all vmapped over many chains so the
 chain axis shards over the device mesh exactly like walker ensembles.
 """
 
+from mcmcpp_tpu.gradient.chees import CheesHMCSampler, chees_batch_step
 from mcmcpp_tpu.gradient.hmc import HMCSampler, hmc_kernel
 from mcmcpp_tpu.gradient.mala import MALASampler, mala_kernel
 from mcmcpp_tpu.gradient.nuts import NUTSSampler, nuts_kernel
 
 __all__ = [
+    "CheesHMCSampler",
+    "chees_batch_step",
     "HMCSampler",
     "hmc_kernel",
     "MALASampler",

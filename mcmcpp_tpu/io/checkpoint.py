@@ -83,6 +83,9 @@ def save_checkpoint(sampler, path):
             n_chains=sampler.n_chains,
             prng_impl=_key_impl_name(sampler._key),
         )
+        # ChEES-HMC carries an adapted trajectory length
+        if getattr(sampler, "traj_length", None) is not None:
+            meta["traj_length"] = float(sampler.traj_length)
         s = sampler.state
         arrays.update(
             position=np.asarray(s.position), logp=np.asarray(s.logp),
@@ -161,6 +164,10 @@ def load_checkpoint(sampler, path):
         step_size = jnp.asarray(arrays["step_size"])
         sampler.step_size = float(step_size) if step_size.ndim == 0 else step_size
         sampler.inv_mass = jnp.asarray(arrays["inv_mass"])
+        if "traj_length" in meta and hasattr(sampler, "traj_length"):
+            sampler.traj_length = float(meta["traj_length"])
+            # ChEES run programs bake the trajectory length in at trace time
+            sampler._run_cache.clear()
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:

@@ -9,7 +9,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from mcmcpp_tpu.gradient import HMCSampler, MALASampler, NUTSSampler
+from mcmcpp_tpu.gradient import (
+    CheesHMCSampler, HMCSampler, MALASampler, NUTSSampler,
+)
+from mcmcpp_tpu.gradient.chees import halton2
 
 from tests.targets import correlated_gaussian_logp_factory
 
@@ -36,6 +39,7 @@ def _run(cls, seed=0, warmup=300, steps=1500, **kw):
     (HMCSampler, {"n_leapfrog": 12}),
     (MALASampler, {}),
     (NUTSSampler, {"max_depth": 8}),
+    (CheesHMCSampler, {}),
 ])
 def test_moments(cls, kw):
     s, cov = _run(cls, **kw)
@@ -84,3 +88,58 @@ def test_deterministic_given_seed():
     s1, _ = _run(HMCSampler, seed=9, warmup=50, steps=100, n_leapfrog=8)
     s2, _ = _run(HMCSampler, seed=9, warmup=50, steps=100, n_leapfrog=8)
     np.testing.assert_array_equal(s1.get_samples(), s2.get_samples())
+
+
+# -- ChEES-HMC specifics ------------------------------------------------------
+
+
+def test_halton_low_discrepancy():
+    """Base-2 van der Corput: any prefix of length 2^k hits each of the 2^k
+    uniform bins exactly once (the defining property)."""
+    u = np.asarray(halton2(jnp.arange(64, dtype=jnp.int32)))
+    assert np.all((u > 0) & (u < 1))
+    for k in (8, 16, 32, 64):
+        bins = np.floor(u[:k] * k).astype(int)
+        assert sorted(bins) == list(range(k)), (k, sorted(bins))
+
+
+def test_chees_trajectory_adapts_up_for_wide_target():
+    """Unwhitened anisotropic Gaussian (mass adaptation off): optimal
+    trajectory ~ (pi/2)*sigma_max >> one step, so adapted T must grow to
+    several leapfrog steps (cf. Hoffman et al. 2021 fig. 2)."""
+    scales = jnp.linspace(1.0, 5.0, 8)
+
+    def logp(t):
+        return -0.5 * jnp.sum((t / scales) ** 2)
+
+    s = CheesHMCSampler(logp, n_chains=64, n_params=8, seed=3, step_size=0.1)
+    s.init_ball(np.zeros(8), scale=1.0, seed=4)
+    s.warmup(600, adapt_mass=False)
+    eps = float(np.asarray(s.step_size))
+    assert s.traj_length > 2 * eps, (s.traj_length, eps)
+    assert 2.0 < s.traj_length < 25.0, s.traj_length
+    s.run(800)
+    flat = s.get_samples(flat=True)
+    np.testing.assert_allclose(
+        flat.std(axis=0), np.asarray(scales), rtol=0.15
+    )
+
+
+def test_chees_deterministic_given_seed():
+    s1, _ = _run(CheesHMCSampler, seed=11, warmup=60, steps=100)
+    s2, _ = _run(CheesHMCSampler, seed=11, warmup=60, steps=100)
+    assert s1.traj_length == s2.traj_length
+    np.testing.assert_array_equal(s1.get_samples(), s2.get_samples())
+
+
+def test_chees_rewarmup_invalidates_run_cache():
+    """run() programs bake the trajectory length in at trace time; a second
+    warmup must not leave stale compiled programs behind."""
+    logp, _ = _target()
+    s = CheesHMCSampler(logp, n_chains=8, n_params=DIM, seed=7)
+    s.init_ball(np.zeros(DIM), scale=1.0, seed=8)
+    s.warmup(40)
+    s.run(20)
+    assert s._run_cache
+    s.warmup(40)
+    assert not s._run_cache
