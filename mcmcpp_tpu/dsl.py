@@ -229,25 +229,83 @@ class Model:
     """Named parameters with priors + a likelihood over them.
 
     ``param(name, dist, shape=())`` declares a parameter block;
-    ``likelihood(fn)`` takes ``fn(params: dict) -> scalar log-likelihood``
-    (omit for prior-only models). ``build()`` compiles to
-    ``(logp, dim, constrain)``: flat unconstrained logp for any sampler,
-    total dimension, and a vectorized map from flat draws back to named
-    constrained values.
+    ``plate(name, size)`` names a broadcast axis so hierarchical models read
+    declaratively (``param("theta", Normal(0, 1), plate="schools")``);
+    ``deterministic(name, fn)`` records a derived quantity computed from
+    earlier params/deterministics, visible to the likelihood and returned
+    by ``constrain``; ``observe(name, dist_fn, data)`` declares observed
+    data whose log-density joins the posterior AND enables automatic
+    posterior-predictive simulation; ``likelihood(fn)`` takes
+    ``fn(params: dict) -> scalar log-likelihood`` for black-box terms
+    (both may be used together; omit both for prior-only models).
+    ``build()`` compiles to ``(logp, dim, constrain)``: flat unconstrained
+    logp for any sampler, total dimension, and a vectorized map from flat
+    draws back to named constrained values (deterministics included).
     """
 
     def __init__(self):
         self._params = []  # (name, dist, shape, size)
+        self._deterministics = []  # (name, fn)
+        self._observes = []  # (name, dist_fn, data)
+        self._plates = {}  # name -> size
         self._loglike = None
 
-    def param(self, name, dist, shape=()):
-        if any(n == name for n, *_ in self._params):
-            raise ValueError(f"duplicate parameter {name!r}")
+    def _check_name(self, name):
+        taken = (
+            {n for n, *_ in self._params}
+            | {n for n, _ in self._deterministics}
+            | {n for n, *_ in self._observes}
+        )
+        if name in taken:
+            raise ValueError(f"duplicate name {name!r}")
+
+    def plate(self, name, size):
+        """Register a named broadcast axis usable as ``param(..., plate=)``."""
+        if name in self._plates and self._plates[name] != int(size):
+            raise ValueError(
+                f"plate {name!r} redeclared with size {size} "
+                f"(was {self._plates[name]})"
+            )
+        self._plates[name] = int(size)
+        return self
+
+    def _resolve_shape(self, shape, plate):
+        if plate is not None:
+            if shape != ():
+                raise ValueError("pass either shape= or plate=, not both")
+            names = (plate,) if isinstance(plate, str) else tuple(plate)
+            try:
+                return tuple(self._plates[n] for n in names)
+            except KeyError as e:
+                raise ValueError(
+                    f"unknown plate {e.args[0]!r}; declare with "
+                    f".plate(name, size) first"
+                ) from None
         if not isinstance(shape, (tuple, list)):
             shape = (shape,)
-        shape = tuple(int(s) for s in shape)
+        return tuple(int(s) for s in shape)
+
+    def param(self, name, dist, shape=(), plate=None):
+        self._check_name(name)
+        shape = self._resolve_shape(shape, plate)
         size = int(np.prod(shape)) if shape else 1
         self._params.append((name, dist, shape, size))
+        return self
+
+    def deterministic(self, name, fn):
+        """Derived quantity ``fn(params) -> value``; sees every previously
+        declared param and deterministic, feeds later deterministics, the
+        likelihood, and observes; returned by ``constrain``."""
+        self._check_name(name)
+        self._deterministics.append((name, fn))
+        return self
+
+    def observe(self, name, dist_fn, data):
+        """Observed data: ``dist_fn(params) -> Distribution`` evaluated at
+        ``data`` joins the log-posterior; ``posterior_predictive`` draws
+        replicated datasets from the same ``dist_fn``."""
+        self._check_name(name)
+        self._observes.append((name, dist_fn, jnp.asarray(data)))
         return self
 
     def likelihood(self, fn):
@@ -268,11 +326,15 @@ class Model:
         if not self._params:
             raise ValueError("model has no parameters")
         params = tuple(self._params)
+        deterministics = tuple(self._deterministics)
+        observes = tuple(self._observes)
         loglike = self._loglike
         dim = sum(size for *_, size in params)
 
         def unpack(theta):
-            """flat unconstrained (D,) -> ({name: constrained}, log|J|)."""
+            """flat unconstrained (D,) -> ({name: constrained}, log|J|);
+            the dict includes deterministics (computed in declaration
+            order, each seeing params + earlier deterministics)."""
             out = {}
             logdet = 0.0
             i = 0
@@ -282,6 +344,8 @@ class Model:
                 out[name] = t.forward(u)
                 logdet = logdet + jnp.sum(t.log_det(u))
                 i += size
+            for name, fn in deterministics:
+                out[name] = fn(out)
             return out, logdet
 
         def logp(theta):
@@ -289,6 +353,8 @@ class Model:
             lp = logdet
             for name, dist, shape, size in params:
                 lp = lp + jnp.sum(dist.logpdf(values[name]))
+            for name, dist_fn, data in observes:
+                lp = lp + jnp.sum(dist_fn(values).logpdf(data))
             if loglike is not None:
                 lp = lp + loglike(values)
             return lp
@@ -300,6 +366,53 @@ class Model:
             return {k: np.asarray(v) for k, v in out.items()}
 
         return logp, dim, constrain
+
+    def posterior_predictive(self, key, flat_draws, names=None):
+        """Replicated datasets from every ``observe`` site.
+
+        ``flat_draws`` is ``(N, D)`` UNCONSTRAINED posterior draws (what
+        ``get_samples(flat=True)`` returns for a model-built logp). Returns
+        ``{name: (N, *data.shape)}`` — one simulated dataset per draw,
+        PRNG-split per draw and per site. ``names`` restricts to a subset.
+        """
+        if not self._observes:
+            raise ValueError("model has no observe() sites")
+        sel = list(names) if names is not None else [
+            n for n, *_ in self._observes
+        ]
+        known = {n for n, *_ in self._observes}
+        for n in sel:
+            if n not in known:
+                raise ValueError(f"unknown observe site {n!r}")
+        params = tuple(self._params)
+        deterministics = tuple(self._deterministics)
+
+        def unpack_values(theta):
+            out = {}
+            i = 0
+            for name, dist, shape, size in params:
+                u = theta[i : i + size].reshape(shape) if shape else theta[i]
+                out[name] = dist.transform.forward(u)
+                i += size
+            for name, fn in deterministics:
+                out[name] = fn(out)
+            return out
+
+        sites = [(n, f, d) for n, f, d in self._observes if n in sel]
+
+        def one_draw(theta, k):
+            values = unpack_values(theta)
+            out = {}
+            for j, (name, dist_fn, data) in enumerate(sites):
+                out[name] = dist_fn(values).sample(
+                    jax.random.fold_in(k, j), jnp.shape(data)
+                )
+            return out
+
+        arr = jnp.atleast_2d(jnp.asarray(flat_draws))
+        keys = jax.random.split(key, arr.shape[0])
+        out = jax.vmap(one_draw)(arr, keys)
+        return {k2: np.asarray(v) for k2, v in out.items()}
 
     def prior_sample(self, key, n):
         """(n, D) UNCONSTRAINED draws from the priors (SMC-ready)."""

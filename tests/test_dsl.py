@@ -108,3 +108,100 @@ def test_vector_params_and_smc_integration():
 def test_duplicate_param_rejected():
     with pytest.raises(ValueError):
         Model().param("a", Normal()).param("a", Normal())
+
+
+# -- deterministics / plates / observe / posterior predictive ----------------
+
+
+def test_deterministic_in_likelihood_and_constrain():
+    data = np.array([2.0, 2.2, 1.8, 2.1])
+    model = (
+        Model()
+        .param("log_mu", Normal(0.0, 10.0))
+        .deterministic("mu", lambda p: jnp.exp(p["log_mu"]))
+        .likelihood(lambda p: jnp.sum(Normal(p["mu"], 0.1).logpdf(data)))
+    )
+    logp, dim, constrain = model.build()
+    assert dim == 1
+    s = NUTSSampler(logp, n_chains=8, n_params=1, seed=0)
+    s.init_ball(np.zeros(1), scale=0.1)
+    s.warmup(200)
+    s.run(500)
+    draws = constrain(s.get_samples(flat=True))
+    # deterministic comes back alongside the raw param
+    assert set(draws) == {"log_mu", "mu"}
+    np.testing.assert_allclose(draws["mu"], np.exp(draws["log_mu"]), rtol=1e-5)
+    assert draws["mu"].mean() == pytest.approx(data.mean(), abs=0.1)
+
+
+def test_plate_sugar_resolves_shapes():
+    model = (
+        Model()
+        .plate("schools", 8)
+        .param("mu", Normal(0.0, 5.0))
+        .param("theta", Normal(0.0, 1.0), plate="schools")
+    )
+    _, dim, constrain = model.build()
+    assert dim == 9
+    draws = constrain(np.zeros((3, 9)))
+    assert draws["theta"].shape == (3, 8)
+    with pytest.raises(ValueError, match="unknown plate"):
+        Model().param("x", Normal(), plate="nope")
+    with pytest.raises(ValueError, match="not both"):
+        Model().plate("p", 2).param("x", Normal(), shape=(2,), plate="p")
+    with pytest.raises(ValueError, match="redeclared"):
+        Model().plate("p", 2).plate("p", 3)
+
+
+def test_observe_matches_manual_likelihood():
+    data = np.array([0.3, -0.5, 1.2])
+
+    def make(manual):
+        m = Model().param("mu", Normal(0.0, 2.0))
+        if manual:
+            m.likelihood(lambda p: jnp.sum(Normal(p["mu"], 1.0).logpdf(data)))
+        else:
+            m.observe("y", lambda p: Normal(p["mu"], 1.0), data)
+        return m.build()[0]
+
+    theta = jnp.array([0.7])
+    assert float(make(True)(theta)) == pytest.approx(
+        float(make(False)(theta)), rel=1e-6
+    )
+
+
+def test_posterior_predictive_moments():
+    """Conjugate check: with flat-ish prior, y_rep ~ N(mu_post, sigma^2 +
+    posterior var of mu); mean of replicates ~ data mean."""
+    rng = np.random.default_rng(0)
+    data = rng.normal(3.0, 1.0, size=50)
+    model = (
+        Model()
+        .param("mu", Normal(0.0, 100.0))
+        .observe("y", lambda p: Normal(p["mu"], 1.0), data)
+    )
+    logp, dim, _ = model.build()
+    s = NUTSSampler(logp, n_chains=8, n_params=1, seed=1)
+    s.init_ball(np.zeros(1), scale=1.0)
+    s.warmup(200)
+    s.run(400)
+    draws = s.get_samples(flat=True)
+    rep = model.posterior_predictive(jax.random.key(2), draws)
+    assert set(rep) == {"y"}
+    assert rep["y"].shape == (draws.shape[0], 50)
+    assert rep["y"].mean() == pytest.approx(data.mean(), abs=0.1)
+    with pytest.raises(ValueError, match="unknown observe"):
+        model.posterior_predictive(jax.random.key(0), draws, names=["z"])
+    with pytest.raises(ValueError, match="no observe"):
+        Model().param("a", Normal()).posterior_predictive(
+            jax.random.key(0), draws
+        )
+
+
+def test_name_collision_across_kinds_rejected():
+    with pytest.raises(ValueError, match="duplicate"):
+        Model().param("a", Normal()).deterministic("a", lambda p: p["a"])
+    with pytest.raises(ValueError, match="duplicate"):
+        Model().param("a", Normal()).observe(
+            "a", lambda p: Normal(p["a"], 1.0), np.zeros(2)
+        )
