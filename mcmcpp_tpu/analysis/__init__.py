@@ -1,6 +1,7 @@
 """Post-hoc chain analysis (TPU-native rebuild of ``MCMCpp/Analysis/``)."""
 
 from mcmcpp_tpu.analysis.autocorr import autocorr_time, normalized_autocov
+from mcmcpp_tpu.analysis.streaming import StreamingACT, autocorr_time_streaming
 from mcmcpp_tpu.analysis.covariance import covariance_matrix, correlation_matrix
 from mcmcpp_tpu.analysis.histograms import CornerHistograms
 from mcmcpp_tpu.analysis.percentiles import PercentileAndMaximumFinder
@@ -17,6 +18,8 @@ __all__ = [
     "mcse_mean",
     "summary",
     "autocorr_time",
+    "autocorr_time_streaming",
+    "StreamingACT",
     "normalized_autocov",
     "covariance_matrix",
     "correlation_matrix",

@@ -191,3 +191,71 @@ class TestESS:
         x = rng.standard_normal((4096, 16, 1))
         ess = effective_sample_size(x)
         assert 0.5 * 4096 * 16 < ess[0] < 1.6 * 4096 * 16
+
+
+class TestStreamingACT:
+    """Step-chunked / online ACT must reproduce the batch FFT estimate."""
+
+    @staticmethod
+    def _ar1(S=20000, W=16, P=3, seed=0, offset=1000.0):
+        rng = np.random.default_rng(seed)
+        phi = np.array([0.5, 0.8, 0.9])[:P]
+        x = np.zeros((S, W, P))
+        x[0] = rng.normal(size=(W, P)) / np.sqrt(1 - phi**2)
+        for t in range(1, S):
+            x[t] = phi * x[t - 1] + np.sqrt(1 - phi**2) * rng.normal(
+                size=(W, P)
+            )
+        return x + offset  # offset stresses the raw-product centering
+
+    def test_matches_batch_fft(self):
+        from mcmcpp_tpu.analysis import autocorr_time_streaming
+
+        x = self._ar1()
+        t_batch = autocorr_time(x)
+        t_stream = autocorr_time_streaming(
+            (x[i : i + 3000] for i in range(0, len(x), 3000)), max_lag=512
+        )
+        np.testing.assert_allclose(t_stream, t_batch, rtol=0.02)
+
+    def test_rho_agreement_any_chunking(self):
+        from mcmcpp_tpu.analysis import StreamingACT
+
+        x = self._ar1(S=6000)
+        acc = StreamingACT(max_lag=64)
+        for i in range(0, len(x), 1234):  # ragged chunks
+            acc.update(x[i : i + 1234])
+        rho_s = acc.normalized_autocov()
+        rho_b = np.stack([
+            normalized_autocov(x[:, :, p].T).mean(axis=0)[:65]
+            for p in range(x.shape[2])
+        ])
+        assert np.abs(rho_s - rho_b).max() < 1e-4
+
+    def test_short_chain_and_2d_input(self):
+        from mcmcpp_tpu.analysis import StreamingACT
+
+        x = self._ar1(S=100)
+        acc = StreamingACT(max_lag=256)  # max_lag > chain length
+        acc.update(x)
+        assert acc.autocorr_time().shape == (3,)
+        acc2 = StreamingACT(max_lag=32)
+        acc2.update(x[:, :, 0])  # (S, W)
+        assert acc2.autocorr_time().shape == (1,)
+
+    def test_consume_chain_online(self):
+        """chunk_action wiring: online estimate == post-hoc estimate."""
+        import jax
+        from mcmcpp_tpu import AutoRegressiveMove, EnsembleSampler
+        from mcmcpp_tpu.analysis import StreamingACT
+
+        mover = AutoRegressiveMove(offsets=[0.0], phis=[0.8], variances=[1.0])
+        s = EnsembleSampler(_dummy_logp, 64, 1, mover=mover, seed=3)
+        s.set_initial_walker_pos(mover.initial_positions(jax.random.key(1), 64))
+        act = StreamingACT(max_lag=256)
+        assert s.run_mcmc(8192, chunk_action=act.consume_chain)
+        tau_online = act.autocorr_time()
+        tau_post = autocorr_time(s.get_samples())
+        assert tau_online[0] > 0
+        np.testing.assert_allclose(tau_online[0], tau_post, rtol=0.02)
+        assert abs(tau_online[0] - 9.0) / 9.0 < 0.25  # AR(1) truth
