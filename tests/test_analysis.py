@@ -24,6 +24,7 @@ def _dummy_logp(theta):
 class TestAutocorrOracle:
     """≙ test/sequential/AcTime: AR(1) ensembles with analytic τ=(1+φ)/(1−φ)."""
 
+    @pytest.mark.slow
     def test_ar1_act_table(self):
         # φ → τ: 0.8 → 9, 0.904761904762 → 20 (reduced steps vs the
         # reference's 262143 to keep CPU CI fast; tolerance scaled to match)

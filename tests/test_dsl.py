@@ -43,6 +43,7 @@ def test_distribution_samples_match_moments(dist, mean, var):
     assert x.var() == pytest.approx(var, rel=0.05)
 
 
+@pytest.mark.slow
 def test_prior_only_model_sampling():
     """Sampling a prior-only model must recover the prior (transform
     Jacobians correct)."""
@@ -113,6 +114,7 @@ def test_duplicate_param_rejected():
 # -- deterministics / plates / observe / posterior predictive ----------------
 
 
+@pytest.mark.slow
 def test_deterministic_in_likelihood_and_constrain():
     data = np.array([2.0, 2.2, 1.8, 2.1])
     model = (

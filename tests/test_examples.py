@@ -30,6 +30,7 @@ def _run(script, *args, timeout=420):
     )
 
 
+@pytest.mark.slow
 def test_skewed_gaussian_example():
     r = _run("skewed_gaussian.py", "--steps", "400", "--thin", "4",
              "--walkers", "64", "--burn", "100")
@@ -38,17 +39,20 @@ def test_skewed_gaussian_example():
     assert "covariance" in r.stdout
 
 
+@pytest.mark.slow
 def test_actime_example():
     r = _run("actime.py", "--steps", "4096", "--walkers", "32")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "true tau" in r.stdout
 
 
+@pytest.mark.slow
 def test_actime_example_sharded():
     r = _run("actime.py", "--steps", "2048", "--walkers", "32", "--sharded")
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_inner_benchmark_example():
     r = _run("inner_benchmark.py", "--steps", "500", "--walkers", "128")
     assert r.returncode == 0, r.stderr[-2000:]

@@ -25,6 +25,7 @@ def _marginal_sds():
 @pytest.mark.parametrize("mover", [
     StretchMove(), WalkMove(n_samples=6), DifferentialEvolutionMove(),
 ])
+@pytest.mark.slow
 def test_ks_marginals(mover):
     s = EnsembleSampler(skewed_gaussian_logp, n_walkers=256, n_params=2,
                         seed=3, mover=mover)

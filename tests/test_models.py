@@ -45,6 +45,7 @@ def test_mixture_moments_analytic():
     WalkMove(n_samples=6),
     DifferentialEvolutionMove(),
 ])
+@pytest.mark.slow
 def test_rosenbrock_mover_comparison(mover):
     """BASELINE config #3: every ensemble mover recovers the banana's
     analytic x-marginal N(a, scale/2)."""
@@ -83,6 +84,7 @@ def test_mixture_act_convergence_analysis():
     assert rhat[0] < 1.1
 
 
+@pytest.mark.slow
 def test_funnel_nuts():
     """Neal's funnel v-marginal via NUTS (gradient stress target)."""
     t = neal_funnel(dim=5, sigma_v=1.5)

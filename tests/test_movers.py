@@ -35,6 +35,7 @@ def check_moments(s, atol=0.12):
 
 
 class TestWalkMove:
+    @pytest.mark.slow
     def test_moments(self):
         s = run_mover(WalkMove(n_samples=6))
         check_moments(s)
@@ -94,6 +95,7 @@ class TestMetropolisHastings:
 
 
 class TestMixtureMover:
+    @pytest.mark.slow
     def test_moments(self):
         from mcmcpp_tpu import MixtureMover, DifferentialEvolutionMove
 

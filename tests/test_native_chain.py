@@ -72,6 +72,7 @@ def test_byte_cap_end_of_chain():
     assert a.n_steps == 7
 
 
+@pytest.mark.slow
 def test_block_boundary_crossing():
     """Appends larger than one native block must still round-trip."""
     a = Chain(n_walkers=64, n_params=128, backend="native")

@@ -73,6 +73,7 @@ def test_stretch_moments_both_modes(mode):
     assert 0.3 < s.acceptance_fraction < 0.9
 
 
+@pytest.mark.slow
 def test_roll_gather_acceptance_agreement():
     """Roll pairing must not change acceptance statistics materially."""
     res = {}
@@ -88,6 +89,7 @@ def test_roll_gather_acceptance_agreement():
     assert abs(res["roll"] - res["gather"]) < 0.08
 
 
+@pytest.mark.slow
 def test_roll_gather_act_agreement():
     """Shared-shift pairing must not inflate autocorrelation times.
 

@@ -53,6 +53,7 @@ def test_sharded_state_is_actually_sharded():
     assert shard_shapes == {(32 // par.mesh.size, 2)}
 
 
+@pytest.mark.slow
 def test_sharded_moments():
     par = ShardedEnsembleSampler(
         skewed_gaussian_logp, n_walkers=256, n_params=2, seed=11

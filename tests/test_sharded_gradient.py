@@ -13,6 +13,7 @@ def _logp(t):
     return -0.5 * jnp.sum(t * t)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cls", [HMCSampler, NUTSSampler])
 def test_sharded_matches_unsharded(cls):
     """Sharded chains must be statistically equivalent (not bitwise: the
@@ -40,6 +41,7 @@ def test_sharded_chain_count_validation():
         HMCSampler(_logp, n_chains=10, n_params=2, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_smc_sharded_particles():
     mesh = make_walker_mesh()
     dim = 2

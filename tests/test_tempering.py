@@ -42,6 +42,7 @@ def test_cold_chain_targets_posterior():
     assert np.all(rates > 0.05)  # adjacent temps actually exchange
 
 
+@pytest.mark.slow
 def test_tempering_mixes_separated_modes():
     """Widely separated modes: plain stretch at β=1 cannot cross, the
     tempered ladder can. Cold chain must populate both modes."""
@@ -60,6 +61,7 @@ def test_tempering_mixes_separated_modes():
     np.testing.assert_allclose(flat.mean(), 0.0, atol=1.6)
 
 
+@pytest.mark.slow
 def test_ladder_tuning_equalizes_swap_rates():
     """Start with a badly spaced ladder; tuning must pull pairwise swap
     rates toward the target band and keep beta[0] == 1, monotone."""

@@ -6,6 +6,7 @@ import jax
 
 from mcmcpp_tpu.utils import ThroughputMonitor
 from mcmcpp_tpu.parallel import distributed
+import pytest
 
 
 def test_throughput_monitor_counts():
@@ -34,6 +35,7 @@ def test_distributed_single_host():
     np.testing.assert_array_equal(np.asarray(out).ravel()[:8], np.arange(8.0))
 
 
+@pytest.mark.slow
 def test_trace_profile_writes_trace(tmp_path):
     from mcmcpp_tpu.utils import trace_profile
     import jax.numpy as jnp
