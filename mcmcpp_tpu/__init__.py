@@ -18,6 +18,7 @@ from mcmcpp_tpu.movers import (
     StretchMove,
     WalkMove,
     DifferentialEvolutionMove,
+    DESnookerMove,
     MetropolisHastingsMove,
     AutoRegressiveMove,
     SequenceMove,
@@ -37,6 +38,7 @@ from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
 from mcmcpp_tpu.dsl import Model
 from mcmcpp_tpu.tempering import ParallelTemperingSampler
+from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 
 __version__ = "0.1.0"
 
@@ -47,6 +49,7 @@ __all__ = [
     "StretchMove",
     "WalkMove",
     "DifferentialEvolutionMove",
+    "DESnookerMove",
     "MetropolisHastingsMove",
     "MixtureMover",
     "AutoRegressiveMove",
@@ -66,6 +69,8 @@ __all__ = [
     "dsl",
     "Model",
     "ParallelTemperingSampler",
+    "ConvergenceReport",
+    "run_until_converged",
     "ShardedEnsembleSampler",
     "make_walker_mesh",
     "sample_ball",

@@ -52,6 +52,12 @@ def _sokal_window_tau(rho, window_scaling):
 
     τ(M) = −1 + 2·Σ_{t=0..M} ρ(t); pick the smallest M with M ≥ c·τ(M).
     Returns −τ(last) if the window never closes (non-convergence flag).
+
+    A CLOSED window's estimate is floored at a small positive value: for
+    antithetic chains (e.g. fixed-length HMC, ρ(1) < −1/2) the finite-
+    sample τ̂ can dip below zero even though τ ≥ 0 holds for any
+    reversible chain — without the floor such super-efficient chains
+    would be indistinguishable from the never-closed flag.
     """
     taus = 2.0 * np.cumsum(rho) - 1.0
     m = np.arange(len(rho))
@@ -59,7 +65,7 @@ def _sokal_window_tau(rho, window_scaling):
     closed[0] = False  # need at least one lag
     if not np.any(closed):
         return -float(taus[-1])
-    return float(taus[np.argmax(closed)])
+    return float(max(taus[np.argmax(closed)], 1e-3))
 
 
 def autocorr_time(

@@ -1,0 +1,110 @@
+"""Convergence-driven sampling: run until the chain is provably long enough.
+
+The reference leaves "how long to run" entirely to the user (fixed
+``runMCMC(numSteps)``, ``test/sequential/AcTime/src/main.cpp:76-86`` checks
+ACT by eye afterwards). This helper automates the standard emcee-lineage
+recipe: sample in chunks, re-estimate the integrated autocorrelation time
+(ACT) after each chunk, and stop once
+
+  1. every parameter's Sokal window closed (all tau > 0),
+  2. the stored chain exceeds ``act_multiplier x max(tau)`` steps, and
+  3. the tau estimate has stabilized (relative change < ``tau_rtol``
+     between consecutive checks),
+
+optionally also requiring split-R-hat below ``rhat_threshold``. Works with
+both sampler families (``EnsembleSampler.run_mcmc`` / gradient
+``.run``) since both store into the shared host Chain.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class ConvergenceReport(NamedTuple):
+    converged: bool
+    steps_run: int  # raw MCMC steps advanced by this call
+    stored_steps: int  # rows in the chain when we stopped
+    tau: np.ndarray  # last ACT estimate (stored-step units, per param)
+    rhat: np.ndarray  # last split-R-hat (per param); NaN if not computed
+    checks: int  # number of ACT evaluations performed
+    reason: str
+
+
+def run_until_converged(
+    sampler,
+    max_steps,
+    check_every=1000,
+    act_multiplier=50.0,
+    tau_rtol=0.05,
+    rhat_threshold=None,
+    thin=1,
+    window_scaling=4.0,
+    callback=None,
+):
+    """Drive ``sampler`` until its chain passes the ACT length criterion.
+
+    ``max_steps`` bounds the raw steps this call may run. ``check_every``
+    raw steps are run between ACT checks. ``callback(report)`` (optional)
+    observes each intermediate check. Returns a :class:`ConvergenceReport`;
+    ``converged=False`` means the budget (or the chain byte cap) was hit
+    first — the criterion, not an exception, reports the outcome.
+    """
+    from mcmcpp_tpu import analysis
+
+    run = getattr(sampler, "run_mcmc", None) or sampler.run
+    max_steps = int(max_steps)
+    check_every = int(check_every)
+    if check_every < 1 or max_steps < 1:
+        raise ValueError("max_steps and check_every must be >= 1")
+    tau_prev = None
+    done = 0
+    checks = 0
+    nan = np.full(getattr(sampler, "n_params", 1), np.nan)
+    report = ConvergenceReport(False, 0, 0, nan, nan, 0, "not started")
+    while done < max_steps:
+        take = min(check_every, max_steps - done)
+        ok = run(take, thin=thin)
+        done += take
+        samples = sampler.get_samples()
+        n_stored = samples.shape[0]
+        if n_stored < 8:
+            continue
+        tau = np.atleast_1d(analysis.autocorr_time(
+            samples, window_scaling=window_scaling
+        ))
+        checks += 1
+        rhat = nan
+        window_ok = bool(np.all(tau > 0))
+        length_ok = window_ok and n_stored > act_multiplier * float(tau.max())
+        stable_ok = (
+            window_ok
+            and tau_prev is not None
+            and np.all(np.abs(tau - tau_prev) <= tau_rtol * np.abs(tau))
+        )
+        rhat_ok = True
+        if rhat_threshold is not None:
+            rhat = np.atleast_1d(
+                analysis.potential_scale_reduction(samples)
+            )
+            rhat_ok = bool(np.all(rhat < rhat_threshold))
+        converged = window_ok and length_ok and stable_ok and rhat_ok
+        reason = (
+            "converged" if converged
+            else "window open" if not window_ok
+            else f"chain shorter than {act_multiplier}*tau" if not length_ok
+            else "tau not yet stable" if not stable_ok
+            else f"rhat >= {rhat_threshold}"
+        )
+        report = ConvergenceReport(
+            converged, done, n_stored, tau, rhat, checks, reason
+        )
+        if callback is not None:
+            callback(report)
+        if converged:
+            return report
+        tau_prev = tau
+        if not ok:  # chain byte cap reached (EndOfChain semantics)
+            return report._replace(reason="chain capacity reached")
+    return report._replace(reason=f"step budget {max_steps} exhausted: "
+                                  f"{report.reason}")

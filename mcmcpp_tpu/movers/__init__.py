@@ -4,6 +4,7 @@ from mcmcpp_tpu.movers.base import Mover
 from mcmcpp_tpu.movers.stretch import StretchMove
 from mcmcpp_tpu.movers.walk import WalkMove
 from mcmcpp_tpu.movers.de import DifferentialEvolutionMove
+from mcmcpp_tpu.movers.snooker import DESnookerMove
 from mcmcpp_tpu.movers.mh import MetropolisHastingsMove
 from mcmcpp_tpu.movers.diagnostic import AutoRegressiveMove, SequenceMove
 from mcmcpp_tpu.movers.mixture import MixtureMover
@@ -13,6 +14,7 @@ __all__ = [
     "StretchMove",
     "WalkMove",
     "DifferentialEvolutionMove",
+    "DESnookerMove",
     "MetropolisHastingsMove",
     "MixtureMover",
     "AutoRegressiveMove",

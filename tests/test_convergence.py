@@ -1,0 +1,77 @@
+"""run_until_converged: ACT-criterion-driven sampling for both families."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcmcpp_tpu import (
+    AutoRegressiveMove,
+    EnsembleSampler,
+    HMCSampler,
+    run_until_converged,
+)
+
+
+def _dummy_logp(theta):
+    return 0.0 * theta[0]
+
+
+def test_converges_on_fast_mixing_ar1():
+    """AR(1) phi=0.8 (tau=9): must converge well within budget, with the
+    chain at least act_multiplier*tau long and the reported tau near truth."""
+    mover = AutoRegressiveMove(offsets=[0.0], phis=[0.8], variances=[1.0])
+    s = EnsembleSampler(_dummy_logp, 64, 1, mover=mover, seed=0)
+    s.set_initial_walker_pos(mover.initial_positions(jax.random.key(0), 64))
+    seen = []
+    rep = run_until_converged(
+        s, max_steps=60000, check_every=2000, act_multiplier=50,
+        callback=seen.append,
+    )
+    assert rep.converged, rep
+    assert rep.reason == "converged"
+    assert rep.steps_run < 60000  # stopped early
+    assert rep.stored_steps > 50 * rep.tau.max()
+    assert abs(rep.tau[0] - 9.0) / 9.0 < 0.25
+    assert len(seen) == rep.checks and seen[-1] == rep
+
+    # sampler state is intact: more sampling still works
+    assert s.run_mcmc(100)
+
+
+def test_budget_exhaustion_reports_unconverged():
+    """AR(1) phi=0.999 (tau~2000): a tiny budget cannot satisfy the
+    length criterion; report must say so rather than lie."""
+    mover = AutoRegressiveMove(offsets=[0.0], phis=[0.999], variances=[1.0])
+    s = EnsembleSampler(_dummy_logp, 32, 1, mover=mover, seed=1)
+    s.set_initial_walker_pos(mover.initial_positions(jax.random.key(1), 32))
+    rep = run_until_converged(s, max_steps=3000, check_every=1500)
+    assert not rep.converged
+    assert "exhausted" in rep.reason
+    assert rep.steps_run == 3000
+
+
+def test_gradient_sampler_with_rhat_gate():
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    s = HMCSampler(logp, n_chains=16, n_params=2, seed=2, n_leapfrog=8)
+    s.init_ball(np.zeros(2), scale=1.0, seed=3)
+    s.warmup(200)
+    rep = run_until_converged(
+        s, max_steps=20000, check_every=1000, act_multiplier=50,
+        rhat_threshold=1.05,
+    )
+    assert rep.converged, rep
+    assert np.all(rep.rhat < 1.05)
+    flat = s.get_samples(flat=True)
+    np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=0.1)
+
+
+def test_bad_args_rejected():
+    mover = AutoRegressiveMove(offsets=[0.0], phis=[0.5], variances=[1.0])
+    s = EnsembleSampler(_dummy_logp, 8, 1, mover=mover, seed=0)
+    with pytest.raises(ValueError):
+        run_until_converged(s, max_steps=0)
+    with pytest.raises(ValueError):
+        run_until_converged(s, max_steps=10, check_every=0)

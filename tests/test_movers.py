@@ -119,3 +119,46 @@ class TestMixtureMover:
         with pytest.raises(ValueError):
             MixtureMover([AutoRegressiveMove(_np.zeros(1), _np.zeros(1),
                                              _np.ones(1))])
+
+
+class TestDESnooker:
+    def test_moments(self):
+        from mcmcpp_tpu import DESnookerMove
+
+        s = run_mover(DESnookerMove(), n_steps=6000)
+        check_moments(s, atol=0.15)
+        assert 0.1 < s.acceptance_fraction < 0.95
+
+    def test_gather_mode_moments(self):
+        from mcmcpp_tpu import DESnookerMove
+
+        s = run_mover(DESnookerMove(partner_mode="gather"), n_steps=4000)
+        check_moments(s, atol=0.2)
+
+    @pytest.mark.slow
+    def test_mode_hopping_beats_plain_de(self):
+        """Bimodal target with well-separated modes: snooker proposals jump
+        along inter-walker lines, so cross-mode transitions should occur for
+        many walkers; we require both modes populated in proportion."""
+        import jax.numpy as jnp
+        from mcmcpp_tpu import DESnookerMove, MixtureMover
+
+        sep = 6.0
+
+        def bimodal(t):
+            a = -0.5 * jnp.sum((t - sep / 2) ** 2)
+            b = -0.5 * jnp.sum((t + sep / 2) ** 2)
+            return jnp.logaddexp(a, b)
+
+        mover = MixtureMover([
+            (DifferentialEvolutionMove(), 0.7),
+            (DESnookerMove(), 0.3),
+        ])
+        s = EnsembleSampler(bimodal, 200, 2, mover=mover, seed=7)
+        # start ALL walkers in one mode; mixing requires cross-mode jumps
+        s.init_ball(np.full(2, sep / 2), scale=0.5)
+        s.run_mcmc(2000, store=False)
+        s.run_mcmc(4000)
+        flat = s.get_samples(flat=True)
+        frac_neg = float(np.mean(flat[:, 0] < 0))
+        assert 0.3 < frac_neg < 0.7, frac_neg
