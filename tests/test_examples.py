@@ -57,3 +57,10 @@ def test_inner_benchmark_example():
     r = _run("inner_benchmark.py", "--steps", "500", "--walkers", "128")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "walker-updates/s" in r.stdout
+
+
+@pytest.mark.slow
+def test_hierarchical_example():
+    r = _run("hierarchical.py", "--chains", "16")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mu" in r.stdout and "posterior-predictive" in r.stdout
