@@ -39,6 +39,7 @@ from mcmcpp_tpu import dsl
 from mcmcpp_tpu.dsl import Model
 from mcmcpp_tpu.tempering import ParallelTemperingSampler
 from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
+from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
 
 __version__ = "0.1.0"
 
@@ -71,6 +72,9 @@ __all__ = [
     "ParallelTemperingSampler",
     "ConvergenceReport",
     "run_until_converged",
+    "find_map",
+    "laplace",
+    "laplace_sample",
     "ShardedEnsembleSampler",
     "make_walker_mesh",
     "sample_ball",
