@@ -1,0 +1,131 @@
+"""emcee-compatible facade over the TPU ensemble sampler.
+
+The reference (MCMCpp) is the C++ twin of emcee's affine-invariant
+ensemble sampler (same Goodman-Weare algorithm family, ``README.md:1-2``),
+so most prospective users arrive with emcee muscle memory. This shim
+mirrors the emcee v3 surface — constructor argument order, ``run_mcmc``,
+``get_chain(discard, thin, flat)``, ``get_log_prob``,
+``get_autocorr_time``, per-walker ``acceptance_fraction`` — on top of
+:class:`mcmcpp_tpu.EnsembleSampler`.
+
+Deliberate differences (documented, not silent):
+- ``log_prob_fn`` must be JAX-traceable (it is jit/vmapped on device); pure
+  NumPy callables won't trace.
+- ``acceptance_fraction`` returns the ensemble-aggregate fraction
+  broadcast to per-walker shape (the device counters aggregate over the
+  ensemble; per-walker bookkeeping would serialize the hot loop).
+- ``moves`` accepts this package's mover classes, e.g.
+  ``[(StretchMove(a=2.0), 0.7), (DESnookerMove(), 0.3)]``.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+
+from mcmcpp_tpu.movers import MixtureMover, Mover
+
+
+class State(NamedTuple):
+    """emcee-style ensemble state."""
+
+    coords: np.ndarray  # (nwalkers, ndim)
+    log_prob: np.ndarray  # (nwalkers,)
+
+
+class EnsembleSampler:
+    """``emcee.EnsembleSampler(nwalkers, ndim, log_prob_fn)`` lookalike."""
+
+    def __init__(self, nwalkers, ndim, log_prob_fn, args=None, kwargs=None,
+                 moves=None, seed=0, **backend_kwargs):
+        self.nwalkers = int(nwalkers)
+        self.ndim = int(ndim)
+        if args or kwargs:
+            a, kw = tuple(args or ()), dict(kwargs or {})
+            fn = log_prob_fn
+            log_prob_fn = lambda theta: fn(theta, *a, **kw)  # noqa: E731
+        mover = None
+        if moves is not None:
+            if isinstance(moves, Mover):
+                mover = moves
+            else:
+                pairs = [m if isinstance(m, tuple) else (m, 1.0)
+                         for m in moves]
+                mover = (pairs[0][0] if len(pairs) == 1
+                         else MixtureMover(pairs))
+        from mcmcpp_tpu import EnsembleSampler as _Core
+
+        self._s = _Core(log_prob_fn, self.nwalkers, self.ndim,
+                        mover=mover, seed=seed, **backend_kwargs)
+
+    # -- emcee surface -------------------------------------------------------
+
+    def run_mcmc(self, initial_state, nsteps, thin_by=1, progress=False,
+                 store=True):
+        """Run ``nsteps`` ensemble steps; returns the final :class:`State`.
+
+        ``initial_state``: (nwalkers, ndim) coords, a :class:`State`, or
+        None to continue from the current state (as in emcee).
+        """
+        if initial_state is not None:
+            coords = getattr(initial_state, "coords", initial_state)
+            self._s.set_initial_walker_pos(np.asarray(coords))
+        elif self._s.state is None:
+            raise ValueError("initial_state required on the first run")
+        self._s.run_mcmc(int(nsteps) * int(thin_by), thin=int(thin_by),
+                         store=store)
+        return self.get_last_sample()
+
+    def get_last_sample(self):
+        pos = np.asarray(self._s.current_positions)
+        import jax.numpy as jnp
+
+        lp = np.asarray(jnp.concatenate(
+            [self._s.state.logp_red, self._s.state.logp_black]
+        ))
+        return State(coords=pos, log_prob=lp)
+
+    def get_chain(self, discard=0, thin=1, flat=False):
+        """(nsteps, nwalkers, ndim) — emcee's axis order, which matches the
+        native chain layout here."""
+        return self._s.get_samples(burn_in=discard, thin=thin, flat=flat)
+
+    def get_log_prob(self, discard=0, thin=1, flat=False):
+        return self._s.get_log_probs(burn_in=discard, thin=thin, flat=flat)
+
+    def get_autocorr_time(self, discard=0, thin=1, quiet=False, tol=50,
+                          **kw):
+        """Integrated ACT in RAW-step units (x thin, as emcee).
+
+        Raises (emcee semantics) when the chain is shorter than
+        ``tol * tau`` or the Sokal window never closed; ``quiet=True``
+        returns the unreliable estimate instead.
+        """
+        from mcmcpp_tpu import analysis
+
+        chain = self.get_chain(discard=discard, thin=thin)
+        tau = np.atleast_1d(analysis.autocorr_time(chain, **kw))
+        unreliable = bool(
+            np.any(tau < 0) or chain.shape[0] < tol * np.abs(tau).max()
+        )
+        if unreliable and not quiet:
+            raise RuntimeError(
+                f"The chain is shorter than {tol} times the integrated "
+                f"autocorrelation time (tau = {np.abs(tau)}, "
+                f"{chain.shape[0]} stored steps); run longer or pass "
+                "quiet=True"
+            )
+        return np.abs(tau) * thin
+
+    @property
+    def acceptance_fraction(self):
+        """(nwalkers,) — aggregate fraction broadcast (see module note)."""
+        return np.full(self.nwalkers, float(self._s.acceptance_fraction))
+
+    def reset(self):
+        self._s.reset()
+        return self
+
+    @property
+    def backend(self):
+        """The underlying :class:`mcmcpp_tpu.EnsembleSampler`."""
+        return self._s

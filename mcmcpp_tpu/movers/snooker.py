@@ -20,6 +20,8 @@ All-batch formulation: three distinct shared shifts (or iid gather),
 fused dot products over ``(n, P)`` — no per-walker loop.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -32,7 +34,10 @@ class DESnookerMove(Mover):
     ``partner_mode``: "roll" (TPU-fast distinct shared shifts) or "gather"
     (iid distinct triple per walker); see ops/partner.py."""
 
-    def __init__(self, gamma=2.38 / jnp.sqrt(2.0).item(), partner_mode="roll"):
+    # NOTE: defaults must not touch jnp — module import must not initialize
+    # the XLA backend (breaks jax.distributed.initialize in multi-process
+    # workers; regression-tested by tests/test_multihost.py)
+    def __init__(self, gamma=2.38 / math.sqrt(2.0), partner_mode="roll"):
         self.gamma = float(gamma)
         self.partner_mode = partner_mode
 

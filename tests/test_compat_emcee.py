@@ -1,0 +1,74 @@
+"""emcee-compat shim: surface parity and statistical correctness."""
+
+import numpy as np
+import pytest
+
+from mcmcpp_tpu.compat.emcee import EnsembleSampler, State
+from mcmcpp_tpu.movers import DESnookerMove, StretchMove
+
+from tests.targets import skewed_gaussian_cov, skewed_gaussian_logp
+
+
+def test_emcee_workflow_end_to_end():
+    rng = np.random.default_rng(0)
+    nwalkers, ndim = 100, 2
+    s = EnsembleSampler(nwalkers, ndim, skewed_gaussian_logp, seed=5)
+    p0 = rng.normal(scale=0.3, size=(nwalkers, ndim))
+    state = s.run_mcmc(p0, 500, store=False)
+    assert isinstance(state, State)
+    assert state.coords.shape == (nwalkers, ndim)
+    assert state.log_prob.shape == (nwalkers,)
+    # continue from current state, emcee-style None
+    s.run_mcmc(None, 4000)
+    chain = s.get_chain(discard=500, flat=True)
+    np.testing.assert_allclose(
+        np.cov(chain.T), skewed_gaussian_cov(), atol=0.15
+    )
+    lp = s.get_log_prob(discard=500)
+    assert lp.shape[0] == s.get_chain(discard=500).shape[0]
+    af = s.acceptance_fraction
+    assert af.shape == (nwalkers,)
+    assert 0.3 < af.mean() < 0.95
+    tau = s.get_autocorr_time(discard=500)
+    assert tau.shape == (ndim,) and np.all(tau > 0)
+
+
+def test_args_kwargs_partial_application():
+    def logp(theta, scale, offset=0.0):
+        return -0.5 * ((theta[0] - offset) / scale) ** 2
+
+    s = EnsembleSampler(32, 1, logp, args=(2.0,), kwargs={"offset": 1.0})
+    s.run_mcmc(np.random.default_rng(1).normal(size=(32, 1)), 2000)
+    flat = s.get_chain(discard=300, flat=True)
+    assert abs(flat.mean() - 1.0) < 0.3
+    assert abs(flat.std() - 2.0) < 0.4
+
+
+def test_moves_list_maps_to_mixture():
+    s = EnsembleSampler(
+        64, 2, skewed_gaussian_logp,
+        moves=[(StretchMove(a=2.0), 0.7), (DESnookerMove(), 0.3)],
+    )
+    s.run_mcmc(np.random.default_rng(2).normal(size=(64, 2)), 1500)
+    assert s.get_chain().shape[0] == 1500
+    # single bare move also accepted
+    s2 = EnsembleSampler(64, 2, skewed_gaussian_logp, moves=[StretchMove()])
+    s2.run_mcmc(np.random.default_rng(3).normal(size=(64, 2)), 10)
+
+
+def test_autocorr_time_raises_when_too_short():
+    s = EnsembleSampler(32, 2, skewed_gaussian_logp)
+    s.run_mcmc(np.random.default_rng(4).normal(size=(32, 2)), 60)
+    # 60 stored steps << 50*tau (tau ~ 5-7): emcee's length criterion
+    with pytest.raises(RuntimeError, match="shorter than"):
+        s.get_autocorr_time()
+    tau = s.get_autocorr_time(quiet=True)
+    assert np.all(tau > 0)  # quiet path returns |tau|
+
+
+def test_thin_by_scales_tau_units():
+    s = EnsembleSampler(64, 1, lambda t: -0.5 * t[0] ** 2, seed=9)
+    s.run_mcmc(np.random.default_rng(5).normal(size=(64, 1)), 500, thin_by=4)
+    # 500 stored rows, each 4 raw steps apart
+    assert s.get_chain().shape == (500, 64, 1)
+    assert s.run_mcmc(None, 10) is not None

@@ -72,3 +72,17 @@ def test_two_process_spmd(tmp_path):
         accepts.add(re.search(r"accept=([\d.]+)", r).group(1))
     # acceptance is a replicated global statistic: identical on both hosts
     assert len(accepts) == 1
+
+
+def test_import_does_not_initialize_backend():
+    """mcmcpp_tpu must be importable BEFORE jax.distributed.initialize()
+    (multi-process workers import the package first); any module-level jnp
+    computation would initialize the XLA backend and break that."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import mcmcpp_tpu; from jax._src import xla_bridge; "
+         "import sys; sys.exit(1 if xla_bridge.backends_are_initialized() "
+         "else 0)"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
