@@ -9,8 +9,10 @@ mixture, plus the reference's skewed Gaussian).
 
 from mcmcpp_tpu.models.targets import (
     Target,
+    bayesian_linear_regression,
     correlated_gaussian,
     gaussian_mixture,
+    logistic_regression,
     neal_funnel,
     rosenbrock,
     skewed_gaussian,
@@ -18,8 +20,10 @@ from mcmcpp_tpu.models.targets import (
 
 __all__ = [
     "Target",
+    "bayesian_linear_regression",
     "correlated_gaussian",
     "gaussian_mixture",
+    "logistic_regression",
     "neal_funnel",
     "rosenbrock",
     "skewed_gaussian",

@@ -9,6 +9,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import numpy as np
+import jax.nn
 import jax.numpy as jnp
 import jax.scipy.special
 
@@ -133,3 +134,57 @@ def neal_funnel(dim=10, sigma_v=3.0):
     var[0] = sigma_v**2
     return Target(logp, dim, "neal_funnel", np.zeros(dim), np.diag(var),
                   {"sigma_v": sigma_v})
+
+
+def bayesian_linear_regression(n_data=200, dim=5, noise=0.5, prior_scale=10.0,
+                               seed=0, dtype=jnp.float32):
+    """Bayesian linear regression with conjugate Gaussian ground truth.
+
+    y = X w + eps, eps ~ N(0, noise^2), prior w ~ N(0, prior_scale^2 I):
+    posterior is EXACTLY N(mu_n, Sigma_n) with
+    Sigma_n = (X'X/noise^2 + I/prior_scale^2)^-1, mu_n = Sigma_n X'y/noise^2
+    — the strongest possible oracle for sampler/VI/Laplace parity tests.
+    The logp is one (n, P) matvec per evaluation (MXU-friendly)."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n_data, dim))
+    w_true = rng.normal(size=dim)
+    y = x @ w_true + noise * rng.normal(size=n_data)
+    prec_n = x.T @ x / noise**2 + np.eye(dim) / prior_scale**2
+    cov_n = np.linalg.inv(prec_n)
+    mu_n = cov_n @ (x.T @ y) / noise**2
+    xj = jnp.asarray(x, dtype)
+    yj = jnp.asarray(y, dtype)
+
+    def logp(t):
+        r = yj - xj @ t
+        return (-0.5 * jnp.sum(r * r) / noise**2
+                - 0.5 * jnp.sum(t * t) / prior_scale**2)
+
+    return Target(logp, dim, "bayesian_linear_regression", mu_n, cov_n,
+                  {"w_true": w_true, "X": x, "y": y, "noise": noise})
+
+
+def logistic_regression(n_data=300, dim=4, prior_scale=2.5, seed=0,
+                        dtype=jnp.float32):
+    """Bayesian logistic regression on synthetic separable-ish data.
+
+    No closed-form posterior; the Laplace approximation around the MAP is
+    the reference oracle (accurate to O(1/n) here), enabling cross-engine
+    consistency tests (MCMC mean vs Laplace mean). logp is one matvec +
+    ``log_sigmoid`` reduction — MXU + VPU friendly."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n_data, dim))
+    w_true = rng.normal(size=dim)
+    p = 1.0 / (1.0 + np.exp(-(x @ w_true)))
+    y = (rng.uniform(size=n_data) < p).astype(np.float64)
+    xj = jnp.asarray(x, dtype)
+    sj = jnp.asarray(2.0 * y - 1.0, dtype)  # labels in {-1, +1}
+
+    def logp(t):
+        logits = sj * (xj @ t)
+        return (jnp.sum(jax.nn.log_sigmoid(logits))
+                - 0.5 * jnp.sum(t * t) / prior_scale**2)
+
+    return Target(logp, dim, "logistic_regression", None, None,
+                  {"w_true": w_true, "X": x, "y": y,
+                   "prior_scale": prior_scale})

@@ -95,3 +95,49 @@ def test_funnel_nuts():
     v = s.get_samples(burn_in=100, flat=True)[:, 0]
     assert v.mean() == pytest.approx(0.0, abs=0.2)
     assert v.var() == pytest.approx(1.5**2, rel=0.3)
+
+
+def test_linear_regression_conjugate_cross_engine():
+    """Exact Gaussian posterior: NUTS, Laplace, and ADVI must all recover
+    the SAME analytic mean/covariance — the strongest cross-engine oracle."""
+    from mcmcpp_tpu import NUTSSampler, laplace
+    from mcmcpp_tpu.models import bayesian_linear_regression
+
+    t = bayesian_linear_regression(n_data=150, dim=4, seed=1)
+
+    # Laplace is exact on a Gaussian posterior
+    lap = laplace(t.logp, x0=np.zeros(t.dim))
+    np.testing.assert_allclose(np.asarray(lap.mean), t.mean, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(lap.covariance), t.cov,
+                               rtol=0.05, atol=1e-4)
+
+    # NUTS within MC error
+    s = NUTSSampler(t.logp, n_chains=16, n_params=t.dim, seed=2)
+    s.init_ball(np.zeros(t.dim), scale=0.5, seed=3)
+    s.warmup(300)
+    s.run(1000)
+    flat = s.get_samples(flat=True)
+    sd = np.sqrt(np.diag(t.cov))
+    assert np.all(np.abs(flat.mean(axis=0) - t.mean) < 0.1 * sd)
+    np.testing.assert_allclose(flat.std(axis=0), sd, rtol=0.1)
+
+
+def test_logistic_regression_laplace_vs_nuts():
+    """No closed form; Laplace (O(1/n)-accurate at n=300) and NUTS must
+    agree on posterior means within a few posterior SDs of MC error."""
+    from mcmcpp_tpu import NUTSSampler, laplace
+    from mcmcpp_tpu.models import logistic_regression
+
+    t = logistic_regression(n_data=300, dim=3, seed=4)
+    lap = laplace(t.logp, x0=np.zeros(t.dim))
+    s = NUTSSampler(t.logp, n_chains=16, n_params=t.dim, seed=5)
+    s.init_ball(np.zeros(t.dim), scale=0.3, seed=6)
+    s.warmup(300)
+    s.run(1000)
+    flat = s.get_samples(flat=True)
+    sd = np.sqrt(np.diag(np.asarray(lap.covariance)))
+    assert np.all(np.abs(flat.mean(axis=0) - np.asarray(lap.mean)) < 0.3 * sd)
+    np.testing.assert_allclose(flat.std(axis=0), sd, rtol=0.2)
+    # the fitted coefficients point toward the generating weights
+    corr = np.corrcoef(flat.mean(axis=0), t.extras["w_true"])[0, 1]
+    assert corr > 0.9, corr
