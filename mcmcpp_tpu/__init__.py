@@ -40,6 +40,7 @@ from mcmcpp_tpu.dsl import Model
 from mcmcpp_tpu.tempering import ParallelTemperingSampler
 from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
+from mcmcpp_tpu.chain_disk import DiskChain
 
 __version__ = "0.1.0"
 
@@ -47,6 +48,7 @@ __all__ = [
     "EnsembleSampler",
     "EnsembleState",
     "Chain",
+    "DiskChain",
     "StretchMove",
     "WalkMove",
     "DifferentialEvolutionMove",

@@ -161,7 +161,7 @@ class GradientSampler:
 
     def __init__(self, logp_fn, n_chains, n_params, seed=0, dtype=jnp.float32,
                  step_size=0.1, target_accept=0.8, max_chain_bytes=2 << 30,
-                 mesh=None):
+                 mesh=None, chain=None):
         self.logp_fn = logp_fn
         self.n_chains = int(n_chains)
         self.n_params = int(n_params)
@@ -171,11 +171,18 @@ class GradientSampler:
         self._key = jax.random.key(seed)
         self.inv_mass = jnp.ones((self.n_params,), dtype)
         self.state = None
-        self.chain = Chain(
-            n_walkers=self.n_chains, n_params=self.n_params,
-            max_bytes=max_chain_bytes,
-            dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
-        )
+        if chain is not None:
+            if (chain.n_walkers, chain.n_params) != (
+                self.n_chains, self.n_params,
+            ):
+                raise ValueError("injected chain store geometry mismatch")
+            self.chain = chain
+        else:
+            self.chain = Chain(
+                n_walkers=self.n_chains, n_params=self.n_params,
+                max_bytes=max_chain_bytes,
+                dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
+            )
         # optional chains-axis sharding: the vmapped chain batch distributes
         # over the mesh exactly like the ensemble walker axis (see
         # parallel/mesh.py); scalars (step size, mass) stay replicated

@@ -188,6 +188,7 @@ class EnsembleSampler:
         batched=False,
         store_chunk_steps=None,
         prng_impl="threefry2x32",
+        chain=None,
     ):
         if n_walkers % 2 != 0:
             raise ValueError("n_walkers must be even")
@@ -209,12 +210,24 @@ class EnsembleSampler:
         # a new epoch) once it crosses 2^30, so multi-week runs never wrap
         self._step_epoch = 0
         self._epoch_base_steps = 0
-        self.chain = Chain(
-            n_walkers=self.n_walkers,
-            n_params=self.n_params,
-            max_bytes=max_chain_bytes,
-            dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
-        )
+        if chain is not None:
+            # injected store (e.g. chain_disk.DiskChain for histories larger
+            # than host RAM); must match the ensemble geometry
+            if (chain.n_walkers, chain.n_params) != (
+                self.n_walkers, self.n_params,
+            ):
+                raise ValueError(
+                    f"chain store geometry ({chain.n_walkers}, "
+                    f"{chain.n_params}) != ({self.n_walkers}, {self.n_params})"
+                )
+            self.chain = chain
+        else:
+            self.chain = Chain(
+                n_walkers=self.n_walkers,
+                n_params=self.n_params,
+                max_bytes=max_chain_bytes,
+                dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
+            )
         self.state = None
         # host-side accumulators: device counters are int32 and harvested
         # after every chunk, so runs of >2^31 updates can't overflow
