@@ -23,6 +23,10 @@ from mcmcpp_tpu.movers.base import Mover
 
 
 class AutoRegressiveMove(Mover):
+    """AR(1) diagnostic oracle: xₜ₊₁ = off + φxₜ + σ√(1−φ²)·N(0,1) per
+    parameter, always accepted; analytic ACT τ = (1+φ)/(1−φ)
+    (≙ ``MCMCpp/Movers/Diagnostic/AutoRegressiveMove.h:103-112``)."""
+
     always_accept = True
 
     def __init__(self, offsets, phis, variances):
@@ -68,6 +72,10 @@ class AutoRegressiveMove(Mover):
 
 
 class SequenceMove(Mover):
+    """Deterministic diagnostic oracle: adds fixed ``step_sizes`` each
+    update, always accepted — the benchmark/determinism harness
+    (≙ ``MCMCpp/Movers/Diagnostic/SequenceMove.h:102-122``)."""
+
     always_accept = True
 
     def __init__(self, step_sizes):

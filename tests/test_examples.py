@@ -64,3 +64,13 @@ def test_hierarchical_example():
     r = _run("hierarchical.py", "--chains", "16")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mu" in r.stdout and "posterior-predictive" in r.stdout
+
+
+def test_api_doc_generation(tmp_path):
+    """docs/gen_api.py must run clean (catches docstring/import breakage)."""
+    r = subprocess.run(
+        [sys.executable, str(REPO / "docs" / "gen_api.py")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (REPO / "docs" / "api.md").stat().st_size > 5000
