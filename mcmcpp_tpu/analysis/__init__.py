@@ -5,7 +5,12 @@ from mcmcpp_tpu.analysis.streaming import StreamingACT, autocorr_time_streaming
 from mcmcpp_tpu.analysis.covariance import covariance_matrix, correlation_matrix
 from mcmcpp_tpu.analysis.histograms import CornerHistograms
 from mcmcpp_tpu.analysis.percentiles import PercentileAndMaximumFinder
-from mcmcpp_tpu.analysis.ess import batch_means_ess, effective_sample_size
+from mcmcpp_tpu.analysis.ess import (
+    batch_means_ess,
+    effective_sample_size,
+    ess_bulk,
+    ess_tail,
+)
 from mcmcpp_tpu.analysis.diagnostics import (
     potential_scale_reduction,
     mcse_mean,
@@ -14,6 +19,8 @@ from mcmcpp_tpu.analysis.diagnostics import (
 
 __all__ = [
     "batch_means_ess",
+    "ess_bulk",
+    "ess_tail",
     "potential_scale_reduction",
     "mcse_mean",
     "summary",

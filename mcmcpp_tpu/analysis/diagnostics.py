@@ -67,8 +67,11 @@ def summary(samples, prob=0.9):
     """Per-parameter posterior summary dict.
 
     samples: (S, C, P). Returns dict of arrays: mean, sd, median, credible
-    interval bounds, ess, rhat, mcse.
+    interval bounds, ess (+ rank-normalized ess_bulk and ess_tail,
+    Vehtari et al. 2021), rhat, mcse.
     """
+    from mcmcpp_tpu.analysis.ess import ess_bulk, ess_tail
+
     arr = np.asarray(samples, np.float64)
     flat = arr.reshape(-1, arr.shape[-1])
     lo_q, hi_q = (1 - prob) / 2, 1 - (1 - prob) / 2
@@ -80,6 +83,8 @@ def summary(samples, prob=0.9):
         f"q{round(lo_q * 100, 6):g}": np.quantile(flat, lo_q, axis=0),
         f"q{round(hi_q * 100, 6):g}": np.quantile(flat, hi_q, axis=0),
         "ess": ess,
+        "ess_bulk": np.atleast_1d(ess_bulk(arr)),
+        "ess_tail": np.atleast_1d(ess_tail(arr)),
         "rhat": potential_scale_reduction(arr),
         "mcse": mcse_mean(arr, ess=ess),
     }

@@ -54,3 +54,49 @@ def batch_means_ess(samples, n_batches=32):
         ess = n_total * var_x / (b * var_means)
     ess = np.minimum(ess, float(n_total))
     return float(ess[0]) if squeeze else ess
+
+
+def _rank_normalize_3d(arr):
+    """(S, W, P) -> normal scores per parameter (Vehtari et al. 2021 §3)."""
+    from scipy import stats as _stats
+
+    out = np.empty_like(arr, np.float64)
+    s, w, p = arr.shape
+    for i in range(p):
+        r = _stats.rankdata(arr[:, :, i], axis=None).reshape(s, w)
+        out[:, :, i] = _stats.norm.ppf((r - 0.375) / (s * w + 0.25))
+    return out
+
+
+def ess_bulk(samples, **kw):
+    """Rank-normalized bulk ESS (Vehtari et al. 2021): ESS of the normal
+    scores — robust to heavy tails and measures mixing in the bulk.
+
+    samples: (S, W, P) or (S, W). Returns (P,) or float.
+    """
+    arr = np.asarray(samples, np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    ess = effective_sample_size(_rank_normalize_3d(arr), **kw)
+    return float(ess[0]) if squeeze else ess
+
+
+def ess_tail(samples, prob=0.05, **kw):
+    """Tail ESS: min over the ``prob`` and ``1-prob`` quantile indicator
+    ESS (Vehtari et al. 2021 §4.3) — mixing quality where credible-interval
+    endpoints are estimated.
+
+    samples: (S, W, P) or (S, W). Returns (P,) or float.
+    """
+    arr = np.asarray(samples, np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    out = []
+    for q in (prob, 1.0 - prob):
+        cut = np.quantile(arr.reshape(-1, arr.shape[2]), q, axis=0)
+        ind = (arr <= cut[None, None, :]).astype(np.float64)
+        out.append(np.atleast_1d(effective_sample_size(ind, **kw)))
+    ess = np.minimum(*out)
+    return float(ess[0]) if squeeze else ess

@@ -260,3 +260,50 @@ class TestStreamingACT:
         assert tau_online[0] > 0
         np.testing.assert_allclose(tau_online[0], tau_post, rtol=0.02)
         assert abs(tau_online[0] - 9.0) / 9.0 < 0.25  # AR(1) truth
+
+
+class TestBulkTailESS:
+    """Vehtari et al. (2021) rank-normalized bulk ESS and tail ESS."""
+
+    @staticmethod
+    def _iid(S=2000, W=8, P=2, seed=0, heavy=False):
+        rng = np.random.default_rng(seed)
+        if heavy:
+            return rng.standard_cauchy(size=(S, W, P))
+        return rng.normal(size=(S, W, P))
+
+    def test_iid_bulk_tail_near_total(self):
+        from mcmcpp_tpu.analysis import ess_bulk, ess_tail
+
+        x = self._iid()
+        n = x.shape[0] * x.shape[1]
+        for f in (ess_bulk, ess_tail):
+            e = f(x)
+            assert e.shape == (2,)
+            assert np.all(e > 0.5 * n) and np.all(e < 1.6 * n), (f, e)
+
+    def test_bulk_robust_to_heavy_tails(self):
+        """Cauchy iid draws: plain ESS is unstable (infinite variance);
+        rank-normalized bulk ESS must stay near the total count."""
+        from mcmcpp_tpu.analysis import ess_bulk
+
+        x = self._iid(heavy=True, seed=1)
+        n = x.shape[0] * x.shape[1]
+        e = ess_bulk(x)
+        assert np.all(e > 0.5 * n), e
+
+    def test_correlated_chain_reduces_ess(self):
+        from mcmcpp_tpu.analysis import ess_bulk, ess_tail
+
+        rng = np.random.default_rng(2)
+        phi = 0.9  # tau = 19 -> ESS ~ n/19
+        S, W = 4000, 8
+        x = np.zeros((S, W, 1))
+        for t in range(1, S):
+            x[t] = phi * x[t - 1] + np.sqrt(1 - phi**2) * rng.normal(
+                size=(W, 1)
+            )
+        n = S * W
+        eb, et = ess_bulk(x)[0], ess_tail(x)[0]
+        assert n / 40 < eb < n / 10, eb  # ~n/19
+        assert et < n / 5, et
