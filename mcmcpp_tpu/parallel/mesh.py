@@ -49,3 +49,12 @@ def vector_sharding(matrix_sharding):
 
 def replicated(mesh):
     return NamedSharding(mesh, PartitionSpec())
+
+
+def grid_sharding(mesh, ndim=3):
+    """Sharding for replica-grid arrays ``(K, H, ...)``: the ladder axis is
+    replicated, the walker axis shards over the whole mesh (swaps act
+    per-walker, so exchange phases need no cross-device communication;
+    the K-axis rolls stay device-local)."""
+    spec = (None, WALKER_AXES) + (None,) * (ndim - 2)
+    return NamedSharding(mesh, PartitionSpec(*spec))

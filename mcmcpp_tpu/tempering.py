@@ -97,7 +97,7 @@ class ParallelTemperingSampler:
 
     def __init__(self, logp_fn, n_walkers, n_params, n_temps=8, betas=None,
                  mover=None, seed=0, dtype=jnp.float32, swap_every=1,
-                 max_chain_bytes=2 << 30, batched=False):
+                 max_chain_bytes=2 << 30, batched=False, mesh=None):
         if n_walkers % 2:
             raise ValueError("n_walkers must be even")
         self.n_walkers = int(n_walkers)
@@ -125,6 +125,23 @@ class ParallelTemperingSampler:
         self._run_cache = {}
         self._swaps_acc_host = np.zeros(self.n_temps - 1, np.int64)
         self._swaps_prop_host = np.zeros(self.n_temps - 1, np.int64)
+        # optional mesh sharding: the (K, H, P) replica grid shards its
+        # WALKER axis over the mesh (ladder replicated) — exchange phases
+        # are per-walker elementwise, so swaps need no collectives; only
+        # the mover's partner roll crosses devices (as in the sharded
+        # ensemble sampler)
+        self.mesh = mesh
+        self._grid_sh = self._gridvec_sh = None
+        if mesh is not None:
+            from mcmcpp_tpu.parallel.mesh import grid_sharding
+
+            if (self.n_walkers // 2) % mesh.size != 0:
+                raise ValueError(
+                    f"half-ensemble size {self.n_walkers // 2} not divisible "
+                    f"by mesh size {mesh.size}"
+                )
+            self._grid_sh = grid_sharding(mesh, ndim=3)
+            self._gridvec_sh = grid_sharding(mesh, ndim=2)
 
     def init_ball(self, center, scale=1e-2, seed=None):
         key = self._aux_key if seed is None else jax.random.key(seed)
@@ -135,6 +152,9 @@ class ParallelTemperingSampler:
         pos = center[None, None, :] + scale * z
         h = self.n_walkers // 2
         red, black = pos[:, :h], pos[:, h:]
+        if self._grid_sh is not None:
+            red = jax.device_put(red, self._grid_sh)
+            black = jax.device_put(black, self._grid_sh)
         lp = lambda x: jax.vmap(self._batched_logp)(x)
         self.state = PTState(
             red=red, black=black,
@@ -145,7 +165,18 @@ class ParallelTemperingSampler:
         )
         return self
 
+    def _constrain(self, state: PTState) -> PTState:
+        if self._grid_sh is None:
+            return state
+        c = lambda x: jax.lax.with_sharding_constraint(x, self._grid_sh)
+        v = lambda x: jax.lax.with_sharding_constraint(x, self._gridvec_sh)
+        return state._replace(
+            red=c(state.red), black=c(state.black),
+            logp_red=v(state.logp_red), logp_black=v(state.logp_black),
+        )
+
     def _step(self, state: PTState) -> PTState:
+        state = self._constrain(state)
         key = jax.random.fold_in(self._epoch_key, state.step)
         k_red, k_black, k_swap = jax.random.split(key, 3)
 

@@ -83,3 +83,44 @@ def test_ladder_tuning_equalizes_swap_rates():
     assert np.all(rates_after > 0.1)
     # and the spread of rates tightened
     assert rates_after.std() < max(rates_before.std(), 0.3)
+
+
+SEP = 8.0
+
+
+def bimodal_logp(t):
+    return jnp.logaddexp(
+        -0.5 * jnp.sum((t - SEP / 2) ** 2),
+        -0.5 * jnp.sum((t + SEP / 2) ** 2),
+    )
+
+
+def test_mesh_sharded_pt_bitwise_identical():
+    """Temperature grid with the walker axis mesh-sharded must match the
+    unsharded sampler BITWISE (partitionable threefry; swaps are
+    per-walker elementwise so no reduction reordering exists)."""
+    from mcmcpp_tpu import make_walker_mesh
+
+    def run(mesh):
+        s = ParallelTemperingSampler(
+            bimodal_logp, n_walkers=64, n_params=2, n_temps=4, seed=3,
+            mesh=mesh,
+        )
+        s.init_ball(np.full(2, SEP / 2), scale=0.5, seed=4)
+        s.run_mcmc(150)
+        return s.get_samples(), s.swap_acceptance
+
+    a, sa = run(None)
+    b, sb = run(make_walker_mesh())
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(sa, sb)
+
+
+def test_mesh_divisibility_rejected():
+    from mcmcpp_tpu import make_walker_mesh
+
+    with pytest.raises(ValueError, match="not divisible"):
+        ParallelTemperingSampler(
+            bimodal_logp, n_walkers=10, n_params=2, n_temps=2,
+            mesh=make_walker_mesh(),
+        )
