@@ -41,6 +41,7 @@ from mcmcpp_tpu.tempering import ParallelTemperingSampler
 from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
 from mcmcpp_tpu.chain_disk import DiskChain
+from mcmcpp_tpu.neutra import NeuTra, RealNVP
 
 __version__ = "0.1.0"
 
@@ -49,6 +50,8 @@ __all__ = [
     "EnsembleState",
     "Chain",
     "DiskChain",
+    "NeuTra",
+    "RealNVP",
     "StretchMove",
     "WalkMove",
     "DifferentialEvolutionMove",
