@@ -42,6 +42,7 @@ from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
 from mcmcpp_tpu.chain_disk import DiskChain
 from mcmcpp_tpu.neutra import NeuTra, RealNVP
+from mcmcpp_tpu.export import to_inference_dict, to_arviz
 
 __version__ = "0.1.0"
 
@@ -52,6 +53,8 @@ __all__ = [
     "DiskChain",
     "NeuTra",
     "RealNVP",
+    "to_inference_dict",
+    "to_arviz",
     "StretchMove",
     "WalkMove",
     "DifferentialEvolutionMove",

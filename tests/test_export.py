@@ -1,0 +1,56 @@
+"""ArviZ-dict export: shapes, naming via DSL, ordering round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcmcpp_tpu import EnsembleSampler, NUTSSampler, to_inference_dict
+from mcmcpp_tpu.dsl import HalfNormal, Model, Normal
+
+from tests.targets import skewed_gaussian_logp
+
+
+def test_flat_export_shapes_and_order():
+    s = EnsembleSampler(skewed_gaussian_logp, 16, 2, seed=0)
+    s.init_ball(np.zeros(2), scale=0.3)
+    s.run_mcmc(50)
+    d = to_inference_dict(s)
+    assert set(d) == {"posterior", "sample_stats"}
+    theta = d["posterior"]["theta"]
+    assert theta.shape == (16, 50, 2)  # (chain, draw, param)
+    assert d["sample_stats"]["lp"].shape == (16, 50)
+    # ordering: chain c, draw t must equal samples[t, c]
+    raw = s.get_samples()
+    np.testing.assert_array_equal(theta[3, 7], raw[7, 3])
+    # burn/thin plumbed through
+    d2 = to_inference_dict(s, burn_in=10, thin=2)
+    assert d2["posterior"]["theta"].shape == (16, 20, 2)
+
+
+def test_named_export_via_model_with_ppc():
+    data = np.array([1.0, 1.2, 0.8, 1.1])
+    model = (
+        Model()
+        .param("mu", Normal(0.0, 5.0))
+        .param("sigma", HalfNormal(2.0))
+        .deterministic("cv", lambda p: p["sigma"] / p["mu"])
+        .observe("y", lambda p: Normal(p["mu"], p["sigma"]), data)
+    )
+    logp, dim, _ = model.build()
+    s = NUTSSampler(logp, n_chains=8, n_params=dim, seed=1)
+    s.init_ball(np.zeros(dim), scale=0.2)
+    s.warmup(100)
+    s.run(60)
+    ppc = model.posterior_predictive(
+        jax.random.key(0), s.get_samples(flat=True)
+    )
+    d = to_inference_dict(s, model=model, posterior_predictive=ppc)
+    assert set(d["posterior"]) == {"mu", "sigma", "cv"}
+    assert d["posterior"]["mu"].shape == (8, 60)
+    assert np.all(d["posterior"]["sigma"] > 0)  # constrained space
+    np.testing.assert_allclose(
+        d["posterior"]["cv"],
+        d["posterior"]["sigma"] / d["posterior"]["mu"], rtol=1e-5,
+    )
+    assert d["posterior_predictive"]["y"].shape == (8, 60, 4)
