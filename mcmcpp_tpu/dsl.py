@@ -28,6 +28,8 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg  # noqa: F401  (registers the lazy submodule)
+import jax.scipy.special  # noqa: F401
 from jax.scipy import stats as jstats
 
 
@@ -76,6 +78,60 @@ class Sigmoid:
             math.log(self.b - self.a)
             + jax.nn.log_sigmoid(u)
             + jax.nn.log_sigmoid(-u)
+        )
+
+
+class StickBreaking:
+    """R^{K-1} -> interior of the K-simplex (Stan's stick-breaking map).
+
+    z_i = sigmoid(u_i - log(K-1-i)), x_i = z_i * (remaining stick); the
+    offset makes u = 0 map to the uniform simplex center. ``log_det`` is
+    wrt the first K-1 coordinates (the simplex's intrinsic dimension):
+    the Jacobian is triangular with diag s_i * z_i * (1 - z_i).
+    """
+
+    def __init__(self, k):
+        self.k = int(k)
+        if self.k < 2:
+            raise ValueError("simplex needs K >= 2")
+
+    def unconstrained_shape(self, shape):
+        if tuple(shape) != (self.k,):
+            raise ValueError(
+                f"StickBreaking({self.k}) requires shape ({self.k},), "
+                f"got {tuple(shape)}"
+            )
+        return (self.k - 1,)
+
+    def _offsets(self, dtype):
+        return jnp.log(jnp.arange(self.k - 1, 0, -1).astype(dtype))
+
+    def forward(self, u):
+        z = jax.nn.sigmoid(u - self._offsets(u.dtype))
+        stick = jnp.cumprod(1.0 - z, axis=-1)
+        s = jnp.concatenate(
+            [jnp.ones_like(stick[..., :1]), stick[..., :-1]], axis=-1
+        )
+        head = z * s
+        return jnp.concatenate([head, stick[..., -1:]], axis=-1)
+
+    def inverse(self, x):
+        head = x[..., :-1]
+        csum = jnp.cumsum(head, axis=-1)
+        s = jnp.concatenate(
+            [jnp.ones_like(csum[..., :1]), 1.0 - csum[..., :-1]], axis=-1
+        )
+        z = head / s
+        return jnp.log(z) - jnp.log1p(-z) + self._offsets(x.dtype)
+
+    def log_det(self, u):
+        z = jax.nn.sigmoid(u - self._offsets(u.dtype))
+        stick = jnp.cumprod(1.0 - z, axis=-1)
+        s = jnp.concatenate(
+            [jnp.ones_like(stick[..., :1]), stick[..., :-1]], axis=-1
+        )
+        return jnp.sum(
+            jnp.log(z) + jnp.log1p(-z) + jnp.log(s), axis=-1
         )
 
 
@@ -222,6 +278,63 @@ class Uniform(Distribution):
         )
 
 
+class MvNormal(Distribution):
+    """Multivariate normal with full covariance (or its Cholesky).
+
+    Declare with ``shape=(K,)``. ``logpdf`` is the exact joint density
+    (one triangular solve); ``sample(key, shape)`` takes the FULL output
+    shape including the trailing event dim K.
+    """
+
+    def __init__(self, loc, cov=None, chol=None):
+        self.loc = jnp.asarray(loc)
+        if (cov is None) == (chol is None):
+            raise ValueError("pass exactly one of cov= or chol=")
+        self.chol = (jnp.linalg.cholesky(jnp.asarray(cov))
+                     if chol is None else jnp.asarray(chol))
+        self.k = self.chol.shape[-1]
+
+    def logpdf(self, x):
+        d = jnp.asarray(x) - self.loc
+        y = jax.scipy.linalg.solve_triangular(self.chol, d[..., None],
+                                              lower=True)[..., 0]
+        half_logdet = jnp.sum(jnp.log(jnp.diagonal(self.chol)))
+        return (-0.5 * jnp.sum(y * y, axis=-1) - half_logdet
+                - 0.5 * self.k * jnp.log(2.0 * jnp.pi))
+
+    def sample(self, key, shape=()):
+        if not shape or shape[-1] != self.k:
+            raise ValueError(f"output shape must end in event dim {self.k}")
+        z = jax.random.normal(key, shape, self.loc.dtype)
+        return self.loc + z @ self.chol.T
+
+
+class Dirichlet(Distribution):
+    """Dirichlet over the K-simplex; declare with ``shape=(K,)``.
+
+    Sampling runs in K-1 unconstrained stick-breaking coordinates (the
+    ``transform`` handles the dimension change + Jacobian).
+    """
+
+    def __init__(self, concentration):
+        self.concentration = jnp.asarray(concentration)
+        if self.concentration.ndim != 1 or self.concentration.shape[0] < 2:
+            raise ValueError("concentration must be a (K>=2,) vector")
+        self.transform = StickBreaking(self.concentration.shape[0])
+
+    def logpdf(self, x):
+        a = self.concentration
+        norm = (jnp.sum(jax.scipy.special.gammaln(a))
+                - jax.scipy.special.gammaln(jnp.sum(a)))
+        return jnp.sum((a - 1.0) * jnp.log(x), axis=-1) - norm
+
+    def sample(self, key, shape=()):
+        k = self.concentration.shape[0]
+        if not shape or shape[-1] != k:
+            raise ValueError(f"output shape must end in event dim {k}")
+        return jax.random.dirichlet(key, self.concentration, shape[:-1])
+
+
 # -- model -------------------------------------------------------------------
 
 
@@ -288,8 +401,13 @@ class Model:
     def param(self, name, dist, shape=(), plate=None):
         self._check_name(name)
         shape = self._resolve_shape(shape, plate)
-        size = int(np.prod(shape)) if shape else 1
-        self._params.append((name, dist, shape, size))
+        # the transform may change dimensionality (e.g. stick-breaking maps
+        # K-1 unconstrained dims onto the K-simplex) — the flat sampler
+        # vector allocates the UNCONSTRAINED size
+        t = dist.transform
+        u_shape = getattr(t, "unconstrained_shape", lambda sh: sh)(shape)
+        u_size = int(np.prod(u_shape)) if u_shape else 1
+        self._params.append((name, dist, shape, u_shape, u_size))
         return self
 
     def deterministic(self, name, fn):
@@ -314,7 +432,7 @@ class Model:
 
     @property
     def dim(self):
-        return sum(size for *_, size in self._params)
+        return sum(u_size for *_, u_size in self._params)
 
     def build(self):
         """Returns (logp, dim, constrain).
@@ -329,7 +447,7 @@ class Model:
         deterministics = tuple(self._deterministics)
         observes = tuple(self._observes)
         loglike = self._loglike
-        dim = sum(size for *_, size in params)
+        dim = sum(u_size for *_, u_size in params)
 
         def unpack(theta):
             """flat unconstrained (D,) -> ({name: constrained}, log|J|);
@@ -338,12 +456,13 @@ class Model:
             out = {}
             logdet = 0.0
             i = 0
-            for name, dist, shape, size in params:
-                u = theta[i : i + size].reshape(shape) if shape else theta[i]
+            for name, dist, shape, u_shape, u_size in params:
+                u = (theta[i : i + u_size].reshape(u_shape) if u_shape
+                     else theta[i])
                 t = dist.transform
                 out[name] = t.forward(u)
                 logdet = logdet + jnp.sum(t.log_det(u))
-                i += size
+                i += u_size
             for name, fn in deterministics:
                 out[name] = fn(out)
             return out, logdet
@@ -351,7 +470,7 @@ class Model:
         def logp(theta):
             values, logdet = unpack(theta)
             lp = logdet
-            for name, dist, shape, size in params:
+            for name, dist, shape, u_shape, u_size in params:
                 lp = lp + jnp.sum(dist.logpdf(values[name]))
             for name, dist_fn, data in observes:
                 lp = lp + jnp.sum(dist_fn(values).logpdf(data))
@@ -390,10 +509,11 @@ class Model:
         def unpack_values(theta):
             out = {}
             i = 0
-            for name, dist, shape, size in params:
-                u = theta[i : i + size].reshape(shape) if shape else theta[i]
+            for name, dist, shape, u_shape, u_size in params:
+                u = (theta[i : i + u_size].reshape(u_shape) if u_shape
+                     else theta[i])
                 out[name] = dist.transform.forward(u)
-                i += size
+                i += u_size
             for name, fn in deterministics:
                 out[name] = fn(out)
             return out
@@ -417,9 +537,10 @@ class Model:
     def prior_sample(self, key, n):
         """(n, D) UNCONSTRAINED draws from the priors (SMC-ready)."""
         cols = []
-        for j, (name, dist, shape, size) in enumerate(self._params):
+        for j, (name, dist, shape, u_shape, u_size) in enumerate(
+                self._params):
             k = jax.random.fold_in(key, j)
             x = dist.sample(k, (n,) + shape if shape else (n,))
             u = dist.transform.inverse(x)
-            cols.append(u.reshape(n, size))
+            cols.append(u.reshape(n, u_size))
         return jnp.concatenate(cols, axis=1)

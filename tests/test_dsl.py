@@ -207,3 +207,83 @@ def test_name_collision_across_kinds_rejected():
         Model().param("a", Normal()).observe(
             "a", lambda p: Normal(p["a"], 1.0), np.zeros(2)
         )
+
+
+# -- multivariate distributions ----------------------------------------------
+
+
+class TestStickBreaking:
+    def test_roundtrip_and_simplex(self):
+        from mcmcpp_tpu.dsl import StickBreaking
+
+        t = StickBreaking(5)
+        u = jax.random.normal(jax.random.key(0), (4,))
+        x = t.forward(u)
+        assert x.shape == (5,)
+        assert np.all(np.asarray(x) > 0)
+        assert float(jnp.sum(x)) == pytest.approx(1.0, abs=1e-6)
+        np.testing.assert_allclose(np.asarray(t.inverse(x)), np.asarray(u),
+                                   atol=1e-5)
+        # u = 0 -> uniform center
+        c = t.forward(jnp.zeros(4))
+        np.testing.assert_allclose(np.asarray(c), 0.2, atol=1e-6)
+
+    def test_log_det_matches_autodiff(self):
+        from mcmcpp_tpu.dsl import StickBreaking
+
+        t = StickBreaking(4)
+        u = jnp.asarray([0.3, -0.7, 1.1])
+        jac = jax.jacfwd(lambda v: t.forward(v)[:-1])(u)  # intrinsic coords
+        _, ref = jnp.linalg.slogdet(jac)
+        assert float(t.log_det(u)) == pytest.approx(float(ref), abs=1e-5)
+
+
+def test_dirichlet_conjugate_posterior():
+    """Dir(alpha) prior + multinomial counts n -> posterior Dir(alpha+n):
+    NUTS on the stick-broken space must recover the analytic mean."""
+    from mcmcpp_tpu.dsl import Dirichlet
+
+    alpha = np.array([2.0, 3.0, 1.5, 4.0])
+    counts = np.array([10.0, 4.0, 7.0, 20.0])
+    model = (
+        Model()
+        .param("p", Dirichlet(alpha), shape=(4,))
+        .likelihood(lambda v: jnp.sum(counts * jnp.log(v["p"])))
+    )
+    logp, dim, constrain = model.build()
+    assert dim == 3  # K-1 unconstrained dims
+    s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=0)
+    s.init_ball(np.zeros(dim), scale=0.3)
+    s.warmup(300)
+    s.run(800)
+    p = constrain(s.get_samples(flat=True))["p"]
+    post = alpha + counts
+    np.testing.assert_allclose(
+        p.mean(axis=0), post / post.sum(), atol=0.02
+    )
+    # prior_sample round-trips through the transform
+    u = model.prior_sample(jax.random.key(1), 512)
+    assert u.shape == (512, 3)
+    x = constrain(u)["p"]
+    np.testing.assert_allclose(
+        x.mean(axis=0), alpha / alpha.sum(), atol=0.07
+    )
+
+
+def test_mvnormal_prior_recovery():
+    from mcmcpp_tpu.dsl import MvNormal
+
+    mu = np.array([1.0, -1.0, 0.5])
+    a = np.array([[1.0, 0.0, 0.0], [0.6, 0.8, 0.0], [-0.3, 0.2, 0.7]])
+    cov = a @ a.T
+    model = Model().param("w", MvNormal(mu, cov=cov), shape=(3,))
+    logp, dim, constrain = model.build()
+    s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=2)
+    s.init_ball(mu, scale=0.5)
+    s.warmup(300)
+    s.run(1000)
+    w = constrain(s.get_samples(flat=True))["w"]
+    np.testing.assert_allclose(w.mean(axis=0), mu, atol=0.1)
+    np.testing.assert_allclose(np.cov(w.T), cov, atol=0.25)
+    with pytest.raises(ValueError, match="exactly one"):
+        MvNormal(mu, cov=cov, chol=a)
