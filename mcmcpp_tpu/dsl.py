@@ -135,6 +135,76 @@ class StickBreaking:
         )
 
 
+class CorrCholesky:
+    """R^{K(K-1)/2} -> lower-Cholesky factor of a correlation matrix.
+
+    Stan's canonical-partial-correlation construction: z = tanh(u) fills
+    the strict lower triangle row-wise; row i is built so its norm is 1:
+    L[i,j] = z_ij * sqrt(1 - sum_{k<j} L[i,k]^2), L[i,i] closes the row.
+    ``log_det`` (wrt the intrinsic K(K-1)/2 coordinates) is the tanh
+    Jacobian plus half-log of each remaining row mass.
+    """
+
+    def __init__(self, k):
+        self.k = int(k)
+        if self.k < 2:
+            raise ValueError("correlation matrix needs K >= 2")
+
+    def unconstrained_shape(self, shape):
+        if tuple(shape) != (self.k, self.k):
+            raise ValueError(
+                f"CorrCholesky({self.k}) requires shape "
+                f"({self.k}, {self.k}), got {tuple(shape)}"
+            )
+        return (self.k * (self.k - 1) // 2,)
+
+    def _rows(self, z):
+        """Build L rows from partial correlations z (flat, row-wise)."""
+        k = self.k
+        rows = [jnp.zeros((k,), z.dtype).at[0].set(1.0)]
+        idx = 0
+        for i in range(1, k):
+            row = jnp.zeros((k,), z.dtype)
+            mass = jnp.asarray(1.0, z.dtype)  # 1 - sum of squares so far
+            for j in range(i):
+                lij = z[idx + j] * jnp.sqrt(mass)
+                row = row.at[j].set(lij)
+                mass = mass - lij * lij
+            row = row.at[i].set(jnp.sqrt(jnp.maximum(mass, 0.0)))
+            rows.append(row)
+            idx += i
+        return jnp.stack(rows)
+
+    def forward(self, u):
+        return self._rows(jnp.tanh(u))
+
+    def inverse(self, L):
+        L = jnp.asarray(L)
+        zs = []
+        for i in range(1, self.k):
+            mass = jnp.asarray(1.0, L.dtype)
+            for j in range(i):
+                lij = L[i, j]
+                z = lij / jnp.sqrt(mass)
+                zs.append(jnp.arctanh(z))
+                mass = mass - lij * lij
+        return jnp.stack(zs)
+
+    def log_det(self, u):
+        z = jnp.tanh(u)
+        # tanh jacobian: log(1 - z^2) per coordinate
+        ld = jnp.sum(jnp.log1p(-z * z))
+        idx = 0
+        for i in range(1, self.k):
+            mass = jnp.asarray(1.0, u.dtype)
+            for j in range(i):
+                ld = ld + 0.5 * jnp.log(mass)
+                lij = z[idx + j] * jnp.sqrt(mass)
+                mass = mass - lij * lij
+            idx += i
+        return ld
+
+
 # -- distributions -----------------------------------------------------------
 
 
@@ -333,6 +403,47 @@ class Dirichlet(Distribution):
         if not shape or shape[-1] != k:
             raise ValueError(f"output shape must end in event dim {k}")
         return jax.random.dirichlet(key, self.concentration, shape[:-1])
+
+
+class LKJCholesky(Distribution):
+    """LKJ prior on correlation-matrix Cholesky factors; declare with
+    ``shape=(K, K)``. ``eta=1`` is uniform over correlation matrices;
+    ``eta>1`` concentrates toward identity.
+
+    log density (up to a constant): sum_{i=1..K-1} (K - 1 - i + 2*eta - 2)
+    * log L[i,i]. Sampling uses the C-vine construction (Lewandowski,
+    Kurowicka & Joe 2009): partial correlations in vine level j are
+    2*Beta(b_j, b_j) - 1 with b_j = eta + (K - 2 - j)/2.
+    """
+
+    def __init__(self, k, eta=1.0):
+        self.k = int(k)
+        self.eta = float(eta)
+        self.transform = CorrCholesky(self.k)
+
+    def logpdf(self, L):
+        i = jnp.arange(1, self.k)
+        diag = jnp.diagonal(L)[1:]
+        expo = (self.k - 1 - i) + 2.0 * self.eta - 2.0
+        return jnp.sum(expo * jnp.log(diag))
+
+    def sample(self, key, shape=()):
+        k = self.k
+        if shape[-2:] != (k, k):
+            raise ValueError(f"output shape must end in ({k}, {k})")
+        batch = shape[:-2]
+        zs = []
+        for i in range(1, k):
+            for j in range(i):
+                b = self.eta + (k - 2 - j) / 2.0
+                kk = jax.random.fold_in(key, i * k + j)
+                beta = jax.random.beta(kk, b, b, batch)
+                zs.append(2.0 * beta - 1.0)
+        z = jnp.stack(zs, axis=-1)  # (*batch, K(K-1)/2)
+        build = self.transform._rows
+        for _ in batch:
+            build = jax.vmap(build)
+        return build(z)
 
 
 # -- model -------------------------------------------------------------------

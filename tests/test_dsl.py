@@ -287,3 +287,65 @@ def test_mvnormal_prior_recovery():
     np.testing.assert_allclose(np.cov(w.T), cov, atol=0.25)
     with pytest.raises(ValueError, match="exactly one"):
         MvNormal(mu, cov=cov, chol=a)
+
+
+class TestLKJ:
+    def test_corr_cholesky_roundtrip_and_validity(self):
+        from mcmcpp_tpu.dsl import CorrCholesky
+
+        t = CorrCholesky(4)
+        u = jax.random.normal(jax.random.key(0), (6,)) * 0.8
+        L = t.forward(u)
+        # valid correlation Cholesky: unit row norms, positive diagonal,
+        # upper triangle zero
+        np.testing.assert_allclose(
+            np.sum(np.asarray(L) ** 2, axis=1), 1.0, atol=1e-6
+        )
+        assert np.all(np.diagonal(L) > 0)
+        assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
+        r = np.asarray(L @ L.T)
+        np.testing.assert_allclose(np.diagonal(r), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t.inverse(L)), np.asarray(u),
+                                   atol=1e-5)
+
+    def test_log_det_matches_autodiff(self):
+        from mcmcpp_tpu.dsl import CorrCholesky
+
+        t = CorrCholesky(3)
+        u = jnp.asarray([0.4, -0.9, 0.2])
+        # intrinsic coords = strict lower triangle entries of L
+        tril = jnp.tril_indices(3, -1)
+        jac = jax.jacfwd(lambda v: t.forward(v)[tril])(u)
+        _, ref = jnp.linalg.slogdet(jac)
+        assert float(t.log_det(u)) == pytest.approx(float(ref), abs=1e-5)
+
+    def test_eta1_k2_uniform_correlation(self):
+        """K=2, eta=1: the correlation r is uniform on (-1, 1) — both in
+        direct sampling and in NUTS draws from the prior density."""
+        from mcmcpp_tpu.dsl import LKJCholesky
+
+        d = LKJCholesky(2, eta=1.0)
+        Ls = d.sample(jax.random.key(1), (4000, 2, 2))
+        r = np.asarray(Ls[:, 1, 0])
+        assert abs(r.mean()) < 0.06
+        assert abs((r**2).mean() - 1.0 / 3.0) < 0.04  # Var uniform = 1/3
+
+        model = Model().param("L", d, shape=(2, 2))
+        logp, dim, constrain = model.build()
+        assert dim == 1
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=3)
+        s.init_ball(np.zeros(dim), scale=0.5)
+        s.warmup(300)
+        s.run(1500)
+        L = constrain(s.get_samples(flat=True))["L"]
+        r2 = L[:, 1, 0]
+        assert abs(r2.mean()) < 0.08
+        assert abs((r2**2).mean() - 1.0 / 3.0) < 0.05
+
+    def test_eta_large_concentrates_identity(self):
+        from mcmcpp_tpu.dsl import LKJCholesky
+
+        d = LKJCholesky(3, eta=50.0)
+        Ls = d.sample(jax.random.key(2), (2000, 3, 3))
+        off = np.asarray(Ls)[:, 1, 0]
+        assert np.abs(off).mean() < 0.15  # tight around 0
