@@ -101,16 +101,31 @@ def autocorr_time(
         )
         arr = arr[:, idx, :]
         w = arr.shape[1]
-    # fold parameters into the batch axis: ONE FFT launch per row-chunk
-    # instead of one per parameter (each row is one walker's series)
-    chunk = int(walker_chunk) if walker_chunk else w * p
-    rows = np.ascontiguousarray(np.transpose(arr, (2, 1, 0)).reshape(p * w, s))
-    acc = np.zeros((p, s), np.float64)
-    for lo in range(0, p * w, chunk):
-        blk = jnp.asarray(rows[lo : lo + chunk], jnp.float32)
-        out = np.asarray(_norm_autocov_fft(blk), np.float64)
-        np.add.at(acc, np.arange(lo, lo + out.shape[0]) // w, out)
     taus = np.empty((p,))
-    for param in range(p):
-        taus[param] = _sokal_window_tau(acc[param] / w, window_scaling)
+    if walker_chunk:
+        # memory-bounded path: per-(param, walker-chunk) slices only —
+        # callers pass walker_chunk precisely because the chain is near
+        # host RAM, so never build a second full-size transposed copy
+        chunk = int(walker_chunk)
+        for param in range(p):
+            acc = np.zeros((s,), np.float64)
+            for lo in range(0, w, chunk):
+                blk = jnp.asarray(arr[:, lo : lo + chunk, param].T,
+                                  jnp.float32)
+                acc += np.asarray(_norm_autocov_fft(blk), np.float64).sum(
+                    axis=0
+                )
+            taus[param] = _sokal_window_tau(acc / w, window_scaling)
+    else:
+        # throughput path: fold params into the batch axis — ONE FFT
+        # launch over p*w rows (costs one transposed host copy)
+        rows = np.ascontiguousarray(
+            np.transpose(arr, (2, 1, 0)).reshape(p * w, s)
+        )
+        out = np.asarray(
+            _norm_autocov_fft(jnp.asarray(rows, jnp.float32)), np.float64
+        )
+        rho = out.reshape(p, w, s).mean(axis=1)
+        for param in range(p):
+            taus[param] = _sokal_window_tau(rho[param], window_scaling)
     return float(taus[0]) if squeeze else taus

@@ -104,11 +104,16 @@ class StreamingACT:
 
     def consume_chain(self, chain):
         """``chunk_action``-compatible: fold in only the chain rows appended
-        since the last call (``run_mcmc(chunk_action=act.consume_chain)``)."""
-        arr = chain.get()
-        if arr.shape[0] > self._consumed:
-            self.update(arr[self._consumed:])
-            self._consumed = arr.shape[0]
+        since the last call (``run_mcmc(chunk_action=act.consume_chain)``).
+
+        Reads via ``get(burn_in=consumed)`` so only the NEW rows
+        materialize — with a DiskChain spool this stays O(new rows), not
+        O(history), per call.
+        """
+        n = chain.n_steps
+        if n > self._consumed:
+            self.update(chain.get(burn_in=self._consumed))
+            self._consumed = n
         return self
 
     def normalized_autocov(self):

@@ -25,12 +25,15 @@ class DiskChain:
     _MANIFEST = "manifest.json"
 
     def __init__(self, directory, n_walkers, n_params, dtype=np.float32,
-                 max_bytes=1 << 40):
+                 max_bytes=None):
         self.dir = Path(directory)
         self.n_walkers = int(n_walkers)
         self.n_params = int(n_params)
         self.dtype = np.dtype(dtype)
-        self.max_bytes = int(max_bytes)
+        # None = default 1 TiB for new spools, manifest value on reopen;
+        # an explicit cap always wins
+        self._explicit_max = max_bytes is not None
+        self.max_bytes = int(max_bytes) if self._explicit_max else (1 << 40)
         self.dir.mkdir(parents=True, exist_ok=True)
         self._blocks = []  # list of (filename, steps)
         self._bytes = 0
@@ -48,6 +51,7 @@ class DiskChain:
             "n_walkers": self.n_walkers,
             "n_params": self.n_params,
             "dtype": self.dtype.name,
+            "max_bytes": self.max_bytes,
             "blocks": self._blocks,
             "next_id": self._next_id,
         }
@@ -66,13 +70,18 @@ class DiskChain:
                 f"({self.n_walkers}, {self.n_params})"
             )
         self.dtype = np.dtype(meta["dtype"])
+        # resume with the cap the spool was created with (EndOfChain
+        # semantics must survive reopen) unless the caller overrode it
+        if not self._explicit_max and "max_bytes" in meta:
+            self.max_bytes = int(meta["max_bytes"])
         self._blocks = [tuple(b) for b in meta["blocks"]]
         self._next_id = int(meta["next_id"])
         self._bytes = sum(s * self._row_bytes() for _, s in self._blocks)
 
     @classmethod
     def open(cls, directory):
-        """Reopen an existing spool directory (resume/analysis)."""
+        """Reopen an existing spool directory (resume/analysis); the byte
+        cap is restored from the manifest."""
         meta = json.loads((Path(directory) / cls._MANIFEST).read_text())
         return cls(directory, meta["n_walkers"], meta["n_params"],
                    dtype=meta["dtype"])
@@ -180,29 +189,37 @@ class DiskChain:
 
     def compact(self, burn_in=0, thin=1):
         """In-place burn+thin (≙ ``resetChainForSubSampling``): rewrite the
-        spool block-by-block (never materializing the whole chain), then
-        swap atomically."""
+        spool block-by-block (never materializing the whole chain). The
+        manifest replacement is the atomic commit point — a crash at any
+        moment leaves a manifest whose listed blocks all exist (old set
+        before the commit, new set after; stray files are garbage, not
+        data loss)."""
         burn_in, thin = int(burn_in), int(thin)
         tmp = self.dir.with_name(self.dir.name + ".compact-tmp")
         if tmp.exists():
             shutil.rmtree(tmp)
         fresh = DiskChain(tmp, self.n_walkers, self.n_params,
                           dtype=self.dtype, max_bytes=self.max_bytes)
+        fresh._next_id = self._next_id  # new names never collide with live
         seen = 0
         for pos, lp in zip(self.iter_blocks(), self.iter_blocks(logp=True)):
             sl = self._block_slice(seen, pos.shape[0], burn_in, thin)
             if sl is not None:
                 fresh.append(np.asarray(pos[sl]), np.asarray(lp[sl]))
             seen += pos.shape[0]
-        # swap block files + manifest into place
-        self.clear()
-        for name, steps in fresh._blocks:
+        old_blocks = list(self._blocks)
+        # stage the new blocks alongside the old, then COMMIT via the
+        # manifest, then garbage-collect the old files
+        for name, _ in fresh._blocks:
             os.replace(tmp / f"{name}.npy", self.dir / f"{name}.npy")
             os.replace(tmp / f"{name}_logp.npy",
                        self.dir / f"{name}_logp.npy")
         self._blocks = fresh._blocks
         self._bytes = fresh._bytes
         self._next_id = fresh._next_id
-        self._write_manifest()
+        self._write_manifest()  # <- commit point (atomic os.replace inside)
+        for name, _ in old_blocks:
+            (self.dir / f"{name}.npy").unlink(missing_ok=True)
+            (self.dir / f"{name}_logp.npy").unlink(missing_ok=True)
         shutil.rmtree(tmp)
         return self

@@ -69,6 +69,11 @@ def run_until_converged(
         samples = sampler.get_samples()
         n_stored = samples.shape[0]
         if n_stored < 8:
+            if not ok:  # chain capacity reached before anything usable
+                return ConvergenceReport(
+                    False, done, n_stored, report.tau, report.rhat,
+                    checks, "chain capacity reached",
+                )
             continue
         tau = np.atleast_1d(analysis.autocorr_time(
             samples, window_scaling=window_scaling

@@ -179,16 +179,17 @@ class CorrCholesky:
         return self._rows(jnp.tanh(u))
 
     def inverse(self, L):
+        # batch-aware (leading axes broadcast): prior_sample feeds (n, K, K)
         L = jnp.asarray(L)
         zs = []
         for i in range(1, self.k):
-            mass = jnp.asarray(1.0, L.dtype)
+            mass = jnp.ones(L.shape[:-2], L.dtype)
             for j in range(i):
-                lij = L[i, j]
+                lij = L[..., i, j]
                 z = lij / jnp.sqrt(mass)
                 zs.append(jnp.arctanh(z))
                 mass = mass - lij * lij
-        return jnp.stack(zs)
+        return jnp.stack(zs, axis=-1)
 
     def log_det(self, u):
         z = jnp.tanh(u)

@@ -97,7 +97,8 @@ class ParallelTemperingSampler:
 
     def __init__(self, logp_fn, n_walkers, n_params, n_temps=8, betas=None,
                  mover=None, seed=0, dtype=jnp.float32, swap_every=1,
-                 max_chain_bytes=2 << 30, batched=False, mesh=None):
+                 max_chain_bytes=2 << 30, batched=False, mesh=None,
+                 chain=None):
         if n_walkers % 2:
             raise ValueError("n_walkers must be even")
         self.n_walkers = int(n_walkers)
@@ -117,11 +118,18 @@ class ParallelTemperingSampler:
         self._step_epoch = 0
         self._epoch_key = jax.random.fold_in(self._step_key, 0)
         self.state = None
-        self.chain = Chain(
-            n_walkers=self.n_walkers, n_params=self.n_params,
-            max_bytes=max_chain_bytes,
-            dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
-        )
+        if chain is not None:
+            if (chain.n_walkers, chain.n_params) != (
+                self.n_walkers, self.n_params,
+            ):
+                raise ValueError("injected chain store geometry mismatch")
+            self.chain = chain
+        else:
+            self.chain = Chain(
+                n_walkers=self.n_walkers, n_params=self.n_params,
+                max_bytes=max_chain_bytes,
+                dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
+            )
         self._run_cache = {}
         self._swaps_acc_host = np.zeros(self.n_temps - 1, np.int64)
         self._swaps_prop_host = np.zeros(self.n_temps - 1, np.int64)
@@ -335,3 +343,7 @@ class ParallelTemperingSampler:
     def get_samples(self, burn_in=0, thin=1, flat=False):
         """Cold-chain (β=1) samples."""
         return self.chain.get(burn_in=burn_in, thin=thin, flat=flat)
+
+    def get_log_probs(self, burn_in=0, thin=1, flat=False):
+        """Cold-chain RAW log-posteriors (stored untempered)."""
+        return self.chain.get_logp(burn_in=burn_in, thin=thin, flat=flat)

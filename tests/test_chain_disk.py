@@ -88,3 +88,53 @@ def test_sampler_injection_end_to_end(tmp_path):
     with pytest.raises(ValueError, match="geometry"):
         EnsembleSampler(skewed_gaussian_logp, 64, 2,
                         chain=DiskChain(tmp_path / "bad", 32, 2))
+
+
+def test_open_restores_byte_cap(tmp_path):
+    """max_bytes must survive reopen (EndOfChain semantics on resume)."""
+    cap = 5 * 4 * 3 * 4  # 5 rows
+    d = DiskChain(tmp_path / "c", 4, 2, max_bytes=cap)
+    d.append(np.zeros((3, 4, 2)))
+    d2 = DiskChain.open(tmp_path / "c")
+    assert d2.max_bytes == cap
+    assert not d2.append(np.zeros((8, 4, 2)))  # cap still enforced
+    # explicit override wins
+    d3 = DiskChain(tmp_path / "c", 4, 2, max_bytes=10 * cap)
+    assert d3.max_bytes == 10 * cap
+
+
+def test_tempering_accepts_disk_chain(tmp_path):
+    from mcmcpp_tpu import ParallelTemperingSampler
+
+    from tests.targets import skewed_gaussian_logp
+
+    s = ParallelTemperingSampler(
+        skewed_gaussian_logp, n_walkers=16, n_params=2, n_temps=3, seed=1,
+        chain=DiskChain(tmp_path / "pt", 16, 2),
+    )
+    s.init_ball(np.zeros(2), scale=0.3)
+    s.run_mcmc(25)
+    assert s.chain.backend == "disk"
+    assert s.get_samples().shape == (25, 16, 2)
+    assert s.get_log_probs().shape == (25, 16)
+
+
+def test_streaming_act_consume_disk_chain(tmp_path):
+    """consume_chain must fold in only new rows, staying correct across
+    multiple appends on a disk spool."""
+    from mcmcpp_tpu.analysis import StreamingACT, autocorr_time
+
+    rng = np.random.default_rng(0)
+    phi = 0.8
+    S, W = 4000, 8
+    x = np.zeros((S, W, 1))
+    for t in range(1, S):
+        x[t] = phi * x[t - 1] + np.sqrt(1 - phi**2) * rng.normal(size=(W, 1))
+    d = DiskChain(tmp_path / "c", W, 1)
+    act = StreamingACT(max_lag=256)
+    for i in range(0, S, 700):
+        d.append(x[i : i + 700])
+        act.consume_chain(d)
+    tau_online = act.autocorr_time()
+    tau_batch = autocorr_time(d.get())
+    np.testing.assert_allclose(tau_online[0], tau_batch, rtol=0.02)

@@ -75,3 +75,15 @@ def test_bad_args_rejected():
         run_until_converged(s, max_steps=0)
     with pytest.raises(ValueError):
         run_until_converged(s, max_steps=10, check_every=0)
+
+
+def test_capacity_reached_before_usable_chain():
+    """Chain byte cap hit while < 8 rows stored: must report capacity, not
+    burn the whole budget (review regression)."""
+    mover = AutoRegressiveMove(offsets=[0.0], phis=[0.5], variances=[1.0])
+    s = EnsembleSampler(_dummy_logp, 32, 1, mover=mover, seed=2,
+                        max_chain_bytes=4 * 32 * 2 * 4)  # 4 rows
+    s.set_initial_walker_pos(mover.initial_positions(jax.random.key(2), 32))
+    rep = run_until_converged(s, max_steps=50000, check_every=100)
+    assert rep.reason == "chain capacity reached"
+    assert rep.steps_run <= 200  # stopped at the first capacity signal

@@ -349,3 +349,21 @@ class TestLKJ:
         Ls = d.sample(jax.random.key(2), (2000, 3, 3))
         off = np.asarray(Ls)[:, 1, 0]
         assert np.abs(off).mean() < 0.15  # tight around 0
+
+
+def test_lkj_prior_sample_batched():
+    """prior_sample with an LKJ param: CorrCholesky.inverse must handle the
+    (n, K, K) batch (review regression)."""
+    from mcmcpp_tpu.dsl import LKJCholesky
+
+    model = (
+        Model()
+        .param("mu", Normal(0.0, 1.0))
+        .param("L", LKJCholesky(3, eta=2.0), shape=(3, 3))
+    )
+    u = model.prior_sample(jax.random.key(0), 17)
+    assert u.shape == (17, 1 + 3)
+    _, _, constrain = model.build()
+    L = constrain(u)["L"]
+    assert L.shape == (17, 3, 3)
+    np.testing.assert_allclose(np.sum(L**2, axis=-1), 1.0, atol=1e-5)

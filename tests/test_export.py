@@ -54,3 +54,16 @@ def test_named_export_via_model_with_ppc():
         d["posterior"]["sigma"] / d["posterior"]["mu"], rtol=1e-5,
     )
     assert d["posterior_predictive"]["y"].shape == (8, 60, 4)
+
+
+def test_tempering_export():
+    """ParallelTemperingSampler must export (get_log_probs regression)."""
+    from mcmcpp_tpu import ParallelTemperingSampler
+
+    s = ParallelTemperingSampler(skewed_gaussian_logp, n_walkers=16,
+                                 n_params=2, n_temps=3, seed=0)
+    s.init_ball(np.zeros(2), scale=0.3)
+    s.run_mcmc(30)
+    d = to_inference_dict(s)
+    assert d["posterior"]["theta"].shape == (16, 30, 2)
+    assert d["sample_stats"]["lp"].shape == (16, 30)
