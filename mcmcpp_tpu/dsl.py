@@ -406,6 +406,72 @@ class Dirichlet(Distribution):
         return jax.random.dirichlet(key, self.concentration, shape[:-1])
 
 
+class Bernoulli(Distribution):
+    """Bernoulli over {0, 1}; give exactly one of probs/logits. Discrete —
+    for ``observe`` sites and posterior predictive, not as a ``param``."""
+
+    def __init__(self, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs= or logits=")
+        self.logits = (logits if logits is not None
+                       else jnp.log(probs) - jnp.log1p(-jnp.asarray(probs)))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        return x * jax.nn.log_sigmoid(self.logits) + (
+            1.0 - x
+        ) * jax.nn.log_sigmoid(-self.logits)
+
+    def sample(self, key, shape=()):
+        return jax.random.bernoulli(
+            key, jax.nn.sigmoid(self.logits), shape
+        ).astype(jnp.float32)
+
+
+class Poisson(Distribution):
+    """Poisson counts; ``rate`` > 0. Discrete — for ``observe`` sites."""
+
+    def __init__(self, rate):
+        self.rate = rate
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        return (x * jnp.log(self.rate) - self.rate
+                - jax.scipy.special.gammaln(x + 1.0))
+
+    def sample(self, key, shape=()):
+        return jax.random.poisson(key, self.rate, shape).astype(jnp.float32)
+
+
+class Binomial(Distribution):
+    """Binomial(n, p); give exactly one of probs/logits. Discrete — for
+    ``observe`` sites."""
+
+    def __init__(self, n, probs=None, logits=None):
+        self.n = n
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs= or logits=")
+        self.logits = (logits if logits is not None
+                       else jnp.log(probs) - jnp.log1p(-jnp.asarray(probs)))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        n = jnp.asarray(self.n, x.dtype)
+        comb = (jax.scipy.special.gammaln(n + 1.0)
+                - jax.scipy.special.gammaln(x + 1.0)
+                - jax.scipy.special.gammaln(n - x + 1.0))
+        return (comb + x * jax.nn.log_sigmoid(self.logits)
+                + (n - x) * jax.nn.log_sigmoid(-self.logits))
+
+    def sample(self, key, shape=()):
+        p = jax.nn.sigmoid(self.logits)
+        n = int(self.n) if np.ndim(self.n) == 0 else None
+        if n is None:
+            raise ValueError("sampling requires a scalar static n")
+        u = jax.random.uniform(key, (n,) + tuple(shape))
+        return jnp.sum(u < p, axis=0).astype(jnp.float32)
+
+
 class LKJCholesky(Distribution):
     """LKJ prior on correlation-matrix Cholesky factors; declare with
     ``shape=(K, K)``. ``eta=1`` is uniform over correlation matrices;

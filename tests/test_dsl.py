@@ -367,3 +367,67 @@ def test_lkj_prior_sample_batched():
     L = constrain(u)["L"]
     assert L.shape == (17, 3, 3)
     np.testing.assert_allclose(np.sum(L**2, axis=-1), 1.0, atol=1e-5)
+
+
+class TestDiscreteObservations:
+    def test_gamma_poisson_conjugate(self):
+        """rate ~ Gamma(a, b), y_i ~ Poisson(rate): posterior is exactly
+        Gamma(a + sum y, b + n)."""
+        from mcmcpp_tpu.dsl import Poisson
+
+        rng = np.random.default_rng(0)
+        y = rng.poisson(4.0, size=40).astype(np.float64)
+        a, b = 2.0, 0.5
+        model = (
+            Model()
+            .param("rate", Gamma(a, b))
+            .observe("y", lambda p: Poisson(p["rate"]), y)
+        )
+        logp, dim, constrain = model.build()
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=1)
+        s.init_ball(np.ones(dim), scale=0.2)
+        s.warmup(300)
+        s.run(800)
+        rate = constrain(s.get_samples(flat=True))["rate"]
+        a_n, b_n = a + y.sum(), b + len(y)
+        assert rate.mean() == pytest.approx(a_n / b_n, rel=0.03)
+        assert rate.std() == pytest.approx(np.sqrt(a_n) / b_n, rel=0.15)
+        # posterior predictive: counts with the right mean
+        rep = model.posterior_predictive(
+            jax.random.key(2), s.get_samples(flat=True)[:500]
+        )["y"]
+        assert rep.shape == (500, 40)
+        assert rep.mean() == pytest.approx(a_n / b_n, rel=0.1)
+
+    def test_bernoulli_beta_conjugate(self):
+        from mcmcpp_tpu.dsl import Bernoulli
+
+        y = np.array([1, 1, 0, 1, 0, 1, 1, 1, 0, 1], np.float64)
+        model = (
+            Model()
+            .param("p", Beta(1.0, 1.0))
+            .observe("y", lambda v: Bernoulli(probs=v["p"]), y)
+        )
+        logp, dim, constrain = model.build()
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=3)
+        s.init_ball(np.zeros(dim), scale=0.5)
+        s.warmup(200)
+        s.run(600)
+        p = constrain(s.get_samples(flat=True))["p"]
+        a_n, b_n = 1 + y.sum(), 1 + (len(y) - y.sum())
+        assert p.mean() == pytest.approx(a_n / (a_n + b_n), abs=0.02)
+
+    def test_binomial_matches_scipy(self):
+        from scipy import stats as sstats
+
+        from mcmcpp_tpu.dsl import Binomial
+
+        d = Binomial(20, probs=0.3)
+        for k in (0.0, 5.0, 20.0):
+            assert float(d.logpdf(k)) == pytest.approx(
+                sstats.binom.logpmf(k, 20, 0.3), rel=1e-5
+            )
+        x = np.asarray(d.sample(jax.random.key(0), (4000,)))
+        assert x.mean() == pytest.approx(6.0, rel=0.05)
+        with pytest.raises(ValueError, match="exactly one"):
+            Binomial(10)
