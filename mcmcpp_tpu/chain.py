@@ -21,6 +21,51 @@ path is the always-available fallback with identical semantics.
 import numpy as np
 
 
+def fetch_addressable(arr, walker_axis):
+    """Host-fetch an array that may span non-addressable devices.
+
+    Fully-addressable (single-host) arrays round-trip through
+    ``np.asarray``. Under multi-host SPMD each process assembles only ITS
+    walker shards (deduplicated, ordered by global offset) — chains are
+    stored per host (see parallel/distributed.py).
+    """
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    parts = {}
+    for s in arr.addressable_shards:
+        sl = s.index[walker_axis]
+        start = 0 if sl.start is None else int(sl.start)
+        if start not in parts:
+            parts[start] = np.asarray(s.data)
+    return np.concatenate([parts[k] for k in sorted(parts)], axis=walker_axis)
+
+
+def append_device_chunk(chain, pos, logp):
+    """Shared multi-host-safe store path for ALL engine drivers.
+
+    Fetches (S, W, P)/(S, W) device chunks — only the addressable walker
+    shards under multi-host SPMD — and appends them to ``chain``. If the
+    local shard width differs from the chain's configured width (first
+    append of a multi-host run), the chain is rebuilt at the local width.
+    Returns ``(chain, ok)`` where ok=False means the byte cap was hit
+    (≙ IncrementStatus::EndOfChain, ``MCMCpp/Chain/Chain.h:230-234``).
+    """
+    pos_np = fetch_addressable(pos, walker_axis=1)
+    logp_np = fetch_addressable(logp, walker_axis=1)
+    if pos_np.shape[1] != chain.n_walkers:
+        if chain.n_steps:
+            raise RuntimeError(
+                "chain walker width changed mid-run (sharding changed?)"
+            )
+        chain = Chain(
+            n_walkers=pos_np.shape[1],
+            n_params=chain.n_params,
+            max_bytes=chain.max_bytes,
+            dtype=chain.dtype,
+        )
+    return chain, chain.append(pos_np, logp_np)
+
+
 def default_chunk_steps(n_rows, n_params, dtype, budget_bytes=64 << 20):
     """Steps per device->host chunk bounding scan output to ~budget_bytes.
 

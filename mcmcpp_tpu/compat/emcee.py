@@ -11,11 +11,12 @@ mirrors the emcee v3 surface — constructor argument order, ``run_mcmc``,
 Deliberate differences (documented, not silent):
 - ``log_prob_fn`` must be JAX-traceable (it is jit/vmapped on device); pure
   NumPy callables won't trace.
-- ``acceptance_fraction`` returns the ensemble-aggregate fraction
-  broadcast to per-walker shape (the device counters aggregate over the
-  ensemble; per-walker bookkeeping would serialize the hot loop).
 - ``moves`` accepts this package's mover classes, e.g.
   ``[(StretchMove(a=2.0), 0.7), (DESnookerMove(), 0.3)]``.
+
+``acceptance_fraction`` is REAL per-walker data (the sampler carries
+per-walker accept counters on device, ≙ ``MCMCpp/Walker/Walker.h:111-122``),
+so a stuck walker is visible exactly as it would be in emcee.
 """
 
 from typing import NamedTuple
@@ -118,8 +119,9 @@ class EnsembleSampler:
 
     @property
     def acceptance_fraction(self):
-        """(nwalkers,) — aggregate fraction broadcast (see module note)."""
-        return np.full(self.nwalkers, float(self._s.acceptance_fraction))
+        """(nwalkers,) — true per-walker acceptance fractions (walker i is
+        the i-th row of the initial coords, as in emcee)."""
+        return np.asarray(self._s.per_walker_acceptance, np.float64)
 
     def reset(self):
         self._s.reset()

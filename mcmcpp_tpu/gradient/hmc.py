@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mcmcpp_tpu.chain import Chain
+from mcmcpp_tpu.chain import Chain, append_device_chunk
 
 
 class HMCState(NamedTuple):
@@ -327,6 +327,17 @@ class GradientSampler:
 
         return default_chunk_steps(self.n_chains, self.n_params, self.dtype)
 
+    def _get_run_fn(self, take, thin):
+        fn = self._run_cache.get((take, thin))
+        if fn is None:
+            fn = jax.jit(
+                lambda state, key, ss, im, t=take, th=thin: self._run_scan(
+                    state, key, ss, im, t, th
+                )
+            )
+            self._run_cache[(take, thin)] = fn
+        return fn
+
     def run(self, n_steps, thin=1):
         """Sample ``n_steps`` post-warmup transitions, storing every thin-th.
 
@@ -334,6 +345,12 @@ class GradientSampler:
         (subsequent samples are NOT silently dropped). ``n_steps % thin``
         leftover steps still advance the state (unstored), matching the
         ensemble sampler.
+
+        The store loop pipelines like the ensemble driver (sampler.py):
+        chunk k is launched before chunk k-1's device->host fetch, so long
+        NUTS runs overlap compute with the D2H copy instead of blocking on
+        ``np.asarray`` per chunk. Under multi-host SPMD each process stores
+        only its chain-axis shard (chain.append_device_chunk).
         """
         if self.state is None:
             raise RuntimeError("call init/init_ball first")
@@ -347,34 +364,41 @@ class GradientSampler:
         done = 0
         acc_sum, acc_n = 0.0, 0
         ok = True
-        while done < n_store:
-            take = min(chunk, n_store - done)
-            fn = self._run_cache.get((take, thin))
-            if fn is None:
-                fn = jax.jit(
-                    lambda state, key, ss, im, t=take: self._run_scan(
-                        state, key, ss, im, t, thin
-                    )
+        pending = None  # chunk k-1's device futures
+
+        def fetch(chunk_data):
+            nonlocal acc_sum, acc_n
+            p_pos, p_lp, p_acc, p_take = chunk_data
+            self.chain, appended = append_device_chunk(self.chain, p_pos, p_lp)
+            acc_sum += float(p_acc) * p_take
+            acc_n += p_take
+            return appended
+
+        while done < n_store or pending is not None:
+            if done < n_store:
+                take = min(chunk, n_store - done)
+                fn = self._get_run_fn(take, thin)
+                self._key, run_key = jax.random.split(self._key)
+                # async dispatch: launch chunk k before fetching chunk k-1
+                self.state, pos, lp, acc = fn(
+                    self.state, run_key, step_vec, self.inv_mass
                 )
-                self._run_cache[(take, thin)] = fn
-            self._key, run_key = jax.random.split(self._key)
-            state, pos, lp, acc = fn(self.state, run_key, step_vec, self.inv_mass)
-            self.state = state
-            acc_sum += float(acc) * take
-            acc_n += take
-            done += take
-            if not self.chain.append(np.asarray(pos), np.asarray(lp)):
+                done += take
+                launched = (pos, lp, acc, take)
+            else:
+                launched = None
+            if pending is not None and not fetch(pending):
                 ok = False
+                if launched is not None:
+                    # the launched chunk still advanced the state; keep its
+                    # acceptance statistics even though it can't be stored
+                    acc_sum += float(launched[2]) * launched[3]
+                    acc_n += launched[3]
+                pending = None
                 break
-        if leftover:
-            fn = self._run_cache.get((1, leftover))
-            if fn is None:
-                fn = jax.jit(
-                    lambda state, key, ss, im, t=leftover: self._run_scan(
-                        state, key, ss, im, 1, t
-                    )
-                )
-                self._run_cache[(1, leftover)] = fn
+            pending = launched
+        if ok and leftover:
+            fn = self._get_run_fn(1, leftover)
             self._key, run_key = jax.random.split(self._key)
             state, _, _, acc = fn(self.state, run_key, step_vec, self.inv_mass)
             self.state = state

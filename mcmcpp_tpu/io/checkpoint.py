@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: per-walker accept counters (round 2)
 
 
 def _key_data(key):
@@ -59,7 +59,7 @@ def save_checkpoint(sampler, path):
         meta.update(
             kind="ensemble",
             n_walkers=sampler.n_walkers,
-            accepted_host=sampler._accepted_host,
+            accepted_global_host=sampler._accepted_global_host,
             steps_host=sampler._steps_host,
             reset_step_base=getattr(sampler, "_reset_step_base", 0),
             step_epoch=getattr(sampler, "_step_epoch", 0),
@@ -70,7 +70,14 @@ def save_checkpoint(sampler, path):
         arrays.update(
             red=np.asarray(s.red), black=np.asarray(s.black),
             logp_red=np.asarray(s.logp_red), logp_black=np.asarray(s.logp_black),
-            accepted=np.asarray(s.accepted), step=np.asarray(s.step),
+            accepted_red=np.asarray(s.accepted_red),
+            accepted_black=np.asarray(s.accepted_black),
+            step=np.asarray(s.step),
+            accepted_walkers_host=(
+                sampler._accepted_walkers_host
+                if sampler._accepted_walkers_host is not None
+                else np.zeros((0,), np.int64)
+            ),
             key=_key_data(sampler._key),
             chain_samples=sampler.chain.get(),
             chain_logp=sampler.chain.get_logp(),
@@ -137,7 +144,8 @@ def load_checkpoint(sampler, path):
             black=jnp.asarray(arrays["black"]),
             logp_red=jnp.asarray(arrays["logp_red"]),
             logp_black=jnp.asarray(arrays["logp_black"]),
-            accepted=jnp.asarray(arrays["accepted"]),
+            accepted_red=jnp.asarray(arrays["accepted_red"]),
+            accepted_black=jnp.asarray(arrays["accepted_black"]),
             step=jnp.asarray(arrays["step"]),
         )
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
@@ -145,7 +153,11 @@ def load_checkpoint(sampler, path):
         sampler._step_epoch = int(meta.get("step_epoch", 0))
         sampler._epoch_base_steps = int(meta.get("epoch_base_steps", 0))
         sampler._rebuild_step_fn()
-        sampler._accepted_host = int(meta["accepted_host"])
+        sampler._accepted_global_host = int(meta["accepted_global_host"])
+        awh = arrays["accepted_walkers_host"]
+        sampler._accepted_walkers_host = (
+            awh.astype(np.int64) if awh.shape[0] else None
+        )
         sampler._steps_host = int(meta["steps_host"])
         sampler._reset_step_base = int(meta["reset_step_base"])
         sampler.chain.clear()

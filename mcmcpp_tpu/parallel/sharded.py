@@ -37,7 +37,10 @@ def constrain_state(state: EnsembleState, half_sharding, rep) -> EnsembleState:
         black=c(state.black),
         logp_red=v(state.logp_red),
         logp_black=v(state.logp_black),
-        accepted=r(state.accepted),
+        # per-walker counters shard like the logp vectors — the hot loop's
+        # counter update is purely local (no collective per step)
+        accepted_red=v(state.accepted_red),
+        accepted_black=v(state.accepted_black),
         step=r(state.step),
     )
 

@@ -28,22 +28,31 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mcmcpp_tpu.chain import Chain, default_chunk_steps
+from mcmcpp_tpu.chain import (
+    Chain,
+    append_device_chunk,
+    default_chunk_steps,
+    fetch_addressable,
+)
 from mcmcpp_tpu.movers.base import Mover
 from mcmcpp_tpu.movers.stretch import StretchMove
 
 
 class EnsembleState(NamedTuple):
     """Carry for the sampling scan. ``red``/``black``: (W/2, P);
-    ``logp_*``: (W/2,); ``accepted``: (2,) int32 accept totals (red, black),
-    harvested to host accumulators per chunk; ``step``: global step counter
-    (drives key folding, epoch-rebased before it can wrap)."""
+    ``logp_*``: (W/2,); ``accepted_red``/``accepted_black``: (W/2,) int32
+    PER-WALKER accept counters (≙ the reference's per-walker bookkeeping,
+    ``MCMCpp/Walker/Walker.h:111-122``), sharded exactly like the logp
+    vectors so the hot loop never reshards, harvested to host accumulators
+    per chunk; ``step``: global step counter (drives key folding,
+    epoch-rebased before it can wrap)."""
 
     red: jax.Array
     black: jax.Array
     logp_red: jax.Array
     logp_black: jax.Array
-    accepted: jax.Array
+    accepted_red: jax.Array
+    accepted_black: jax.Array
     step: jax.Array
 
 
@@ -65,7 +74,8 @@ def init_state(positions, batched_logp):
         black=black,
         logp_red=batched_logp(red),
         logp_black=batched_logp(black),
-        accepted=jnp.zeros((2,), jnp.int32),
+        accepted_red=jnp.zeros((half,), jnp.int32),
+        accepted_black=jnp.zeros((half,), jnp.int32),
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -83,10 +93,12 @@ def make_step_fn(batched_logp, mover: Mover, mover_state: Any, base_key):
         black, logp_black, acc_b = mover.update_half(
             k_black, state.black, state.logp_black, red, batched_logp, mover_state
         )
-        accepted = state.accepted + jnp.stack(
-            [jnp.sum(acc_r, dtype=jnp.int32), jnp.sum(acc_b, dtype=jnp.int32)]
-        )
-        return EnsembleState(red, black, logp_red, logp_black, accepted, state.step + 1)
+        # per-walker counters: one fused elementwise add per half, no
+        # reduction and no resharding in the hot loop (Walker.h:111-122)
+        accepted_red = state.accepted_red + acc_r.astype(jnp.int32)
+        accepted_black = state.accepted_black + acc_b.astype(jnp.int32)
+        return EnsembleState(red, black, logp_red, logp_black,
+                             accepted_red, accepted_black, state.step + 1)
 
     return step
 
@@ -117,11 +129,14 @@ def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int,
     final, (positions, logps, metrics) = jax.lax.scan(body, state, length=n_store)
     if step_action is None:
         metrics = None
-    # emit the chunk's accept total and zero the carried counter so the
-    # driver can harvest asynchronously (int32-safe per chunk; the pipelined
-    # store loop never syncs on the in-flight chunk)
-    accepted = jnp.sum(final.accepted)
-    final = final._replace(accepted=jnp.zeros((2,), jnp.int32))
+    # emit the chunk's per-walker accept counters and zero the carried ones
+    # so the driver can harvest asynchronously (int32-safe per chunk; the
+    # pipelined store loop never syncs on the in-flight chunk)
+    accepted = (final.accepted_red, final.accepted_black)
+    final = final._replace(
+        accepted_red=jnp.zeros_like(final.accepted_red),
+        accepted_black=jnp.zeros_like(final.accepted_black),
+    )
     return final, positions, logps, metrics, accepted
 
 
@@ -129,25 +144,6 @@ def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int,
 def run_nostore(state: EnsembleState, step_fn, n_steps: int):
     """Advance ``n_steps`` without storing (burn-in fast path)."""
     return jax.lax.fori_loop(0, n_steps, lambda i, s: step_fn(s), state)
-
-
-def fetch_addressable(arr, walker_axis):
-    """Host-fetch an array that may span non-addressable devices.
-
-    Fully-addressable (single-host) arrays round-trip through
-    ``np.asarray``. Under multi-host SPMD each process assembles only ITS
-    walker shards (deduplicated, ordered by global offset) — chains are
-    stored per host (see parallel/distributed.py).
-    """
-    if getattr(arr, "is_fully_addressable", True):
-        return np.asarray(arr)
-    parts = {}
-    for s in arr.addressable_shards:
-        sl = s.index[walker_axis]
-        start = 0 if sl.start is None else int(sl.start)
-        if start not in parts:
-            parts[start] = np.asarray(s.data)
-    return np.concatenate([parts[k] for k in sorted(parts)], axis=walker_axis)
 
 
 def sample_ball(key, center, scale, n_walkers, dtype=jnp.float32):
@@ -229,9 +225,14 @@ class EnsembleSampler:
                 dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
             )
         self.state = None
-        # host-side accumulators: device counters are int32 and harvested
-        # after every chunk, so runs of >2^31 updates can't overflow
-        self._accepted_host = 0
+        # host-side accumulators: PER-WALKER int64 accept counts in chain
+        # column order [red..., black...] (local shard under multi-host)
+        # plus the GLOBAL scalar total (identical on every host — a
+        # replicated statistic). Device counters are int32 and harvested
+        # after every chunk, so runs of >2^31 updates per walker can't
+        # overflow.
+        self._accepted_walkers_host = None
+        self._accepted_global_host = 0
         self._steps_host = 0
         self._rebuild_step_fn()
         if store_chunk_steps is None:
@@ -310,31 +311,55 @@ class EnsembleSampler:
                 "walkers not initialized; call set_initial_walker_pos/init_ball"
             )
 
+    @staticmethod
+    def _global_accept_sum(acc_red, acc_black):
+        """Global scalar accept total of one harvest — replicated across
+        hosts (a psum over the sharded walker axis under SPMD)."""
+        if getattr(acc_red, "is_fully_addressable", True):
+            return int(np.asarray(acc_red).sum()) + int(
+                np.asarray(acc_black).sum()
+            )
+        total = jax.jit(lambda a, b: jnp.sum(a) + jnp.sum(b))(
+            acc_red, acc_black
+        )
+        return int(total)
+
+    def _accum_accept(self, acc_red, acc_black):
+        """Fold per-walker device accept counters into the host int64 vector.
+
+        Under multi-host each process accumulates only ITS walker shards, in
+        the same [red_local, black_local] order as the chain columns; the
+        scalar total is accumulated globally (identical on all hosts).
+        """
+        self._accepted_global_host += self._global_accept_sum(
+            acc_red, acc_black
+        )
+        vec = np.concatenate([
+            fetch_addressable(acc_red, walker_axis=0),
+            fetch_addressable(acc_black, walker_axis=0),
+        ]).astype(np.int64)
+        if self._accepted_walkers_host is None:
+            self._accepted_walkers_host = vec
+        else:
+            self._accepted_walkers_host += vec
+
     def _harvest_counters(self):
         """Move device accept counters into the host accumulator (int32-safe)."""
-        self._accepted_host += int(jnp.sum(self.state.accepted))
-        self.state = self.state._replace(accepted=jnp.zeros((2,), jnp.int32))
+        self._accum_accept(self.state.accepted_red, self.state.accepted_black)
+        self.state = self.state._replace(
+            accepted_red=jnp.zeros_like(self.state.accepted_red),
+            accepted_black=jnp.zeros_like(self.state.accepted_black),
+        )
 
     def _append_chain(self, pos, logp):
         """Fetch (S, W, P)/(S, W) device chunks and append to the chain.
 
         Under multi-host, each process fetches and stores only its walker
-        shard; the chain is resized to the local width on first use.
+        shard; the chain is resized to the local width on first use
+        (shared store path: chain.append_device_chunk).
         """
-        pos_np = fetch_addressable(pos, walker_axis=1)
-        logp_np = fetch_addressable(logp, walker_axis=1)
-        if pos_np.shape[1] != self.chain.n_walkers:
-            if self.chain.n_steps:
-                raise RuntimeError(
-                    "chain walker width changed mid-run (sharding changed?)"
-                )
-            self.chain = Chain(
-                n_walkers=pos_np.shape[1],
-                n_params=self.n_params,
-                max_bytes=self.chain.max_bytes,
-                dtype=self.chain.dtype,
-            )
-        return self.chain.append(pos_np, logp_np)
+        self.chain, ok = append_device_chunk(self.chain, pos, logp)
+        return ok
 
     def store_current_walker_positions(self):
         """≙ storeCurrentWalkerPositions (EnsembleSampler.h:249): push the
@@ -430,7 +455,7 @@ class EnsembleSampler:
             nonlocal fetched
             p_pos, p_logp, p_metrics, p_acc = chunk_data
             ok = self._append_chain(p_pos, p_logp)
-            self._accepted_host += int(np.asarray(p_acc))
+            self._accum_accept(*p_acc)
             if p_metrics is not None:
                 metric_chunks.append(jax.tree.map(np.asarray, p_metrics))
             if chunk_action is not None:
@@ -456,9 +481,9 @@ class EnsembleSampler:
                     hit_capacity = True
                     pending = None
                     # the already-launched chunk still advanced the state;
-                    # fold its accept count in before bailing
+                    # fold its accept counts in before bailing
                     if launched is not None:
-                        self._accepted_host += int(np.asarray(launched[3]))
+                        self._accum_accept(*launched[3])
                     break
                 if (checkpoint_path is not None
                         and fetched % ckpt_every == 0):
@@ -495,14 +520,18 @@ class EnsembleSampler:
         current walker positions so sampling can restart from here."""
         self._require_state()
         self.chain.clear()
-        self._accepted_host = 0
+        self._accepted_walkers_host = None
+        self._accepted_global_host = 0
         self._steps_host += int(self.state.step) - getattr(
             self, "_reset_step_base", 0
         )
         # step counter keeps growing so threefry keys never repeat; the
         # public counters below are relative to the last reset
         self._reset_step_base = int(self.state.step)
-        self.state = self.state._replace(accepted=jnp.zeros((2,), jnp.int32))
+        self.state = self.state._replace(
+            accepted_red=jnp.zeros_like(self.state.accepted_red),
+            accepted_black=jnp.zeros_like(self.state.accepted_black),
+        )
         return self
 
     # -- statistics & access ----------------------------------------------
@@ -515,10 +544,39 @@ class EnsembleSampler:
         return (int(self.state.step) - base) * self.n_walkers
 
     @property
-    def accepted_steps(self):
-        """≙ getAcceptedSteps."""
+    def per_walker_accepted(self):
+        """(W_local,) int64 accepted-move counts per walker since the last
+        reset, in chain column order [red..., black...] — true per-walker
+        bookkeeping (≙ ``MCMCpp/Walker/Walker.h:111-122``; aggregated on
+        demand like ``EnsembleSampler.h:245-282``). A walker pinned in a
+        logp=-inf region shows up here as a zero. Under multi-host this is
+        the LOCAL walker shard (matching the local chain columns)."""
         self._require_state()
-        return self._accepted_host + int(jnp.sum(self.state.accepted))
+        dev = np.concatenate([
+            fetch_addressable(self.state.accepted_red, walker_axis=0),
+            fetch_addressable(self.state.accepted_black, walker_axis=0),
+        ]).astype(np.int64)
+        if self._accepted_walkers_host is not None:
+            dev = dev + self._accepted_walkers_host
+        return dev
+
+    @property
+    def per_walker_acceptance(self):
+        """(W_local,) per-walker acceptance fractions since the last reset."""
+        base = getattr(self, "_reset_step_base", 0)
+        steps = int(self.state.step) - base
+        counts = self.per_walker_accepted
+        if steps == 0:
+            return np.zeros_like(counts, dtype=np.float64)
+        return counts / steps
+
+    @property
+    def accepted_steps(self):
+        """≙ getAcceptedSteps (GLOBAL total; identical on every host)."""
+        self._require_state()
+        return self._accepted_global_host + self._global_accept_sum(
+            self.state.accepted_red, self.state.accepted_black
+        )
 
     @property
     def acceptance_fraction(self):

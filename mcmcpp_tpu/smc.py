@@ -126,12 +126,24 @@ class SMCSampler:
 
     # -- one adaptive stage, fully jitted ---------------------------------
 
+    def _constrain(self, state: SMCState) -> SMCState:
+        if self._particle_sharding is None:
+            return state
+        from mcmcpp_tpu.parallel.mesh import vector_sharding
+
+        vec = vector_sharding(self._particle_sharding)
+        c = lambda x: jax.lax.with_sharding_constraint(
+            x, self._particle_sharding
+        )
+        v = lambda x: jax.lax.with_sharding_constraint(x, vec)
+        return state._replace(
+            particles=c(state.particles),
+            log_prior=v(state.log_prior),
+            log_like=v(state.log_like),
+        )
+
     def _stage_impl(self, key, state: SMCState):
-        if self._particle_sharding is not None:
-            c = lambda x: jax.lax.with_sharding_constraint(
-                x, self._particle_sharding
-            )
-            state = state._replace(particles=c(state.particles))
+        state = self._constrain(state)
         beta_new = _find_next_beta(
             state.log_like, state.beta, self.target_ess, self.n
         )
@@ -175,7 +187,11 @@ class SMCSampler:
         particles = jnp.concatenate([red, black], axis=0)
         lp = jax.vmap(self.log_prior_fn)(particles)
         ll = jax.vmap(self.log_like_fn)(particles)
-        return SMCState(particles, lp, ll, beta_new, log_evidence)
+        # constrain the OUTPUT too: particles stay walker-sharded across
+        # stages (multi-host processes then fetch only their local shard)
+        return self._constrain(
+            SMCState(particles, lp, ll, beta_new, log_evidence)
+        )
 
     def run(self, max_stages=100):
         """Anneal β: 0 → 1. Returns self; particles then target the posterior.
@@ -214,7 +230,12 @@ class SMCSampler:
 
     @property
     def particles(self):
-        return np.asarray(self.state.particles)
+        """Current particle set — under multi-host SPMD, the LOCAL
+        particle-axis shard (multi-host-safe fetch; replicated scalars
+        like ``log_evidence`` stay global)."""
+        from mcmcpp_tpu.chain import fetch_addressable
+
+        return fetch_addressable(self.state.particles, walker_axis=0)
 
     @property
     def log_evidence(self):

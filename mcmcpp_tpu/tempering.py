@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mcmcpp_tpu.chain import Chain, default_chunk_steps
+from mcmcpp_tpu.chain import Chain, append_device_chunk, default_chunk_steps
 from mcmcpp_tpu.movers.stretch import StretchMove
 
 
@@ -139,9 +139,9 @@ class ParallelTemperingSampler:
         # the mover's partner roll crosses devices (as in the sharded
         # ensemble sampler)
         self.mesh = mesh
-        self._grid_sh = self._gridvec_sh = None
+        self._grid_sh = self._gridvec_sh = self._rep_sh = None
         if mesh is not None:
-            from mcmcpp_tpu.parallel.mesh import grid_sharding
+            from mcmcpp_tpu.parallel.mesh import grid_sharding, replicated
 
             if (self.n_walkers // 2) % mesh.size != 0:
                 raise ValueError(
@@ -150,6 +150,7 @@ class ParallelTemperingSampler:
                 )
             self._grid_sh = grid_sharding(mesh, ndim=3)
             self._gridvec_sh = grid_sharding(mesh, ndim=2)
+            self._rep_sh = replicated(mesh)
 
     def init_ball(self, center, scale=1e-2, seed=None):
         key = self._aux_key if seed is None else jax.random.key(seed)
@@ -178,9 +179,14 @@ class ParallelTemperingSampler:
             return state
         c = lambda x: jax.lax.with_sharding_constraint(x, self._grid_sh)
         v = lambda x: jax.lax.with_sharding_constraint(x, self._gridvec_sh)
+        r = lambda x: jax.lax.with_sharding_constraint(x, self._rep_sh)
         return state._replace(
             red=c(state.red), black=c(state.black),
             logp_red=v(state.logp_red), logp_black=v(state.logp_black),
+            # swap counters are global statistics: pin them replicated so
+            # every host can read them directly (multi-host safe)
+            swaps_accepted=r(state.swaps_accepted),
+            swaps_proposed=r(state.swaps_proposed),
         )
 
     def _step(self, state: PTState) -> PTState:
@@ -269,14 +275,24 @@ class ParallelTemperingSampler:
         chunk = default_chunk_steps(self.n_walkers, self.n_params, self.dtype)
         done = 0
         ok = True
-        while done < n_store:
-            take = min(chunk, n_store - done)
-            self.state, (pos, lp) = self._scan_fn(take, thin)(self.state)
-            done += take
-            if not self.chain.append(np.asarray(pos), np.asarray(lp)):
-                ok = False
-                break
-        if leftover:
+        pending = None  # pipelined store: launch chunk k, fetch chunk k-1
+        while done < n_store or pending is not None:
+            if done < n_store:
+                take = min(chunk, n_store - done)
+                self.state, launched = self._scan_fn(take, thin)(self.state)
+                done += take
+            else:
+                launched = None
+            if pending is not None:
+                self.chain, appended = append_device_chunk(
+                    self.chain, pending[0], pending[1]
+                )
+                if not appended:
+                    ok = False
+                    pending = None
+                    break
+            pending = launched
+        if ok and leftover:
             fn = self._run_cache.get(("leftover", leftover))
             if fn is None:
                 fn = jax.jit(

@@ -42,11 +42,66 @@ WORKER = textwrap.dedent("""
 """).format(repo=str(REPO))
 
 
-@pytest.mark.slow
-def test_two_process_spmd(tmp_path):
-    port = 12000 + os.getpid() % 4000
+ENGINES_WORKER = textwrap.dedent("""
+    import os, sys
+    proc_id = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from mcmcpp_tpu.parallel import distributed
+    pid, n = distributed.initialize(f"127.0.0.1:{{port}}", nprocs, proc_id)
+    import numpy as np
+    import jax.numpy as jnp
+    from mcmcpp_tpu import HMCSampler, ParallelTemperingSampler, SMCSampler
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    mesh = make_walker_mesh()  # 2 hosts x 4 devices
+
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    # gradient engine: chains axis sharded over both hosts
+    h = HMCSampler(logp, n_chains=16, n_params=3, seed=0, mesh=mesh,
+                   n_leapfrog=3)
+    h.init_ball(np.zeros(3), scale=0.5, seed=1)
+    h.warmup(5)
+    h.run(20)
+    hs = h.get_samples()
+    print(f"HMC pid={{pid}} shape={{hs.shape}} "
+          f"acc={{h.last_mean_accept:.6f}}")
+
+    # replica exchange: (K, H, P) grid, walker axis sharded
+    pt = ParallelTemperingSampler(logp, n_walkers=16, n_params=3, n_temps=4,
+                                  seed=0, mesh=mesh)
+    pt.init_ball(np.zeros(3), scale=0.5, seed=2)
+    pt.run_mcmc(10)
+    ps = pt.get_samples()
+    swaps = np.array2string(pt.swap_acceptance, precision=6)
+    print(f"PT pid={{pid}} shape={{ps.shape}} swaps={{swaps}}")
+
+    # SMC: particle axis sharded; log_evidence replicated
+    smc = SMCSampler(
+        log_prior_fn=lambda t: -0.5 * jnp.sum(t * t),
+        log_like_fn=logp,
+        prior_sample_fn=lambda key, n: jax.random.normal(key, (n, 3)),
+        n_particles=16, n_params=3, seed=0, n_mcmc=1, mesh=mesh,
+    )
+    smc.run(max_stages=20)
+    print(f"SMC pid={{pid}} shape={{smc.particles.shape}} "
+          f"logZ={{smc.log_evidence:.6f}} beta={{float(smc.state.beta):.4f}}")
+""").format(repo=str(REPO))
+
+
+_PORT_SALT = iter(range(100))
+
+
+def _run_workers(tmp_path, source, timeout=300):
+    # distinct port per worker pair: the coordination service's listen port
+    # can linger in TIME_WAIT between tests in the same pytest process
+    port = 12000 + (os.getpid() * 7 + 13 * next(_PORT_SALT)) % 4000
     script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    script.write_text(source)
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), "2", str(port)],
@@ -57,13 +112,19 @@ def test_two_process_spmd(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             pytest.fail("multi-process workers timed out")
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_spmd(tmp_path):
+    outs = _run_workers(tmp_path, WORKER, timeout=240)
     results = [re.search(r"RESULT (.*)", o).group(1) for o in outs]
     accepts = set()
     for r in results:
@@ -72,6 +133,29 @@ def test_two_process_spmd(tmp_path):
         accepts.add(re.search(r"accept=([\d.]+)", r).group(1))
     # acceptance is a replicated global statistic: identical on both hosts
     assert len(accepts) == 1
+
+
+@pytest.mark.slow
+def test_two_process_engines_hmc_pt_smc(tmp_path):
+    """HMC, parallel tempering, and SMC under real 2-process SPMD: per-host
+    chain shards have the LOCAL width, and every replicated statistic
+    (acceptance, swap rates, log-evidence) is identical across hosts
+    (VERDICT round-1 item 1; capability bar
+    /root/reference/MCMCpp/ParallelEnsembleSampler.h:78-357 — the parallel
+    runtime covers the whole engine family)."""
+    outs = _run_workers(tmp_path, ENGINES_WORKER, timeout=300)
+    for tag, pattern, expect_shape in [
+        ("HMC", r"HMC pid=\d+ shape=(\([^)]*\)) acc=(\S+)", "(20, 8, 3)"),
+        ("PT", r"PT pid=\d+ shape=(\([^)]*\)) swaps=(\[.*?\])", "(10, 8, 3)"),
+        ("SMC", r"SMC pid=\d+ shape=(\([^)]*\)) logZ=(\S+)", "(8, 3)"),
+    ]:
+        stats = set()
+        for o in outs:
+            m = re.search(pattern, o, re.DOTALL)
+            assert m, f"{tag} result missing in:\n{o[-4000:]}"
+            assert m.group(1) == expect_shape, (tag, m.group(1), o[-1500:])
+            stats.add(m.group(2))
+        assert len(stats) == 1, f"{tag} statistic differs across hosts: {stats}"
 
 
 def test_import_does_not_initialize_backend():
