@@ -11,17 +11,20 @@ Partner selection (``partner_mode``):
   {other[(i+r_j) % m]}, one contiguous roll per shift, no HBM gather
   (see ops/partner.py for validity + benchmarks). The per-walker normal
   draws stay iid, so proposal diversity across walkers is preserved.
-- "gather": per-walker uniform S-subset via the top-S-of-uniform-keys
-  trick (one ``lax.top_k`` row-wise) — replaces the reference's
-  per-walker Knuth selection sampling (WalkMove.h:130-150). O(n·m);
-  use for small ensembles / parity studies.
+- "gather": per-walker uniform S-subset WITHOUT replacement via S
+  sequential shifted draws (exact sorted-insertion sampling, O(n·S)
+  memory and O(n·S²) scalar work — NOT an (n, m) score matrix), the
+  memory-scalable replacement for the reference's per-walker Knuth
+  selection sampling (WalkMove.h:130-150). Usable for parity studies
+  at any W (per-row HBM gathers remain ~18-30x slower than roll in
+  the hot loop — see CLAUDE.md — so roll stays the default).
 """
 
 import jax
 import jax.numpy as jnp
 
 from mcmcpp_tpu.movers.base import Mover
-from mcmcpp_tpu.ops.partner import rolled_partners
+from mcmcpp_tpu.ops.partner import gather_partners, rolled_partners
 
 
 class WalkMove(Mover):
@@ -49,10 +52,9 @@ class WalkMove(Mover):
                 raise ValueError(f"roll mode requires equal halves ({n} != {m})")
             xs = jnp.transpose(rolled_partners(kj, other, s), (1, 0, 2))  # (n,s,p)
         else:
-            # uniform random S-subset per walker: top-S of iid uniform keys
-            scores = jax.random.uniform(kj, (n, m))
-            _, idx = jax.lax.top_k(scores, s)  # (n, s)
-            xs = jnp.take(other, idx, axis=0)  # (n, s, p)
+            # exact per-walker uniform S-subset, O(n·s) memory (no (n, m)
+            # score matrix — scalable to W=2^21 ensembles)
+            xs = jnp.transpose(gather_partners(kj, other, n, s), (1, 0, 2))
         center = jnp.mean(xs, axis=1, keepdims=True)  # (n, 1, p)
         # one scalar normal per selected walker ≙ WalkMove.h:155-186
         normals = jax.random.normal(kn, (n, s), active.dtype)

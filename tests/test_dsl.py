@@ -431,3 +431,164 @@ class TestDiscreteObservations:
         assert x.mean() == pytest.approx(6.0, rel=0.05)
         with pytest.raises(ValueError, match="exactly one"):
             Binomial(10)
+
+
+class TestTruncated:
+    """Truncated supports (ref has none — TPU-rebuild extension; VERDICT
+    round-1 item 7)."""
+
+    def test_logpdf_normalizes_and_respects_bounds(self):
+        from scipy import stats as sstats
+
+        from mcmcpp_tpu.dsl import Truncated
+
+        d = Truncated(Normal(1.0, 2.0), low=-1.0, high=4.0)
+        ref = sstats.truncnorm((-1 - 1) / 2, (4 - 1) / 2, loc=1.0, scale=2.0)
+        for x in (-0.5, 1.0, 3.9):
+            assert float(d.logpdf(x)) == pytest.approx(
+                ref.logpdf(x), rel=1e-4
+            )
+        assert float(d.logpdf(-1.5)) == -np.inf
+        assert float(d.logpdf(4.5)) == -np.inf
+        assert float(d.cdf(-1.0)) == pytest.approx(0.0, abs=1e-6)
+        assert float(d.cdf(4.0)) == pytest.approx(1.0, abs=1e-6)
+
+    @pytest.mark.parametrize("lo,hi", [(-1.0, 2.0), (0.5, None), (None, 0.0)])
+    def test_sample_matches_truncnorm_moments(self, lo, hi):
+        from scipy import stats as sstats
+
+        from mcmcpp_tpu.dsl import Truncated
+
+        a = -np.inf if lo is None else lo
+        b = np.inf if hi is None else hi
+        ref = sstats.truncnorm(a, b)
+        x = np.asarray(
+            Truncated(Normal(), low=lo, high=hi).sample(
+                jax.random.key(0), (100_000,)
+            )
+        )
+        if lo is not None:
+            assert x.min() >= lo
+        if hi is not None:
+            assert x.max() <= hi
+        assert x.mean() == pytest.approx(ref.mean(), abs=0.01)
+        assert x.std() == pytest.approx(ref.std(), rel=0.03)
+
+    def test_truncated_exponential_sample(self):
+        from mcmcpp_tpu.dsl import Truncated
+
+        d = Truncated(Exponential(1.0), low=0.5, high=2.0)
+        x = np.asarray(d.sample(jax.random.key(1), (100_000,)))
+        assert 0.5 <= x.min() and x.max() <= 2.0
+        # E[X | 0.5<X<2] for Exp(1) = 1 + (0.5 e^-0.5 - 2 e^-2)/(e^-0.5 - e^-2)
+        num = 0.5 * np.exp(-0.5) - 2 * np.exp(-2.0)
+        den = np.exp(-0.5) - np.exp(-2.0)
+        assert x.mean() == pytest.approx(1.0 + num / den, abs=0.01)
+
+    def test_validation(self):
+        from mcmcpp_tpu.dsl import Bernoulli, Truncated
+
+        with pytest.raises(ValueError, match="at least one"):
+            Truncated(Normal())
+        with pytest.raises(ValueError, match="low < high"):
+            Truncated(Normal(), low=2.0, high=1.0)
+        with pytest.raises(ValueError, match="no cdf"):
+            Truncated(Bernoulli(probs=0.5), low=0.0, high=1.0)
+
+    @pytest.mark.slow
+    def test_truncated_prior_nuts_jacobian(self):
+        """Prior-only model with a truncated-Normal prior: NUTS on the
+        unconstrained coordinate must recover the truncated prior exactly
+        (transform Jacobian correct) — VERDICT item 7 acceptance test."""
+        from scipy import stats as sstats
+
+        from mcmcpp_tpu.dsl import Truncated
+
+        model = Model().param("x", Truncated(Normal(0.0, 1.0),
+                                             low=-0.5, high=2.0))
+        logp, dim, constrain = model.build()
+        s = NUTSSampler(logp, n_chains=32, n_params=dim, seed=0)
+        s.init_ball(np.zeros(dim), scale=0.3, seed=1)
+        s.warmup(300)
+        s.run(1200)
+        x = constrain(s.get_samples(burn_in=100, flat=True))["x"]
+        ref = sstats.truncnorm(-0.5, 2.0)
+        assert x.min() >= -0.5 and x.max() <= 2.0
+        assert x.mean() == pytest.approx(ref.mean(), abs=0.02)
+        assert x.std() == pytest.approx(ref.std(), rel=0.05)
+
+
+class TestMaskedObserve:
+    def test_masked_regression_recovers_params(self):
+        """Linear regression with 30% of y missing (NaN): masked entries
+        must not contribute and must not poison gradients (double-where) —
+        VERDICT item 7 acceptance test."""
+        rng = np.random.default_rng(0)
+        n = 120
+        x = np.linspace(-2, 2, n)
+        y = 1.5 * x - 0.7 + rng.normal(0, 0.3, n)
+        mask = rng.uniform(size=n) > 0.3
+        y_nan = np.where(mask, y, np.nan)
+        model = (
+            Model()
+            .param("a", Normal(0.0, 10.0))
+            .param("b", Normal(0.0, 10.0))
+            .observe(
+                "y",
+                lambda p: Normal(p["b"] * x, 0.3),
+                y_nan - 0.0,
+                mask=mask,
+            )
+        )
+        # closed-form check vs observed-only least squares on the slope
+        logp, dim, constrain = model.build()
+        g = jax.grad(logp)(jnp.zeros(dim))
+        assert np.all(np.isfinite(np.asarray(g)))
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=0)
+        s.init_ball(np.zeros(dim), scale=0.5)
+        s.warmup(300)
+        s.run(800)
+        b = constrain(s.get_samples(flat=True))["b"]
+        xo, yo = x[mask], y[mask]
+        b_hat = (xo * yo).sum() / (xo * xo).sum()
+        assert b.mean() == pytest.approx(b_hat, abs=0.05)
+
+    def test_mask_excludes_entries_from_density(self):
+        data = np.array([0.0, 100.0, 0.0])
+        mask = np.array([True, False, True])
+        m1 = (Model().param("mu", Normal(0.0, 5.0))
+              .observe("y", lambda p: Normal(p["mu"], 1.0), data, mask=mask))
+        m2 = (Model().param("mu", Normal(0.0, 5.0))
+              .observe("y", lambda p: Normal(p["mu"], 1.0),
+                       np.array([0.0, 0.0])))
+        lp1, _, _ = m1.build()
+        lp2, _, _ = m2.build()
+        for u in (0.0, 1.3, -2.0):
+            assert float(lp1(jnp.array([u]))) == pytest.approx(
+                float(lp2(jnp.array([u]))), rel=1e-6
+            )
+
+    def test_masked_nan_data_gradient_finite(self):
+        model = (
+            Model()
+            .param("mu", Normal(0.0, 1.0))
+            .observe("y", lambda p: Normal(p["mu"], 1.0),
+                     np.array([1.0, np.nan, 2.0]),
+                     mask=np.array([True, False, True]))
+        )
+        logp, dim, _ = model.build()
+        g = float(jax.grad(logp)(jnp.array([0.5])).squeeze())
+        assert np.isfinite(g)
+
+
+def test_binomial_large_n_sample_moments():
+    """n > 256 uses the O(|shape|) bisection path (no (n, *shape) uniform
+    temporary — VERDICT round-1 weak-item 7)."""
+    from mcmcpp_tpu.dsl import Binomial
+
+    n, p = 10_000, 0.3
+    x = np.asarray(Binomial(n, probs=p).sample(jax.random.key(0), (20_000,)))
+    assert x.min() >= 0 and x.max() <= n
+    assert np.all(x == np.floor(x))
+    assert x.mean() == pytest.approx(n * p, rel=0.005)
+    assert x.var() == pytest.approx(n * p * (1 - p), rel=0.05)
