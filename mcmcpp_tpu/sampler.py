@@ -36,6 +36,7 @@ from mcmcpp_tpu.chain import (
 )
 from mcmcpp_tpu.movers.base import Mover
 from mcmcpp_tpu.movers.stretch import StretchMove
+from mcmcpp_tpu.ops.random import split_for_step
 
 
 class EnsembleState(NamedTuple):
@@ -84,8 +85,7 @@ def make_step_fn(batched_logp, mover: Mover, mover_state: Any, base_key):
     """Return ``step(state) -> state`` performing one full red+black update."""
 
     def step(state: EnsembleState) -> EnsembleState:
-        key = jax.random.fold_in(base_key, state.step)
-        k_red, k_black = jax.random.split(key)
+        k_red, k_black = split_for_step(base_key, state.step)
         red, logp_red, acc_r = mover.update_half(
             k_red, state.red, state.logp_red, state.black, batched_logp, mover_state
         )
