@@ -28,7 +28,11 @@ from mcmcpp_tpu import io
 from mcmcpp_tpu import models
 from mcmcpp_tpu import ops
 from mcmcpp_tpu import parallel
-from mcmcpp_tpu.parallel import ShardedEnsembleSampler, make_walker_mesh
+from mcmcpp_tpu.parallel import (
+    ShardedEnsembleSampler,
+    make_ladder_mesh,
+    make_walker_mesh,
+)
 from mcmcpp_tpu import gradient
 from mcmcpp_tpu.gradient import (
     CheesHMCSampler, HMCSampler, MALASampler, NUTSSampler,
@@ -84,6 +88,7 @@ __all__ = [
     "laplace",
     "laplace_sample",
     "ShardedEnsembleSampler",
+    "make_ladder_mesh",
     "make_walker_mesh",
     "sample_ball",
 ]

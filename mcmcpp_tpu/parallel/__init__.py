@@ -11,7 +11,16 @@ acceptance counters become an all-reduce (cf. SURVEY.md §2
 parallelism-strategy inventory).
 """
 
-from mcmcpp_tpu.parallel.mesh import make_walker_mesh, walker_sharding
+from mcmcpp_tpu.parallel.mesh import (
+    make_ladder_mesh,
+    make_walker_mesh,
+    walker_sharding,
+)
 from mcmcpp_tpu.parallel.sharded import ShardedEnsembleSampler
 
-__all__ = ["make_walker_mesh", "walker_sharding", "ShardedEnsembleSampler"]
+__all__ = [
+    "make_ladder_mesh",
+    "make_walker_mesh",
+    "walker_sharding",
+    "ShardedEnsembleSampler",
+]

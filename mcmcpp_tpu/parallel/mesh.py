@@ -58,3 +58,31 @@ def grid_sharding(mesh, ndim=3):
     the K-axis rolls stay device-local)."""
     spec = (None, WALKER_AXES) + (None,) * (ndim - 2)
     return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+LADDER_AXES = ("ladder", "walkers")
+
+
+def make_ladder_mesh(n_ladder_shards, devices=None):
+    """Build a ``(ladder, walkers)`` mesh for K > device-count tempering.
+
+    The first axis shards the temperature ladder itself; the second shards
+    walkers within each replica. The replica-exchange K-axis rolls in
+    ``tempering._swap_phase`` then lower to XLA collective-permutes between
+    ladder-NEIGHBOR devices — one hop on a ring ICI topology, never
+    all-to-all. Pass the result as ``ParallelTemperingSampler(mesh=...)``;
+    the sampler picks the layout from the axis names.
+    """
+    devices = list(jax.devices() if devices is None else devices)
+    n = len(devices)
+    k = int(n_ladder_shards)
+    if k < 1 or n % k:
+        raise ValueError(f"{n} devices not divisible by {k} ladder shards")
+    grid = np.asarray(devices, dtype=object).reshape(k, n // k)
+    return Mesh(grid, LADDER_AXES)
+
+
+def ladder_grid_sharding(mesh, ndim=3):
+    """``(K, H, ...)`` sharding over a :func:`make_ladder_mesh` mesh."""
+    spec = LADDER_AXES + (None,) * (ndim - 2)
+    return NamedSharding(mesh, PartitionSpec(*spec))

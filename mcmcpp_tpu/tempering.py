@@ -133,23 +133,47 @@ class ParallelTemperingSampler:
         self._run_cache = {}
         self._swaps_acc_host = np.zeros(self.n_temps - 1, np.int64)
         self._swaps_prop_host = np.zeros(self.n_temps - 1, np.int64)
-        # optional mesh sharding: the (K, H, P) replica grid shards its
-        # WALKER axis over the mesh (ladder replicated) — exchange phases
-        # are per-walker elementwise, so swaps need no collectives; only
-        # the mover's partner roll crosses devices (as in the sharded
-        # ensemble sampler)
+        # optional mesh sharding, two layouts picked by the mesh axis names:
+        # - walker mesh (parallel/mesh.make_walker_mesh): the (K, H, P) grid
+        #   shards its WALKER axis over the whole mesh (ladder replicated) —
+        #   exchange phases are per-walker elementwise, so swaps need no
+        #   collectives; only the mover's partner roll crosses devices.
+        # - ladder mesh (parallel/mesh.make_ladder_mesh, for K > device
+        #   count): K shards over the "ladder" axis, H over "walkers"; the
+        #   K-axis rolls in the swap phase become neighbor
+        #   collective-permutes over the ladder axis.
         self.mesh = mesh
         self._grid_sh = self._gridvec_sh = self._rep_sh = None
         if mesh is not None:
-            from mcmcpp_tpu.parallel.mesh import grid_sharding, replicated
+            from mcmcpp_tpu.parallel.mesh import (
+                grid_sharding,
+                ladder_grid_sharding,
+                replicated,
+            )
 
-            if (self.n_walkers // 2) % mesh.size != 0:
-                raise ValueError(
-                    f"half-ensemble size {self.n_walkers // 2} not divisible "
-                    f"by mesh size {mesh.size}"
-                )
-            self._grid_sh = grid_sharding(mesh, ndim=3)
-            self._gridvec_sh = grid_sharding(mesh, ndim=2)
+            if "ladder" in mesh.axis_names:
+                kd = mesh.shape["ladder"]
+                wd = mesh.shape["walkers"]
+                if self.n_temps % kd != 0:
+                    raise ValueError(
+                        f"ladder size {self.n_temps} not divisible by the "
+                        f"mesh's {kd} ladder shards"
+                    )
+                if (self.n_walkers // 2) % wd != 0:
+                    raise ValueError(
+                        f"half-ensemble size {self.n_walkers // 2} not "
+                        f"divisible by {wd} walker shards"
+                    )
+                self._grid_sh = ladder_grid_sharding(mesh, ndim=3)
+                self._gridvec_sh = ladder_grid_sharding(mesh, ndim=2)
+            else:
+                if (self.n_walkers // 2) % mesh.size != 0:
+                    raise ValueError(
+                        f"half-ensemble size {self.n_walkers // 2} not "
+                        f"divisible by mesh size {mesh.size}"
+                    )
+                self._grid_sh = grid_sharding(mesh, ndim=3)
+                self._gridvec_sh = grid_sharding(mesh, ndim=2)
             self._rep_sh = replicated(mesh)
 
     def init_ball(self, center, scale=1e-2, seed=None):

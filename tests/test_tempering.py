@@ -124,3 +124,54 @@ def test_mesh_divisibility_rejected():
             bimodal_logp, n_walkers=10, n_params=2, n_temps=2,
             mesh=make_walker_mesh(),
         )
+
+
+def test_ladder_sharded_pt_bitwise_identical():
+    """K=16 ladder SHARDED over 8 devices (VERDICT r1 item 8): replica rows
+    live on different devices and the swap phase's K-axis rolls become
+    neighbor collective-permutes — results must still be BITWISE identical
+    to the unsharded run (same threefry streams, no reduction reordering)."""
+    from mcmcpp_tpu.parallel.mesh import make_ladder_mesh
+
+    def run(mesh):
+        s = ParallelTemperingSampler(
+            bimodal_logp, n_walkers=16, n_params=2, n_temps=16, seed=5,
+            mesh=mesh, swap_every=2,
+        )
+        s.init_ball(np.full(2, SEP / 2), scale=0.5, seed=6)
+        s.run_mcmc(60, thin=2)
+        return s.get_samples(), s.swap_acceptance
+
+    a, sa = run(None)
+    b, sb = run(make_ladder_mesh(8))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(sa, sb)
+
+
+def test_ladder_mesh_state_actually_sharded():
+    from mcmcpp_tpu.parallel.mesh import make_ladder_mesh
+
+    mesh = make_ladder_mesh(8)
+    assert mesh.shape["ladder"] == 8
+    s = ParallelTemperingSampler(
+        bimodal_logp, n_walkers=8, n_params=2, n_temps=16, seed=0, mesh=mesh,
+    )
+    s.init_ball(np.zeros(2), scale=0.3, seed=1)
+    s.run_mcmc(4)
+    # each device holds 16/8 = 2 replica rows of the red half
+    shard_shapes = {
+        tuple(sh.data.shape) for sh in s.state.red.addressable_shards
+    }
+    assert shard_shapes == {(2, 4, 2)}
+
+
+def test_ladder_mesh_divisibility_rejected():
+    from mcmcpp_tpu.parallel.mesh import make_ladder_mesh
+
+    with pytest.raises(ValueError, match="ladder shards"):
+        ParallelTemperingSampler(
+            bimodal_logp, n_walkers=16, n_params=2, n_temps=6,
+            mesh=make_ladder_mesh(4),
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        make_ladder_mesh(3)
