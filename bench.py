@@ -46,7 +46,10 @@ def headline_updates_per_s(jax, jnp):
     )
     s.init_ball(np.zeros(dim), scale=0.5, seed=1)
 
-    steps = 100
+    # 1000 steps/launch (~600 ms device time) amortizes the tunneled
+    # dispatch overhead (~25 ms/launch — at 100 steps it understated the
+    # steady-state rate by ~30%; see benchmarks/layout_experiments.py)
+    steps = 1000
     # warmup/compile the exact program that gets timed (same static shape)
     state = run_nostore(s.state, s._step_fn, steps)
     jax.block_until_ready(state)
