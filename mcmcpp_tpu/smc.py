@@ -14,6 +14,17 @@ p_β ∝ prior · like^β (β: 0 → 1), so incremental weights are like^Δβ:
 
 Everything per-temperature-stage runs jitted; the β ladder is adaptive so
 stages loop in Python with on-device state.
+
+**Waste-free mode** (``waste_free_k=K``; Dau & Chopin 2022, "Waste-free
+sequential Monte Carlo", JRSS-B): instead of resampling N particles and
+discarding the intermediate states of the K mutation steps, resample only
+M = N/(K+1) seeds and keep EVERY state their K-step chains visit — the next
+particle set is the union {seeds} ∪ {all K intermediate ensembles}, again of
+size N. Since the mutation kernel leaves p_β invariant, the union is a valid
+(dependent) sample from p_β and the standard like^Δβ weights/evidence
+estimator apply; per stage only M chains are advanced instead of N, so the
+same device FLOPs buy (K+1)× the particle diversity. On TPU the K collected
+ensembles fall out of the mutation ``lax.scan``'s stacked outputs for free.
 """
 
 from typing import NamedTuple
@@ -79,11 +90,16 @@ class SMCSampler:
     n_particles : particle count (even; stretch mutation uses halves).
     n_mcmc : mutation steps per stage.
     target_ess : ESS fraction triggering the β step size (default 0.5).
+    waste_free_k : if set, run in waste-free mode (module docstring):
+        resample M = n_particles/(K+1) seeds per stage, mutate them K
+        steps, and keep every intermediate ensemble as particles.
+        ``n_mcmc`` is ignored in this mode. Requires n_particles divisible
+        by K+1 with an even quotient.
     """
 
     def __init__(self, log_prior_fn, log_like_fn, prior_sample_fn, n_particles,
                  n_params, n_mcmc=5, target_ess=0.5, seed=0, dtype=jnp.float32,
-                 mover=None, mesh=None):
+                 mover=None, mesh=None, waste_free_k=None):
         self.log_prior_fn = log_prior_fn
         self.log_like_fn = log_like_fn
         self.prior_sample_fn = prior_sample_fn
@@ -91,6 +107,21 @@ class SMCSampler:
         self.n_params = int(n_params)
         self.n_mcmc = int(n_mcmc)
         self.target_ess = float(target_ess)
+        self.waste_free_k = None if waste_free_k is None else int(waste_free_k)
+        if self.waste_free_k is not None:
+            k = self.waste_free_k
+            if k < 1:
+                raise ValueError("waste_free_k must be >= 1")
+            if self.n % (k + 1):
+                raise ValueError(
+                    f"n_particles={self.n} not divisible by "
+                    f"waste_free_k+1={k + 1}"
+                )
+            if (self.n // (k + 1)) % 2:
+                raise ValueError(
+                    f"waste-free seed count {self.n // (k + 1)} must be even "
+                    "(stretch mutation uses halves)"
+                )
         self.dtype = dtype
         self.mover = mover if mover is not None else StretchMove()
         self._key = jax.random.key(seed)
@@ -153,10 +184,6 @@ class SMCSampler:
             jax.scipy.special.logsumexp(log_w) - jnp.log(float(self.n))
         )
         k_rs, k_mut = jax.random.split(key)
-        idx = systematic_resample(k_rs, log_w, self.n)
-        particles = jnp.take(state.particles, idx, axis=0)
-        lp = jnp.take(state.log_prior, idx)
-        ll = jnp.take(state.log_like, idx)
 
         # tempered target for mutation
         def tempered_batch(x):
@@ -164,27 +191,64 @@ class SMCSampler:
                 self.log_like_fn
             )(x)
 
-        half = self.n // 2
         mover_state = self.mover.init_state(self.n_params, self.dtype)
 
-        def mcmc_body(i, carry):
-            red, black, lpr, lpb, key = carry
-            key, kr, kb = jax.random.split(key, 3)
+        def mcmc_step(red, black, lpr, lpb, key):
+            kr, kb = jax.random.split(key)
             red, lpr, _ = self.mover.update_half(
                 kr, red, lpr, black, tempered_batch, mover_state
             )
             black, lpb, _ = self.mover.update_half(
                 kb, black, lpb, red, tempered_batch, mover_state
             )
-            return red, black, lpr, lpb, key
+            return red, black, lpr, lpb
 
-        logp_t = lp + beta_new * ll
-        red, black, lpr, lpb, _ = jax.lax.fori_loop(
-            0, self.n_mcmc, mcmc_body,
-            (particles[:half], particles[half:], logp_t[:half], logp_t[half:],
-             k_mut),
-        )
-        particles = jnp.concatenate([red, black], axis=0)
+        if self.waste_free_k is None:
+            idx = systematic_resample(k_rs, log_w, self.n)
+            particles = jnp.take(state.particles, idx, axis=0)
+            lp = jnp.take(state.log_prior, idx)
+            ll = jnp.take(state.log_like, idx)
+            half = self.n // 2
+            logp_t = lp + beta_new * ll
+
+            def mcmc_body(i, carry):
+                red, black, lpr, lpb, key = carry
+                key, ks = jax.random.split(key)
+                red, black, lpr, lpb = mcmc_step(red, black, lpr, lpb, ks)
+                return red, black, lpr, lpb, key
+
+            red, black, lpr, lpb, _ = jax.lax.fori_loop(
+                0, self.n_mcmc, mcmc_body,
+                (particles[:half], particles[half:], logp_t[:half],
+                 logp_t[half:], k_mut),
+            )
+            particles = jnp.concatenate([red, black], axis=0)
+        else:
+            # waste-free: M seeds, keep all K intermediate ensembles
+            # (Dau & Chopin 2022 — see module docstring)
+            m = self.n // (self.waste_free_k + 1)
+            idx = systematic_resample(k_rs, log_w, m)
+            seeds = jnp.take(state.particles, idx, axis=0)
+            lp_s = jnp.take(state.log_prior, idx)
+            ll_s = jnp.take(state.log_like, idx)
+            half = m // 2
+            logp_t = lp_s + beta_new * ll_s
+
+            def scan_body(carry, key):
+                red, black, lpr, lpb = mcmc_step(*carry, key)
+                return (red, black, lpr, lpb), jnp.concatenate(
+                    [red, black], axis=0
+                )
+
+            keys = jax.random.split(k_mut, self.waste_free_k)
+            _, visited = jax.lax.scan(
+                scan_body,
+                (seeds[:half], seeds[half:], logp_t[:half], logp_t[half:]),
+                keys,
+            )  # visited: (K, m, P)
+            particles = jnp.concatenate(
+                [seeds, visited.reshape(-1, self.n_params)], axis=0
+            )
         lp = jax.vmap(self.log_prior_fn)(particles)
         ll = jax.vmap(self.log_like_fn)(particles)
         # constrain the OUTPUT too: particles stay walker-sharded across
