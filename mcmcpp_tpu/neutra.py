@@ -114,6 +114,102 @@ class RealNVP:
         return z, logdet
 
 
+# -- IAF ---------------------------------------------------------------------
+
+
+class IAF:
+    """Inverse autoregressive flow (Kingma et al. 2016) with MADE masking.
+
+    x_i = z_i·exp(ls_i(z_{<i})) + shift_i(z_{<i}): the SAMPLING direction
+    (base → target) is one masked-matmul pass — fully parallel, MXU-shaped —
+    which is exactly the direction NeuTra uses for training, the warped
+    logp, and transport. ``inverse`` (density of an external point) is the
+    sequential direction and runs a dim-length ``fori_loop``; it exists for
+    completeness but no NeuTra path needs it.
+
+    Layers are stacked with input reversal in between so every coordinate
+    conditions on every other within two layers. Conditioner: one-hidden-
+    layer MADE (Germain et al. 2015) per flow layer, zero-initialized last
+    layer → the flow starts at the identity. Same interface as
+    :class:`RealNVP` (init/forward/inverse), so ``NeuTra(..., flow=IAF(P))``
+    is a drop-in swap.
+    """
+
+    def __init__(self, dim, n_layers=4, hidden=64, scale_cap=4.0,
+                 dtype=jnp.float32):
+        if dim < 2:
+            raise ValueError("IAF needs dim >= 2 (use ADVI for 1-D)")
+        self.dim = int(dim)
+        self.n_layers = int(n_layers)
+        self.hidden = max(int(hidden), self.dim)
+        self.scale_cap = float(scale_cap)
+        self.dtype = dtype
+        # MADE degrees: inputs 1..D; hidden cycles 1..D-1; outputs produce
+        # (shift_j, ls_j) conditioned on strictly-lower-degree inputs
+        d_in = np.arange(1, self.dim + 1)
+        d_hid = (np.arange(self.hidden) % max(self.dim - 1, 1)) + 1
+        self._mask_in = jnp.asarray(
+            (d_hid[None, :] >= d_in[:, None]).astype(np.float32)
+        )  # (D, H): hidden k sees input i iff m_k >= d_i
+        out_deg = np.concatenate([d_in, d_in])  # (2D,) shift then ls
+        self._mask_out = jnp.asarray(
+            (out_deg[None, :] > d_hid[:, None]).astype(np.float32)
+        )  # (H, 2D): output j sees hidden k iff d_j > m_k
+
+    def init(self, key):
+        params = []
+        for layer in range(self.n_layers):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, layer))
+            w1 = jax.random.normal(
+                k1, (self.dim, self.hidden), self.dtype
+            ) * jnp.sqrt(2.0 / self.dim)
+            b1 = jnp.zeros((self.hidden,), self.dtype)
+            # zero-init output layer: identity flow at start
+            w2 = jnp.zeros((self.hidden, 2 * self.dim), self.dtype)
+            b2 = jnp.zeros((2 * self.dim,), self.dtype)
+            params.append((w1, b1, w2, b2))
+        return params
+
+    def _shift_ls(self, layer_params, z):
+        w1, b1, w2, b2 = layer_params
+        h = jnp.tanh(z @ (w1 * self._mask_in) + b1)
+        out = h @ (w2 * self._mask_out) + b2
+        shift, raw = out[..., : self.dim], out[..., self.dim:]
+        return shift, self.scale_cap * jnp.tanh(raw / self.scale_cap)
+
+    def forward(self, params, z):
+        """(P,) base draw -> (x, logdet); one parallel pass per layer."""
+        x = z
+        logdet = jnp.zeros((), z.dtype)
+        for layer_params in params:
+            shift, ls = self._shift_ls(layer_params, x)
+            x = x * jnp.exp(ls) + shift
+            logdet = logdet + jnp.sum(ls)
+            x = x[::-1]  # permute so later layers condition the other way
+        return x, logdet
+
+    def inverse(self, params, x):
+        """(P,) target point -> (z, logdet of dz/dx); sequential in dim."""
+        z = x
+        logdet = jnp.zeros((), x.dtype)
+        for layer_params in reversed(params):
+            z = z[::-1]  # undo the layer's output permutation
+
+            def solve_coord(i, zi):
+                # z_i depends on z_{<i} only, so filling coordinates in
+                # ascending order converges exactly in one sweep
+                shift, ls = self._shift_ls(layer_params, zi)
+                val = (z[i] - shift[i]) * jnp.exp(-ls[i])
+                return zi.at[i].set(val)
+
+            zi = jax.lax.fori_loop(0, self.dim, solve_coord,
+                                   jnp.zeros_like(z))
+            _, ls = self._shift_ls(layer_params, zi)
+            logdet = logdet - jnp.sum(ls)
+            z = zi
+        return z, logdet
+
+
 # -- NeuTra ------------------------------------------------------------------
 
 
