@@ -342,6 +342,37 @@ class TestLKJ:
         assert abs(r2.mean()) < 0.08
         assert abs((r2**2).mean() - 1.0 / 3.0) < 0.05
 
+    def test_large_k_vectorized(self):
+        """K=25 (300 coords): the vectorized cumprod construction must
+        trace in O(1) ops — the round-1 unrolled loops choked here — and
+        stay exactly consistent (roundtrip, unit rows, autodiff log_det)."""
+        from mcmcpp_tpu.dsl import CorrCholesky
+
+        k = 25
+        t = CorrCholesky(k)
+        m = k * (k - 1) // 2
+        u = jax.random.normal(jax.random.key(5), (3, m)) * 0.4
+        L = jax.jit(t.forward)(u)
+        assert L.shape == (3, k, k)
+        np.testing.assert_allclose(
+            np.sum(np.asarray(L) ** 2, axis=-1), 1.0, atol=1e-5
+        )
+        assert np.all(np.asarray(jnp.diagonal(L, axis1=-2, axis2=-1)) > 0)
+        # float32 roundtrip: masses multiply up to 24 (1-z²) factors, so
+        # arctanh near the tails loses a few bits — 1e-3 is the honest bar
+        np.testing.assert_allclose(np.asarray(t.inverse(L)), np.asarray(u),
+                                   atol=1e-3)
+        ld = jax.jit(t.log_det)(u)
+        assert ld.shape == (3,)
+
+        # autodiff check at a size jacfwd can afford
+        t6 = CorrCholesky(6)
+        u6 = jax.random.normal(jax.random.key(6), (15,)) * 0.7
+        tril = jnp.tril_indices(6, -1)
+        jac = jax.jacfwd(lambda v: t6.forward(v)[tril])(u6)
+        _, ref = jnp.linalg.slogdet(jac)
+        assert float(t6.log_det(u6)) == pytest.approx(float(ref), abs=1e-4)
+
     def test_eta_large_concentrates_identity(self):
         from mcmcpp_tpu.dsl import LKJCholesky
 
