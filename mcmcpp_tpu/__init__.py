@@ -45,7 +45,7 @@ from mcmcpp_tpu.tempering import ParallelTemperingSampler
 from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
 from mcmcpp_tpu.chain_disk import DiskChain
-from mcmcpp_tpu.neutra import NeuTra, RealNVP
+from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
 from mcmcpp_tpu.export import to_inference_dict, to_arviz
 
 __version__ = "0.1.0"
@@ -57,6 +57,8 @@ __all__ = [
     "DiskChain",
     "NeuTra",
     "RealNVP",
+    "IAF",
+    "SplineCoupling",
     "to_inference_dict",
     "to_arviz",
     "StretchMove",

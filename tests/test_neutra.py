@@ -177,3 +177,133 @@ class TestIAF:
 
         with pytest.raises(ValueError, match="dim >= 2"):
             IAF(1)
+
+
+class TestSplineCoupling:
+    """Rational-quadratic spline coupling flow (Durkan et al. 2019) —
+    ROADMAP capability item beyond RealNVP/IAF."""
+
+    def _perturbed(self, flow, seed, scale=0.5):
+        params = flow.init(jax.random.key(seed))
+        return jax.tree.map(
+            lambda p: p + scale * jax.random.normal(
+                jax.random.key(int(p.size) + seed), p.shape, p.dtype
+            ),
+            params,
+        )
+
+    @pytest.mark.parametrize("dim", [2, 5])
+    def test_roundtrip_and_logdet_vs_autodiff_x64(self, dim):
+        """Exactness of the spline math, checked in float64 — randomly
+        perturbed params create near-degenerate bins where float32
+        autodiff references are themselves noisy, so the tight check
+        belongs at f64 (the f32 regime is covered by the banana fit)."""
+        from mcmcpp_tpu.neutra import SplineCoupling
+
+        with jax.enable_x64():
+            flow = SplineCoupling(dim, n_layers=3, hidden=16, n_bins=6,
+                                  dtype=jnp.float64)
+            params = self._perturbed(flow, 3)
+            z = np.asarray(
+                jax.random.normal(jax.random.key(1), (8, dim))
+            ) * 2.0
+            for zi in z:
+                zi = jnp.asarray(zi, jnp.float64)
+                x, ld_f = flow.forward(params, zi)
+                z2, ld_i = flow.inverse(params, x)
+                np.testing.assert_allclose(np.asarray(z2), np.asarray(zi),
+                                           atol=1e-8)
+                assert float(ld_f + ld_i) == pytest.approx(0.0, abs=1e-8)
+                jac = jax.jacfwd(lambda v: flow.forward(params, v)[0])(zi)
+                _, ref = jnp.linalg.slogdet(jac)
+                assert float(ld_f) == pytest.approx(float(ref), abs=1e-8)
+
+    def test_roundtrip_float32_moderate_params(self):
+        """float32 path at training-realistic parameter scales."""
+        from mcmcpp_tpu.neutra import SplineCoupling
+
+        flow = SplineCoupling(4, n_layers=3, hidden=16, n_bins=6)
+        params = self._perturbed(flow, 5, scale=0.2)
+        z = np.asarray(jax.random.normal(jax.random.key(2), (8, 4))) * 2.0
+        for zi in z:
+            zi = jnp.asarray(zi, jnp.float32)
+            x, ld_f = flow.forward(params, zi)
+            z2, ld_i = flow.inverse(params, x)
+            np.testing.assert_allclose(np.asarray(z2), np.asarray(zi),
+                                       atol=5e-4)
+            assert float(ld_f + ld_i) == pytest.approx(0.0, abs=2e-3)
+
+    def test_identity_at_init(self):
+        from mcmcpp_tpu.neutra import SplineCoupling
+
+        flow = SplineCoupling(4, n_layers=4)
+        params = flow.init(jax.random.key(0))
+        z = jnp.asarray([0.3, -4.9, 0.0, 4.9], jnp.float32)
+        x, ld = flow.forward(params, z)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=1e-5)
+        assert float(ld) == pytest.approx(0.0, abs=1e-5)
+
+    def test_identity_tails(self):
+        from mcmcpp_tpu.neutra import SplineCoupling
+
+        flow = SplineCoupling(2, n_layers=2, bound=3.0)
+        params = self._perturbed(flow, 7, scale=1.0)
+        # zero the affine head: the tails property belongs to the splines
+        params[-1] = (jnp.zeros((2,), jnp.float32),
+                      jnp.zeros((2,), jnp.float32))
+        z = jnp.asarray([17.5, -42.0], jnp.float32)  # far outside [-B, B]
+        x, ld = flow.forward(params, z)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=1e-6)
+        assert float(ld) == pytest.approx(0.0, abs=1e-6)
+
+    def test_affine_head_expands_past_bound(self):
+        """Without the head a spline flow can never push mass past B;
+        with log_scale = log 2 the far tails must scale affinely."""
+        from mcmcpp_tpu.neutra import SplineCoupling
+
+        flow = SplineCoupling(2, n_layers=2, bound=3.0)
+        params = flow.init(jax.random.key(0))
+        params[-1] = (jnp.zeros((2,), jnp.float32),
+                      jnp.full((2,), np.log(2.0), jnp.float32))
+        z = jnp.asarray([4.0, -10.0], jnp.float32)
+        x, ld = flow.forward(params, z)
+        np.testing.assert_allclose(np.asarray(x), [8.0, -20.0], atol=1e-5)
+        assert float(ld) == pytest.approx(2.0 * np.log(2.0), abs=1e-5)
+        z2, ldi = flow.inverse(params, x)
+        np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=1e-5)
+        assert float(ld + ldi) == pytest.approx(0.0, abs=1e-5)
+
+    def test_monotone_per_coordinate(self):
+        from mcmcpp_tpu.neutra import SplineCoupling
+
+        flow = SplineCoupling(2, n_layers=1, n_bins=8)
+        params = self._perturbed(flow, 11, scale=1.5)
+        # layer-0 mask fixes even dims; dim 1 goes through the spline.
+        # Extreme params make near-flat regions where float32 steps can
+        # round to equality, so the strict check is monotone-nondecreasing
+        # plus genuine overall growth.
+        grid = np.linspace(-6, 6, 301, dtype=np.float32)
+        ys = np.asarray(jax.vmap(
+            lambda t: flow.forward(params, jnp.asarray([0.7, t]))[0][1]
+        )(jnp.asarray(grid)))
+        assert np.all(np.diff(ys) >= 0)
+        rise = 12.0 * float(np.exp(np.asarray(params[-1][1])[1]))
+        assert ys[-1] - ys[0] == pytest.approx(rise, abs=1e-2)
+
+    @pytest.mark.slow
+    def test_neutra_spline_recovers_banana(self):
+        from mcmcpp_tpu.neutra import SplineCoupling, NeuTra
+
+        def logp(t):  # Rosenbrock-ish banana
+            return -0.5 * (t[0] ** 2 / 4.0 + (t[1] - 0.5 * t[0] ** 2) ** 2)
+
+        nt = NeuTra(logp, 2, flow=SplineCoupling(2, n_layers=4, hidden=32),
+                    seed=0)
+        nt.fit(3000, batch=256, learning_rate=2e-3)
+        h = nt.fit_result.elbo_history
+        assert nt.fit_result.final_elbo > h[:50].mean()
+        x = np.asarray(nt.sample_approximate(jax.random.key(3), 30000))
+        # banana moments: E[x0]=0, Var[x0]=4, E[x1]=0.5*E[x0^2]=2
+        assert abs(x[:, 0].mean()) < 0.25
+        assert abs(x[:, 0].var() - 4.0) < 0.8
+        assert abs(x[:, 1].mean() - 2.0) < 0.4
