@@ -146,16 +146,26 @@ class CheesHMCSampler(GradientSampler):
     chains; default target 0.651, the jittered-HMC optimum), the log
     trajectory length by Adam ascent on the ChEES gradient, and the
     diagonal mass matrix by Welford (shared with HMC/NUTS). Sampling then
-    runs fixed-``traj_length`` jittered HMC.
+    runs fixed-``traj_length`` jittered HMC — or, with
+    ``continuous_adapt=True``, keeps adapting log T during sampling with
+    a diminishing Adam rate ``adam_lr·(1 + t/adapt_t0)^-adapt_kappa``
+    (kappa in (0.5, 1] satisfies the Roberts & Rosenthal 2007
+    diminishing-adaptation conditions, so the chain stays ergodic;
+    useful when warmup was short or the typical set drifts).
     """
 
     def __init__(self, logp_fn, n_chains, n_params, seed=0,
                  target_accept=0.651, init_traj_length=None,
-                 max_leapfrog=1024, adam_lr=0.025, **kwargs):
+                 max_leapfrog=1024, adam_lr=0.025, continuous_adapt=False,
+                 adapt_kappa=0.6, adapt_t0=100.0, **kwargs):
         self.max_leapfrog = int(max_leapfrog)
         self.adam_lr = float(adam_lr)
+        self.continuous_adapt = bool(continuous_adapt)
+        self.adapt_kappa = float(adapt_kappa)
+        self.adapt_t0 = float(adapt_t0)
         self._init_traj = init_traj_length
         self.traj_length = None  # set by warmup (or defaulted at first run)
+        self._sadapt = None  # (log_traj, AdamState) when continuous_adapt
         super().__init__(logp_fn, n_chains, n_params, seed=seed,
                          target_accept=target_accept, **kwargs)
 
@@ -209,6 +219,8 @@ class CheesHMCSampler(GradientSampler):
         self.traj_length = float(jnp.exp(log_traj_avg))
         # the jitted run programs bake traj_length in at trace time
         self._run_cache.clear()
+        # continuous adaptation restarts from the fresh warmup result
+        self._sadapt = None
         self.inv_mass = inv_mass
         return self
 
@@ -253,6 +265,89 @@ class CheesHMCSampler(GradientSampler):
         return state, da.log_step_avg, log_t_avg, inv_mass
 
     # -- sampling: the base run() drives this via self._step -----------------
+
+    def current_traj_length(self):
+        """Trajectory length in effect now (tracks ``continuous_adapt``)."""
+        if self.continuous_adapt and self._sadapt is not None:
+            return float(jnp.exp(self._sadapt[0]))
+        return self._traj_or_default()
+
+    def _get_run_fn(self, take, thin):
+        """With ``continuous_adapt``, the jitted program takes the
+        adaptation state as an ARGUMENT (a closure would bake the traced
+        value in at compile time and never move) and the wrapper writes
+        the updated state back — still async, so the base run()'s
+        pipelined store loop is undisturbed (Roberts & Rosenthal 2007
+        diminishing adaptation: per-step rate ``adam_lr·t^-kappa`` with
+        kappa in (0.5, 1] keeps the chain ergodic)."""
+        if not self.continuous_adapt:
+            return super()._get_run_fn(take, thin)
+        key = ("cadapt", take, thin)
+        fn = self._run_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda state, k, ss, im, ad, t=take, th=thin:
+                    self._run_scan_adapt(state, k, ss, im, ad, t, th)
+            )
+            self._run_cache[key] = fn
+        if self._sadapt is None:
+            self._sadapt = (
+                jnp.log(jnp.asarray(self._traj_or_default(), self.dtype)),
+                adam_init(self.dtype),
+            )
+
+        def call(state, run_key, step_vec, inv_mass):
+            state, pos, lp, acc, sadapt = fn(
+                state, run_key, step_vec, inv_mass, self._sadapt
+            )
+            self._sadapt = sadapt
+            return state, pos, lp, acc
+
+        return call
+
+    def _run_scan_adapt(self, state, key, step_size, inv_mass, sadapt,
+                        n_store, thin):
+        kernel = self._kernel
+        eps = jnp.mean(step_size)
+        lo = jnp.log(eps)  # T below one step is meaningless
+        hi = lo + jnp.log(float(self.max_leapfrog))
+        dt = self.dtype
+
+        def inner(j, carry):
+            s, k, a, log_traj, adam = carry
+            k, k_jit, sub = jax.random.split(k, 3)
+            u = jax.random.uniform(k_jit, (), s.position.dtype)
+            s = self._constrain(s)
+            s, (ap, _, traj_grad, _) = kernel(
+                sub, s, eps, inv_mass, jnp.exp(log_traj), u
+            )
+            # diminishing Adam ascent on log T; the t0 horizon keeps the
+            # early rate near adam_lr (diminishing-from-step-1 would cap
+            # total movement at ~1 log unit) while t^-kappa still drives
+            # the rate to zero
+            lr_t = self.adam_lr * (
+                1.0 + adam.count.astype(dt) / self.adapt_t0
+            ) ** (-self.adapt_kappa)
+            delta, adam = adam_step(adam, traj_grad * jnp.exp(log_traj),
+                                    lr=lr_t)
+            log_traj = jnp.clip(log_traj + delta, lo, hi)
+            return (s, k, a + jnp.mean(ap), log_traj, adam)
+
+        def body(carry, _):
+            state, key, log_traj, adam = carry
+            state, key, acc, log_traj, adam = jax.lax.fori_loop(
+                0, thin, inner,
+                (state, key, jnp.zeros((), dt), log_traj, adam),
+            )
+            return (state, key, log_traj, adam), (
+                state.position, state.logp, acc / thin
+            )
+
+        log_traj, adam = sadapt
+        (state, _, log_traj, adam), (pos, lp, acc) = jax.lax.scan(
+            body, (state, key, log_traj, adam), length=n_store
+        )
+        return state, pos, lp, jnp.mean(acc), (log_traj, adam)
 
     def _run_scan(self, state, key, step_size, inv_mass, n_store, thin):
         kernel = self._kernel

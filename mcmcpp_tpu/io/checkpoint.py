@@ -93,6 +93,15 @@ def save_checkpoint(sampler, path):
         # ChEES-HMC carries an adapted trajectory length
         if getattr(sampler, "traj_length", None) is not None:
             meta["traj_length"] = float(sampler.traj_length)
+        # ... and, under continuous_adapt, the live (log T, Adam) state
+        sa = getattr(sampler, "_sadapt", None)
+        if sa is not None:
+            arrays.update(
+                sadapt_log_traj=np.asarray(sa[0]),
+                sadapt_m=np.asarray(sa[1].m),
+                sadapt_v=np.asarray(sa[1].v),
+                sadapt_count=np.asarray(sa[1].count),
+            )
         s = sampler.state
         arrays.update(
             position=np.asarray(s.position), logp=np.asarray(s.logp),
@@ -180,6 +189,17 @@ def load_checkpoint(sampler, path):
             sampler.traj_length = float(meta["traj_length"])
             # ChEES run programs bake the trajectory length in at trace time
             sampler._run_cache.clear()
+        if "sadapt_log_traj" in arrays and hasattr(sampler, "_sadapt"):
+            from mcmcpp_tpu.gradient.chees import AdamState
+
+            sampler._sadapt = (
+                jnp.asarray(arrays["sadapt_log_traj"]),
+                AdamState(
+                    m=jnp.asarray(arrays["sadapt_m"]),
+                    v=jnp.asarray(arrays["sadapt_v"]),
+                    count=jnp.asarray(arrays["sadapt_count"]),
+                ),
+            )
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:

@@ -132,6 +132,58 @@ def test_chees_deterministic_given_seed():
     np.testing.assert_array_equal(s1.get_samples(), s2.get_samples())
 
 
+def test_chees_continuous_adapt_moments():
+    """Diminishing-adaptation sampling (Roberts & Rosenthal 2007) must
+    leave the stationary distribution intact."""
+    s, cov = _run(CheesHMCSampler, continuous_adapt=True)
+    flat = s.get_samples(burn_in=100, flat=True)
+    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(DIM), atol=0.15)
+    np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.3)
+
+
+def test_chees_continuous_adapt_recovers_from_short_warmup():
+    """Start sampling with a deliberately bad (tiny) trajectory: the
+    in-sampling ascent must grow T toward the warmup-quality optimum."""
+    scales = jnp.linspace(1.0, 5.0, 8)
+
+    def logp(t):
+        return -0.5 * jnp.sum((t / scales) ** 2)
+
+    s = CheesHMCSampler(logp, n_chains=64, n_params=8, seed=3,
+                        step_size=0.25, init_traj_length=0.3,
+                        continuous_adapt=True)
+    s.init_ball(np.zeros(8), scale=1.0, seed=4)
+    t0 = s.current_traj_length()
+    s.run(1200)
+    t1 = s.current_traj_length()
+    assert t1 > 3.0 * t0, (t0, t1)
+    # diminishing rate: a further run moves log T far less than the first
+    s.run(1200)
+    t2 = s.current_traj_length()
+    assert abs(np.log(t2 / t1)) < 0.5 * abs(np.log(t1 / t0)), (t0, t1, t2)
+
+
+def test_chees_continuous_adapt_deterministic():
+    s1, _ = _run(CheesHMCSampler, seed=11, warmup=60, steps=100,
+                 continuous_adapt=True)
+    s2, _ = _run(CheesHMCSampler, seed=11, warmup=60, steps=100,
+                 continuous_adapt=True)
+    assert s1.current_traj_length() == s2.current_traj_length()
+    np.testing.assert_array_equal(s1.get_samples(), s2.get_samples())
+
+
+def test_chees_rewarmup_resets_continuous_adapt():
+    logp, _ = _target()
+    s = CheesHMCSampler(logp, n_chains=8, n_params=DIM, seed=7,
+                        continuous_adapt=True)
+    s.init_ball(np.zeros(DIM), scale=1.0, seed=8)
+    s.warmup(40)
+    s.run(50)
+    assert s._sadapt is not None
+    s.warmup(40)
+    assert s._sadapt is None  # next run restarts from the new warmup T
+
+
 def test_chees_rewarmup_invalidates_run_cache():
     """run() programs bake the trajectory length in at trace time; a second
     warmup must not leave stale compiled programs behind."""

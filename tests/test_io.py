@@ -126,6 +126,35 @@ def test_checkpoint_resume_chees_bitwise(tmp_path):
     np.testing.assert_array_equal(a.get_samples(), b.get_samples())
 
 
+def test_checkpoint_resume_chees_continuous_adapt_bitwise(tmp_path):
+    """The live (log T, Adam) state must survive a checkpoint so a
+    resumed continuously-adapting run is bitwise-identical."""
+    from mcmcpp_tpu import CheesHMCSampler
+
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    a = CheesHMCSampler(logp, n_chains=8, n_params=3, seed=4,
+                        continuous_adapt=True)
+    a.init_ball(np.zeros(3), scale=1.0, seed=5)
+    a.warmup(50)
+    a.run(20)
+    ckpt = save_checkpoint(a, tmp_path / "ca.npz")
+    a.run(20)
+
+    b = CheesHMCSampler(logp, n_chains=8, n_params=3, seed=123,
+                        continuous_adapt=True)
+    b.init_ball(np.ones(3), scale=2.0, seed=6)
+    b.warmup(10)
+    b.run(5)
+    b.chain.clear()
+    load_checkpoint(b, ckpt)
+    b.run(20)
+
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+    assert float(b._sadapt[0]) == float(a._sadapt[0])
+
+
 def test_checkpoint_shape_mismatch_rejected(tmp_path):
     a = _sampled(tmp_path, n_steps=5)
     ckpt = save_checkpoint(a, tmp_path / "ck.npz")
