@@ -14,6 +14,7 @@ MCMCpp/EnsembleSampler.h:89-176, in idiomatic JAX form).
 from mcmcpp_tpu.sampler import EnsembleSampler, EnsembleState, sample_ball
 from mcmcpp_tpu.chain import Chain
 from mcmcpp_tpu.movers import (
+    EnsembleSliceMove,
     MixtureMover,
     StretchMove,
     WalkMove,
@@ -62,6 +63,7 @@ __all__ = [
     "to_inference_dict",
     "to_arviz",
     "StretchMove",
+    "EnsembleSliceMove",
     "WalkMove",
     "DifferentialEvolutionMove",
     "DESnookerMove",

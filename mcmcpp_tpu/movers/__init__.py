@@ -8,6 +8,7 @@ from mcmcpp_tpu.movers.snooker import DESnookerMove
 from mcmcpp_tpu.movers.mh import MetropolisHastingsMove
 from mcmcpp_tpu.movers.diagnostic import AutoRegressiveMove, SequenceMove
 from mcmcpp_tpu.movers.mixture import MixtureMover
+from mcmcpp_tpu.movers.slice import EnsembleSliceMove
 
 __all__ = [
     "Mover",
@@ -17,6 +18,7 @@ __all__ = [
     "DESnookerMove",
     "MetropolisHastingsMove",
     "MixtureMover",
+    "EnsembleSliceMove",
     "AutoRegressiveMove",
     "SequenceMove",
 ]

@@ -11,7 +11,7 @@ import pytest
 
 from mcmcpp_tpu import (
     AutoRegressiveMove, DifferentialEvolutionMove, EnsembleSampler,
-    NUTSSampler, StretchMove, WalkMove, analysis,
+    EnsembleSliceMove, NUTSSampler, StretchMove, WalkMove, analysis,
 )
 
 from tests.targets import skewed_gaussian_logp, EPSILON
@@ -24,6 +24,7 @@ def _marginal_sds():
 
 @pytest.mark.parametrize("mover", [
     StretchMove(), WalkMove(n_samples=6), DifferentialEvolutionMove(),
+    EnsembleSliceMove(),
 ])
 @pytest.mark.slow
 def test_ks_marginals(mover):

@@ -185,3 +185,72 @@ class TestDESnooker:
         flat = s.get_samples(flat=True)
         frac_neg = float(np.mean(flat[:, 0] < 0))
         assert 0.3 < frac_neg < 0.7, frac_neg
+
+
+class TestEnsembleSlice:
+    """zeus-style differential slice move (Karamanis & Beutler 2021)."""
+
+    @pytest.mark.slow
+    def test_moments(self):
+        from mcmcpp_tpu import EnsembleSliceMove
+
+        s = run_mover(EnsembleSliceMove(), n_steps=2000, burn=400)
+        check_moments(s)
+        # slice sampling always moves (barring the astronomically-rare
+        # shrink-cap fallback)
+        assert s.acceptance_fraction > 0.999
+
+    @pytest.mark.slow
+    def test_gather_mode_moments(self):
+        from mcmcpp_tpu import EnsembleSliceMove
+
+        s = run_mover(EnsembleSliceMove(partner_mode="gather"),
+                      n_steps=2000, burn=400)
+        check_moments(s, atol=0.15)
+
+    def test_deterministic_given_seed(self):
+        from mcmcpp_tpu import EnsembleSliceMove
+
+        a = run_mover(EnsembleSliceMove(), n_steps=50, burn=10, seed=7)
+        b = run_mover(EnsembleSliceMove(), n_steps=50, burn=10, seed=7)
+        np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+
+    def test_mu_scales_direction(self):
+        """Tiny mu still samples correctly (slice validity is mu-free),
+        just with shorter steps -> higher autocorrelation."""
+        from mcmcpp_tpu import EnsembleSliceMove
+
+        s = run_mover(EnsembleSliceMove(mu=0.3), n_steps=3000, burn=600)
+        check_moments(s, atol=0.15)
+
+    def test_tempered_slice_targets_power_posterior(self):
+        """beta=0.25 on N(0,1) must sample N(0, 1/0.25): the slice height
+        and inclusion test are tempered while stored logp stays raw."""
+        import jax
+        import jax.numpy as jnp
+        from mcmcpp_tpu import EnsembleSliceMove
+
+        def logp(t):
+            return -0.5 * jnp.sum(t * t)
+
+        mover = EnsembleSliceMove()
+        batched = jax.vmap(logp)
+        key = jax.random.key(0)
+        n = 128
+        active = jax.random.normal(jax.random.key(1), (n, 2)) * 2.0
+        other = jax.random.normal(jax.random.key(2), (n, 2)) * 2.0
+        alp = batched(active)
+        draws = []
+        step = jax.jit(lambda k, a, al: mover.update_half(
+            k, a, al, other, batched, (), beta=0.25
+        ))
+        for i in range(600):
+            key, sub = jax.random.split(key)
+            active, alp, _ = step(sub, active, alp)
+            if i >= 100:
+                draws.append(np.asarray(active))
+        x = np.concatenate(draws, axis=0)
+        # var = 1/beta = 4 (tolerate the frozen `other` half's influence
+        # on the direction distribution only -- validity is unaffected)
+        np.testing.assert_allclose(x.std(axis=0), 2.0, rtol=0.1)
+        np.testing.assert_allclose(x.mean(axis=0), 0.0, atol=0.2)

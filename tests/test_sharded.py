@@ -69,3 +69,19 @@ def test_sharded_moments():
 def test_uneven_shard_rejected():
     with pytest.raises(ValueError):
         ShardedEnsembleSampler(skewed_gaussian_logp, n_walkers=6, n_params=2)
+
+
+def test_sharded_slice_move_bitwise():
+    """EnsembleSliceMove's masked while_loops (stepping-out + shrinking)
+    must partition under GSPMD: the `any` trip conditions become global
+    reductions, so sharded == single-device bit for bit."""
+    from mcmcpp_tpu import EnsembleSliceMove
+
+    seq = _make(EnsembleSampler, mover=EnsembleSliceMove())
+    par = _make(ShardedEnsembleSampler, mover=EnsembleSliceMove())
+    seq.run_mcmc(30)
+    par.run_mcmc(30)
+    np.testing.assert_array_equal(
+        np.asarray(seq.current_positions), np.asarray(par.current_positions)
+    )
+    np.testing.assert_array_equal(seq.get_samples(), par.get_samples())
