@@ -307,3 +307,53 @@ class TestSplineCoupling:
         assert abs(x[:, 0].mean()) < 0.25
         assert abs(x[:, 0].var() - 4.0) < 0.8
         assert abs(x[:, 1].mean() - 2.0) < 0.4
+
+
+class TestForwardKLRefit:
+    """refit_forward_kl: flow refinement from posterior draws (the
+    per-chain-refinement ROADMAP item; forward KL is mass-covering and
+    gradient-free in the target)."""
+
+    @pytest.mark.slow
+    def test_mle_on_exact_draws_recovers_covariance(self):
+        """No reverse-KL fit at all: MLE on exact correlated-Gaussian
+        draws alone must teach the flow the covariance."""
+        dim, rho = 3, 0.7
+        cov = rho * np.ones((dim, dim)) + (1 - rho) * np.eye(dim)
+        chol = np.linalg.cholesky(cov).astype(np.float32)
+        rng = np.random.default_rng(0)
+        draws = (chol @ rng.standard_normal((dim, 20000))).T.astype(
+            np.float32
+        )
+
+        nt = NeuTra(lambda t: 0.0, dim,
+                    flow=RealNVP(dim, n_layers=4, hidden=32), seed=1)
+        nt.refit_forward_kl(draws, n_steps=2500, learning_rate=2e-3)
+        h = nt.refit_result.elbo_history
+        assert nt.refit_result.final_elbo > h[:50].mean()
+        x = nt.sample_approximate(jax.random.key(2), 30000)
+        np.testing.assert_allclose(np.cov(np.asarray(x).T), cov, atol=0.2)
+
+    def test_shape_validation(self):
+        nt = NeuTra(lambda t: 0.0, 3, seed=1)
+        with pytest.raises(ValueError, match="samples must be"):
+            nt.refit_forward_kl(np.zeros((10, 4)))
+
+    @pytest.mark.slow
+    def test_refine_loop_improves_funnel_transport(self, fitted):
+        """fit -> sample -> refit on transported draws: the refit flow's
+        own samples must still match the funnel v-marginal (refinement
+        must not degrade a good transport)."""
+        t, nt0 = fitted
+        import copy
+
+        nt = copy.copy(nt0)  # don't mutate the shared fixture's params
+        s = nt.make_sampler(NUTSSampler, n_chains=16, max_depth=8)
+        s.warmup(300)
+        s.run(800)
+        draws = nt.transform(s.get_samples(flat=True))
+        nt.refit_forward_kl(draws, n_steps=1500, learning_rate=5e-4)
+        x = nt.sample_approximate(jax.random.key(5), 8000)
+        v = np.asarray(x)[:, 0]
+        assert abs(v.mean()) < 0.8
+        assert 1.8 < v.std() < 4.2
