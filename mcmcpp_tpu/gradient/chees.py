@@ -35,9 +35,12 @@ from mcmcpp_tpu.gradient.hmc import (
     HMCState,
     da_init,
     da_update,
-    welford_init,
     welford_update_batch,
-    welford_variance,
+)
+from mcmcpp_tpu.gradient.metric import (
+    mass_kinetic,
+    mass_momentum,
+    mass_velocity,
 )
 
 
@@ -92,8 +95,8 @@ def chees_batch_step(logp_fn, max_leapfrog=1024):
         q0, lp0, g0 = state.position, state.logp, state.grad
         k_mom, k_acc = jax.random.split(key)
         z = jax.random.normal(k_mom, q0.shape, q0.dtype)
-        p0 = z * jax.lax.rsqrt(inv_mass)[None, :]
-        kin0 = 0.5 * jnp.sum(inv_mass[None, :] * p0**2, axis=1)
+        p0 = mass_momentum(inv_mass, z)
+        kin0 = mass_kinetic(inv_mass, p0)
 
         t = 2.0 * u * traj_len
         n_leap = jnp.clip(jnp.ceil(t / eps).astype(jnp.int32), 1, cap)
@@ -101,7 +104,7 @@ def chees_batch_step(logp_fn, max_leapfrog=1024):
         def body(carry):
             i, q, p, lp, g = carry
             p = p + 0.5 * eps * g
-            q = q + eps * (inv_mass[None, :] * p)
+            q = q + eps * mass_velocity(inv_mass, p)
             lp, g = batch_lp_grad(q)
             p = p + 0.5 * eps * g
             return i + 1, q, p, lp, g
@@ -110,7 +113,7 @@ def chees_batch_step(logp_fn, max_leapfrog=1024):
             lambda c: c[0] < n_leap, body, (jnp.int32(0), q0, p0, lp0, g0)
         )
 
-        kin1 = 0.5 * jnp.sum(inv_mass[None, :] * p1**2, axis=1)
+        kin1 = mass_kinetic(inv_mass, p1)
         log_ratio = (lp1 - kin1) - (lp0 - kin0)
         log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
         accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
@@ -128,7 +131,7 @@ def chees_batch_step(logp_fn, max_leapfrog=1024):
         d0 = q0 - mu0[None, :]
         d1 = q1 - mu1[None, :]
         delta = jnp.sum(d1**2, axis=1) - jnp.sum(d0**2, axis=1)
-        vel_proj = jnp.sum(d1 * (inv_mass[None, :] * p1), axis=1)
+        vel_proj = jnp.sum(d1 * mass_velocity(inv_mass, p1), axis=1)
         wsum = jnp.sum(accept_prob)
         per_chain = accept_prob * u * delta * vel_proj
         traj_grad = jnp.where(wsum > 0, jnp.sum(per_chain) / (wsum + 1e-20), 0.0)
@@ -232,7 +235,7 @@ class CheesHMCSampler(GradientSampler):
             state, da, adam, log_traj, log_traj_avg, wf, key = carry
             key, sub = jax.random.split(key)
             eps = jnp.exp(da.log_step)
-            inv_mass = welford_variance(wf) if adapt_mass else im0
+            inv_mass = self._mass_from_welford(wf) if adapt_mass else im0
             u = halton2(i)
             state = self._constrain(state)
             state, (ap, _, traj_grad, _) = kernel(
@@ -256,12 +259,12 @@ class CheesHMCSampler(GradientSampler):
         da = da_init(eps0)
         adam = adam_init(dt)
         log_t = jnp.log(t0)
-        wf = welford_init((self.n_params,), dt)
+        wf = self._welford_init()
         (state, da, adam, log_t, log_t_avg, wf, _), _ = jax.lax.scan(
             body, (state, da, adam, log_t, log_t, wf, key),
             jnp.arange(n_steps, dtype=jnp.int32),
         )
-        inv_mass = welford_variance(wf) if adapt_mass else im0
+        inv_mass = self._mass_from_welford(wf) if adapt_mass else im0
         return state, da.log_step_avg, log_t_avg, inv_mass
 
     # -- sampling: the base run() drives this via self._step -----------------

@@ -6,8 +6,11 @@ whose chain axis shards over the device mesh like the ensemble walker axis.
 Warmup adapts a PER-CHAIN step size by dual averaging (the Hoffman–Gelman
 2014 §3.2 schedule vectorized over the chain axis — a chain initialized in
 a difficult region adapts its own step instead of dragging a shared one
-down) and a shared diagonal mass matrix by Welford variance accumulation
-over all chains' positions.
+down) and a shared mass matrix by Welford accumulation over all chains'
+positions: ``metric="diag"`` (default) estimates per-parameter variances,
+``metric="dense"`` the full posterior covariance (Stan's diag_e/dense_e;
+see gradient/metric.py for the four primitives kernels are written
+against).
 
 No counterpart exists in the reference (gradient-free C++ library,
 cf. ``MCMCpp/Utility/UserOjbectsTest.h:144-151`` black-box Calculator
@@ -22,6 +25,12 @@ import jax
 import jax.numpy as jnp
 
 from mcmcpp_tpu.chain import Chain, append_device_chunk
+from mcmcpp_tpu.gradient.metric import (
+    dense_mass_from_cov,
+    mass_kinetic,
+    mass_momentum,
+    mass_velocity,
+)
 
 
 class HMCState(NamedTuple):
@@ -50,7 +59,7 @@ def _leapfrog(logp_grad_fn, position, momentum, grad, inv_mass, step_size, n_ste
     def body(carry, _):
         q, p, g = carry
         p = p + 0.5 * step_size * g
-        q = q + step_size * (inv_mass * p)
+        q = q + step_size * mass_velocity(inv_mass, p)
         lp, g = logp_grad_fn(q)
         p = p + 0.5 * step_size * g
         return (q, p, g), lp
@@ -64,20 +73,20 @@ def hmc_kernel(logp_fn, n_leapfrog):
 
     Returns ``kernel(key, q, logp, grad, step_size, inv_mass) ->
     ((q, logp, grad), (accept_prob, accepted))``. ``inv_mass`` is the
-    diagonal inverse mass matrix (P,).
+    diagonal inverse mass matrix (P,) or a DenseMassMatrix.
     """
     logp_grad_fn = jax.value_and_grad(logp_fn)
 
     def kernel(key, position, logp, grad, step_size, inv_mass):
         k_mom, k_acc = jax.random.split(key)
-        # momentum ~ N(0, M) with M = diag(1/inv_mass)
+        # momentum ~ N(0, M) with M⁻¹ = inv_mass
         z = jax.random.normal(k_mom, position.shape, position.dtype)
-        momentum = z * jax.lax.rsqrt(inv_mass)
-        kinetic0 = 0.5 * jnp.sum(inv_mass * momentum**2)
+        momentum = mass_momentum(inv_mass, z)
+        kinetic0 = mass_kinetic(inv_mass, momentum)
         q, p, lp_new, g_new = _leapfrog(
             logp_grad_fn, position, momentum, grad, inv_mass, step_size, n_leapfrog
         )
-        kinetic1 = 0.5 * jnp.sum(inv_mass * p**2)
+        kinetic1 = mass_kinetic(inv_mass, p)
         log_ratio = (lp_new - kinetic1) - (logp - kinetic0)
         log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
         accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
@@ -116,28 +125,41 @@ def da_update(da: DualAveragingState, accept_prob, target=0.8,
     return DualAveragingState(log_step, log_step_avg, h_sum, da.mu, count)
 
 
-# -- Welford diagonal variance (batched over chains) -------------------------
+# -- Welford moments (batched over chains; diag variance or full cov) --------
 
 
 def welford_init(shape, dtype):
+    """``shape=(P,)`` accumulates per-parameter variance; ``shape=(P, P)``
+    accumulates the full scatter matrix for the dense metric."""
+    p = shape[0]
     return WelfordState(
-        mean=jnp.zeros(shape, dtype),
+        mean=jnp.zeros((p,), dtype),
         m2=jnp.zeros(shape, dtype),
         count=jnp.zeros((), jnp.int32),
     )
 
 
 def welford_update_batch(w: WelfordState, x):
-    """Fold a whole (C, P) batch into the running moments (Chan et al.)."""
+    """Fold a whole (C, P) batch into the running moments (Chan et al.).
+
+    Dispatches on the accumulator rank: ``m2`` of rank 1 tracks diagonal
+    second moments, rank 2 the full scatter matrix (one (C,P)ᵀ(C,P)
+    matmul per warmup step — MXU work, shared across chains).
+    """
     c = x.shape[0]
     count = w.count + c
     batch_mean = jnp.mean(x, axis=0)
-    batch_m2 = jnp.sum((x - batch_mean) ** 2, axis=0)
+    centered = x - batch_mean
     delta = batch_mean - w.mean
     nf = count.astype(x.dtype)
     wf = w.count.astype(x.dtype)
     mean = w.mean + delta * (c / nf)
-    m2 = w.m2 + batch_m2 + delta**2 * (wf * c / nf)
+    if w.m2.ndim == 2:
+        batch_m2 = centered.T @ centered
+        m2 = w.m2 + batch_m2 + jnp.outer(delta, delta) * (wf * c / nf)
+    else:
+        batch_m2 = jnp.sum(centered**2, axis=0)
+        m2 = w.m2 + batch_m2 + delta**2 * (wf * c / nf)
     return WelfordState(mean, m2, count)
 
 
@@ -148,6 +170,19 @@ def welford_variance(w: WelfordState, regularize=True):
         c = w.count.astype(w.m2.dtype)
         var = (c / (c + 5.0)) * var + 1e-3 * (5.0 / (c + 5.0))
     return var
+
+
+def welford_covariance(w: WelfordState, regularize=True):
+    """Covariance estimate from a rank-2 accumulator, with Stan's
+    dense_e shrinkage toward 1e-3·I at small counts (keeps the Cholesky
+    well-posed before the estimate stabilizes)."""
+    n = jnp.maximum(w.count - 1, 1).astype(w.m2.dtype)
+    cov = w.m2 / n
+    if regularize:
+        c = w.count.astype(w.m2.dtype)
+        eye = jnp.eye(cov.shape[0], dtype=cov.dtype)
+        cov = (c / (c + 5.0)) * cov + 1e-3 * (5.0 / (c + 5.0)) * eye
+    return cov
 
 
 class GradientSampler:
@@ -161,7 +196,7 @@ class GradientSampler:
 
     def __init__(self, logp_fn, n_chains, n_params, seed=0, dtype=jnp.float32,
                  step_size=0.1, target_accept=0.8, max_chain_bytes=2 << 30,
-                 mesh=None, chain=None):
+                 mesh=None, chain=None, metric="diag"):
         self.logp_fn = logp_fn
         self.n_chains = int(n_chains)
         self.n_params = int(n_params)
@@ -169,7 +204,15 @@ class GradientSampler:
         self.step_size = float(step_size)
         self.target_accept = float(target_accept)
         self._key = jax.random.key(seed)
-        self.inv_mass = jnp.ones((self.n_params,), dtype)
+        if metric not in ("diag", "dense"):
+            raise ValueError(f"metric must be 'diag' or 'dense', got {metric!r}")
+        self.metric = metric
+        if metric == "dense":
+            self.inv_mass = dense_mass_from_cov(
+                jnp.eye(self.n_params, dtype=dtype)
+            )
+        else:
+            self.inv_mass = jnp.ones((self.n_params,), dtype)
         self.state = None
         if chain is not None:
             if (chain.n_walkers, chain.n_params) != (
@@ -250,8 +293,21 @@ class GradientSampler:
 
     # -- warmup ----------------------------------------------------------------
 
+    def _welford_init(self):
+        p = self.n_params
+        shape = (p, p) if self.metric == "dense" else (p,)
+        return welford_init(shape, self.dtype)
+
+    def _mass_from_welford(self, wf):
+        """Current mass-matrix estimate from the Welford accumulator
+        (rebuilt each warmup step so early steps use the shrunk prior)."""
+        if self.metric == "dense":
+            return dense_mass_from_cov(welford_covariance(wf))
+        return welford_variance(wf)
+
     def warmup(self, n_steps, adapt_mass=True):
-        """Adapt step size (dual averaging) and diagonal mass (Welford)."""
+        """Adapt step size (dual averaging) and the mass matrix (Welford
+        variances for ``metric="diag"``, full covariance for ``"dense"``)."""
         if self.state is None:
             raise RuntimeError("call init/init_ball first")
         adapt_mass = bool(adapt_mass and self.needs_mass)
@@ -283,7 +339,7 @@ class GradientSampler:
         def body(carry, _):
             state, da, wf, key = carry
             key, sub = jax.random.split(key)
-            inv_mass = welford_variance(wf) if adapt_mass else im0
+            inv_mass = self._mass_from_welford(wf) if adapt_mass else im0
             state, (ap, _) = step(sub, state, jnp.exp(da.log_step), inv_mass)
             da = da_update(da, ap, target=self.target_accept)
             if adapt_mass:
@@ -291,11 +347,11 @@ class GradientSampler:
             return (state, da, wf, key), None
 
         da = da_init(step0)
-        wf = welford_init((self.n_params,), self.dtype)
+        wf = self._welford_init()
         (state, da, wf, _), _ = jax.lax.scan(
             body, (state, da, wf, key), length=n_steps
         )
-        inv_mass = welford_variance(wf) if adapt_mass else im0
+        inv_mass = self._mass_from_welford(wf) if adapt_mass else im0
         return state, da.log_step_avg, inv_mass
 
     # -- sampling ---------------------------------------------------------------

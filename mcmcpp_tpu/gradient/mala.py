@@ -9,6 +9,11 @@ import jax
 import jax.numpy as jnp
 
 from mcmcpp_tpu.gradient.hmc import GradientSampler
+from mcmcpp_tpu.gradient.metric import (
+    mass_noise,
+    mass_quad_inv,
+    mass_velocity,
+)
 
 
 def mala_kernel(logp_fn):
@@ -16,9 +21,9 @@ def mala_kernel(logp_fn):
 
     def log_q(x_to, x_from, g_from, eps2, inv_mass):
         # q(x_to | x_from) ∝ exp(-||x_to - x_from - (eps²/2) M⁻¹ g||²_M / (2eps²))
-        mean = x_from + 0.5 * eps2 * inv_mass * g_from
+        mean = x_from + 0.5 * eps2 * mass_velocity(inv_mass, g_from)
         d = x_to - mean
-        return -jnp.sum(d * d / inv_mass) / (2.0 * eps2)
+        return -mass_quad_inv(inv_mass, d) / (2.0 * eps2)
 
     def kernel(key, position, logp, grad, step_size, inv_mass):
         k_prop, k_acc = jax.random.split(key)
@@ -26,8 +31,8 @@ def mala_kernel(logp_fn):
         z = jax.random.normal(k_prop, position.shape, position.dtype)
         proposal = (
             position
-            + 0.5 * eps2 * inv_mass * grad
-            + step_size * jnp.sqrt(inv_mass) * z
+            + 0.5 * eps2 * mass_velocity(inv_mass, grad)
+            + step_size * mass_noise(inv_mass, z)
         )
         lp_new, g_new = logp_grad_fn(proposal)
         log_ratio = (

@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from mcmcpp_tpu.gradient.hmc import GradientSampler
+from mcmcpp_tpu.gradient.metric import (
+    mass_kinetic,
+    mass_momentum,
+    mass_velocity,
+)
 
 
 class _Z(NamedTuple):
@@ -36,8 +41,11 @@ class _Z(NamedTuple):
 
 
 def _uturn(dq, p_a, p_b, inv_mass):
-    """Classic U-turn test on a segment with displacement dq (time order a→b)."""
-    return (jnp.dot(dq, inv_mass * p_a) < 0.0) | (jnp.dot(dq, inv_mass * p_b) < 0.0)
+    """Generalized U-turn test on a segment with displacement dq (time
+    order a→b): turning when dq·(M⁻¹p) < 0 at either end."""
+    return (jnp.dot(dq, mass_velocity(inv_mass, p_a)) < 0.0) | (
+        jnp.dot(dq, mass_velocity(inv_mass, p_b)) < 0.0
+    )
 
 
 def nuts_kernel(logp_fn, max_depth=10, max_delta_energy=1000.0):
@@ -53,19 +61,21 @@ def nuts_kernel(logp_fn, max_depth=10, max_delta_energy=1000.0):
 
     def leapfrog_full(z: _Z, eps, inv_mass):
         p = z.p + 0.5 * eps * z.g
-        q = z.q + eps * (inv_mass * p)
+        q = z.q + eps * mass_velocity(inv_mass, p)
         lp, g = logp_grad_fn(q)
         p = p + 0.5 * eps * g
         return _Z(q, p, lp, g)
 
     def energy(z: _Z, inv_mass):
-        return z.lp - 0.5 * jnp.dot(z.p, inv_mass * z.p)
+        return z.lp - mass_kinetic(inv_mass, z.p)
 
     def kernel(key, position, logp, grad, step_size, inv_mass):
         dtype = position.dtype
         p_dim = position.shape[-1]
         k_mom, k_tree = jax.random.split(key)
-        p0 = jax.random.normal(k_mom, position.shape, dtype) * jax.lax.rsqrt(inv_mass)
+        p0 = mass_momentum(
+            inv_mass, jax.random.normal(k_mom, position.shape, dtype)
+        )
         z0 = _Z(position, p0, logp, grad)
         h0 = energy(z0, inv_mass)
 
@@ -199,7 +209,8 @@ def nuts_kernel(logp_fn, max_depth=10, max_delta_energy=1000.0):
 
 
 class NUTSSampler(GradientSampler):
-    """NUTS with dual-averaged step size + diagonal mass adaptation."""
+    """NUTS with dual-averaged step size + mass adaptation
+    (``metric="diag"`` or ``"dense"``, see GradientSampler)."""
 
     def __init__(self, *args, max_depth=10, **kwargs):
         self.max_depth = int(max_depth)
