@@ -36,7 +36,7 @@ from mcmcpp_tpu.parallel import (
 )
 from mcmcpp_tpu import gradient
 from mcmcpp_tpu.gradient import (
-    CheesHMCSampler, HMCSampler, MALASampler, NUTSSampler,
+    CheesHMCSampler, HMCSampler, MALASampler, MEADSSampler, NUTSSampler,
 )
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.vi import ADVI
@@ -80,6 +80,7 @@ __all__ = [
     "CheesHMCSampler",
     "HMCSampler",
     "MALASampler",
+    "MEADSSampler",
     "NUTSSampler",
     "SMCSampler",
     "ADVI",

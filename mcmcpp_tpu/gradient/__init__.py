@@ -12,15 +12,21 @@ chain axis shards over the device mesh exactly like walker ensembles.
 from mcmcpp_tpu.gradient.chees import CheesHMCSampler, chees_batch_step
 from mcmcpp_tpu.gradient.hmc import HMCSampler, hmc_kernel
 from mcmcpp_tpu.gradient.mala import MALASampler, mala_kernel
+from mcmcpp_tpu.gradient.meads import MEADSSampler, ghmc_fold_step
+from mcmcpp_tpu.gradient.metric import DenseMassMatrix, dense_mass_from_cov
 from mcmcpp_tpu.gradient.nuts import NUTSSampler, nuts_kernel
 
 __all__ = [
     "CheesHMCSampler",
     "chees_batch_step",
+    "DenseMassMatrix",
+    "dense_mass_from_cov",
     "HMCSampler",
     "hmc_kernel",
     "MALASampler",
     "mala_kernel",
+    "MEADSSampler",
+    "ghmc_fold_step",
     "NUTSSampler",
     "nuts_kernel",
 ]
