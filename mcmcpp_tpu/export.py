@@ -48,9 +48,18 @@ def to_inference_dict(sampler, model=None, burn_in=0, thin=1,
         }
     else:
         posterior = {"theta": _chain_draw(samples)}
+    stats = {"lp": _chain_draw(logp)}
+    # gradient samplers expose geometry diagnostics (diverging / energy,
+    # Stan-style); merge them so az.plot_pair(divergences=True) and
+    # az.bfmi work out of the box
+    get_stats = getattr(sampler, "get_sample_stats", None)
+    if get_stats is not None:
+        for k, v in get_stats(burn_in=burn_in, thin=thin).items():
+            if np.asarray(v).shape[:1] == (s,):
+                stats[k] = _chain_draw(v)
     out = {
         "posterior": posterior,
-        "sample_stats": {"lp": _chain_draw(logp)},
+        "sample_stats": stats,
     }
     if posterior_predictive is not None:
         out["posterior_predictive"] = {

@@ -116,6 +116,10 @@ def chees_batch_step(logp_fn, max_leapfrog=1024):
         kin1 = mass_kinetic(inv_mass, p1)
         log_ratio = (lp1 - kin1) - (lp0 - kin0)
         log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        from mcmcpp_tpu.gradient.hmc import DIVERGENCE_THRESHOLD
+
+        diverging = log_ratio < -DIVERGENCE_THRESHOLD
+        energy = kin0 - lp0  # post-refresh Hamiltonian (E-BFMI statistic)
         accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
         log_un = -jax.random.exponential(k_acc, lp0.shape, q0.dtype)
         accept = log_un < log_ratio
@@ -136,7 +140,9 @@ def chees_batch_step(logp_fn, max_leapfrog=1024):
         per_chain = accept_prob * u * delta * vel_proj
         traj_grad = jnp.where(wsum > 0, jnp.sum(per_chain) / (wsum + 1e-20), 0.0)
 
-        return HMCState(q, lp, g), (accept_prob, accept, traj_grad, n_leap)
+        return HMCState(q, lp, g), (
+            accept_prob, accept, traj_grad, n_leap, diverging, energy
+        )
 
     return step
 
@@ -184,8 +190,10 @@ class CheesHMCSampler(GradientSampler):
             u = jax.random.uniform(k_jit, (), state.position.dtype)
             eps = jnp.mean(step_size)
             traj = jnp.asarray(self._traj_or_default(), state.position.dtype)
-            state, (ap, acc, _, _) = kernel(k_step, state, eps, inv_mass, traj, u)
-            return self._constrain(state), (ap, acc)
+            state, (ap, acc, _, _, div, en) = kernel(
+                k_step, state, eps, inv_mass, traj, u
+            )
+            return self._constrain(state), (ap, acc, div, en)
 
         return step
 
@@ -238,7 +246,7 @@ class CheesHMCSampler(GradientSampler):
             inv_mass = self._mass_from_welford(wf) if adapt_mass else im0
             u = halton2(i)
             state = self._constrain(state)
-            state, (ap, _, traj_grad, _) = kernel(
+            state, (ap, _, traj_grad, _, _, _) = kernel(
                 sub, state, eps, inv_mass, jnp.exp(log_traj), u
             )
             # harmonic-mean acceptance: dominated by the worst chains
@@ -300,11 +308,11 @@ class CheesHMCSampler(GradientSampler):
             )
 
         def call(state, run_key, step_vec, inv_mass):
-            state, pos, lp, acc, sadapt = fn(
+            state, pos, lp, acc, div, en, sadapt = fn(
                 state, run_key, step_vec, inv_mass, self._sadapt
             )
             self._sadapt = sadapt
-            return state, pos, lp, acc
+            return state, pos, lp, acc, div, en
 
         return call
 
@@ -317,11 +325,11 @@ class CheesHMCSampler(GradientSampler):
         dt = self.dtype
 
         def inner(j, carry):
-            s, k, a, log_traj, adam = carry
+            s, k, a, d, _, log_traj, adam = carry
             k, k_jit, sub = jax.random.split(k, 3)
             u = jax.random.uniform(k_jit, (), s.position.dtype)
             s = self._constrain(s)
-            s, (ap, _, traj_grad, _) = kernel(
+            s, (ap, _, traj_grad, _, div, en) = kernel(
                 sub, s, eps, inv_mass, jnp.exp(log_traj), u
             )
             # diminishing Adam ascent on log T; the t0 horizon keeps the
@@ -334,23 +342,25 @@ class CheesHMCSampler(GradientSampler):
             delta, adam = adam_step(adam, traj_grad * jnp.exp(log_traj),
                                     lr=lr_t)
             log_traj = jnp.clip(log_traj + delta, lo, hi)
-            return (s, k, a + jnp.mean(ap), log_traj, adam)
+            return (s, k, a + jnp.mean(ap), d | div, en, log_traj, adam)
 
         def body(carry, _):
             state, key, log_traj, adam = carry
-            state, key, acc, log_traj, adam = jax.lax.fori_loop(
+            state, key, acc, div, en, log_traj, adam = jax.lax.fori_loop(
                 0, thin, inner,
-                (state, key, jnp.zeros((), dt), log_traj, adam),
+                (state, key, jnp.zeros((), dt),
+                 jnp.zeros((self.n_chains,), jnp.bool_),
+                 jnp.zeros((self.n_chains,), dt), log_traj, adam),
             )
             return (state, key, log_traj, adam), (
-                state.position, state.logp, acc / thin
+                state.position, state.logp, acc / thin, div, en
             )
 
         log_traj, adam = sadapt
-        (state, _, log_traj, adam), (pos, lp, acc) = jax.lax.scan(
+        (state, _, log_traj, adam), (pos, lp, acc, div, en) = jax.lax.scan(
             body, (state, key, log_traj, adam), length=n_store
         )
-        return state, pos, lp, jnp.mean(acc), (log_traj, adam)
+        return state, pos, lp, jnp.mean(acc), div, en, (log_traj, adam)
 
     def _run_scan(self, state, key, step_size, inv_mass, n_store, thin):
         kernel = self._kernel
@@ -361,17 +371,25 @@ class CheesHMCSampler(GradientSampler):
             state, key = carry
 
             def inner(j, sk):
-                s, k, a = sk
+                s, k, a, d, _ = sk
                 k, k_jit, sub = jax.random.split(k, 3)
                 u = jax.random.uniform(k_jit, (), s.position.dtype)
                 s = self._constrain(s)
-                s, (ap, _, _, _) = kernel(sub, s, eps, inv_mass, traj, u)
-                return (s, k, a + jnp.mean(ap))
+                s, (ap, _, _, _, div, en) = kernel(
+                    sub, s, eps, inv_mass, traj, u
+                )
+                return (s, k, a + jnp.mean(ap), d | div, en)
 
-            state, key, acc = jax.lax.fori_loop(
-                0, thin, inner, (state, key, jnp.zeros((), self.dtype))
+            state, key, acc, div, en = jax.lax.fori_loop(
+                0, thin, inner,
+                (state, key, jnp.zeros((), self.dtype),
+                 jnp.zeros((self.n_chains,), jnp.bool_),
+                 jnp.zeros((self.n_chains,), self.dtype)),
             )
-            return (state, key), (state.position, state.logp, acc / thin)
+            return (state, key), (state.position, state.logp, acc / thin,
+                                  div, en)
 
-        (state, _), (pos, lp, acc) = jax.lax.scan(body, (state, key), length=n_store)
-        return state, pos, lp, jnp.mean(acc)
+        (state, _), (pos, lp, acc, div, en) = jax.lax.scan(
+            body, (state, key), length=n_store
+        )
+        return state, pos, lp, jnp.mean(acc), div, en

@@ -33,6 +33,12 @@ from mcmcpp_tpu.gradient.metric import (
 )
 
 
+# energy-error threshold marking a transition divergent (Stan's default):
+# the leapfrog has left the region where the integrator is stable, a
+# geometry signal ArviZ surfaces as ``sample_stats.diverging``
+DIVERGENCE_THRESHOLD = 1000.0
+
+
 class HMCState(NamedTuple):
     position: jax.Array  # (C, P)
     logp: jax.Array  # (C,)
@@ -72,8 +78,11 @@ def hmc_kernel(logp_fn, n_leapfrog):
     """One-chain HMC transition.
 
     Returns ``kernel(key, q, logp, grad, step_size, inv_mass) ->
-    ((q, logp, grad), (accept_prob, accepted))``. ``inv_mass`` is the
-    diagonal inverse mass matrix (P,) or a DenseMassMatrix.
+    ((q, logp, grad), (accept_prob, accepted, diverging, energy))``.
+    ``inv_mass`` is the diagonal inverse mass matrix (P,) or a
+    DenseMassMatrix. ``energy`` is the Hamiltonian after the momentum
+    refresh (an exact draw from the energy marginal at the current
+    position — the E-BFMI statistic ArviZ expects).
     """
     logp_grad_fn = jax.value_and_grad(logp_fn)
 
@@ -83,19 +92,21 @@ def hmc_kernel(logp_fn, n_leapfrog):
         z = jax.random.normal(k_mom, position.shape, position.dtype)
         momentum = mass_momentum(inv_mass, z)
         kinetic0 = mass_kinetic(inv_mass, momentum)
+        energy = kinetic0 - logp
         q, p, lp_new, g_new = _leapfrog(
             logp_grad_fn, position, momentum, grad, inv_mass, step_size, n_leapfrog
         )
         kinetic1 = mass_kinetic(inv_mass, p)
         log_ratio = (lp_new - kinetic1) - (logp - kinetic0)
         log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        diverging = log_ratio < -DIVERGENCE_THRESHOLD
         accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
         log_u = -jax.random.exponential(k_acc, (), position.dtype)
         accept = log_u < log_ratio
         position = jnp.where(accept, q, position)
         logp = jnp.where(accept, lp_new, logp)
         grad = jnp.where(accept, g_new, grad)
-        return (position, logp, grad), (accept_prob, accept)
+        return (position, logp, grad), (accept_prob, accept, diverging, energy)
 
     return kernel
 
@@ -245,6 +256,9 @@ class GradientSampler:
         self._run_cache = {}
         self._warmup_cache = {}
         self.last_mean_accept = None
+        # per-stored-step sample stats, appended per fetched chunk
+        self._divergences = []  # list of (S_chunk, C) bool
+        self._energies = []  # list of (S_chunk, C) dtype
 
     def _make_kernel(self):
         """Subclass hook: (key, q, lp, g, step_size, inv_mass) -> (s3, info)."""
@@ -265,10 +279,10 @@ class GradientSampler:
             state = self._constrain(state)
             keys = jax.random.split(key, self.n_chains)
             step_vec = jnp.broadcast_to(step_size, (self.n_chains,))
-            (q, lp, g), (ap, acc) = jax.vmap(
+            (q, lp, g), (ap, acc, div, en) = jax.vmap(
                 lambda k, q, lp, g, ss: kernel(k, q, lp, g, ss, inv_mass)
             )(keys, state.position, state.logp, state.grad, step_vec)
-            return self._constrain(HMCState(q, lp, g)), (ap, acc)
+            return self._constrain(HMCState(q, lp, g)), (ap, acc, div, en)
 
         return step
 
@@ -340,7 +354,7 @@ class GradientSampler:
             state, da, wf, key = carry
             key, sub = jax.random.split(key)
             inv_mass = self._mass_from_welford(wf) if adapt_mass else im0
-            state, (ap, _) = step(sub, state, jnp.exp(da.log_step), inv_mass)
+            state, (ap, *_) = step(sub, state, jnp.exp(da.log_step), inv_mass)
             da = da_update(da, ap, target=self.target_accept)
             if adapt_mass:
                 wf = welford_update_batch(wf, state.position)
@@ -361,20 +375,28 @@ class GradientSampler:
 
         def body(carry, _):
             state, key = carry
+            zeros_c = jnp.zeros((self.n_chains,), jnp.bool_)
 
             def inner(j, sk):
-                s, k, a = sk
+                s, k, a, d, _ = sk
                 k, sub = jax.random.split(k)
-                s, (ap, _) = step(sub, s, step_size, inv_mass)
-                return (s, k, a + jnp.mean(ap))
+                s, (ap, _, div, en) = step(sub, s, step_size, inv_mass)
+                # any divergence within the thin window flags the stored
+                # step; energy is the last substep's refresh draw
+                return (s, k, a + jnp.mean(ap), d | div, en)
 
-            state, key, acc = jax.lax.fori_loop(
-                0, thin, inner, (state, key, jnp.zeros((), self.dtype))
+            state, key, acc, div, en = jax.lax.fori_loop(
+                0, thin, inner,
+                (state, key, jnp.zeros((), self.dtype), zeros_c,
+                 jnp.zeros((self.n_chains,), self.dtype)),
             )
-            return (state, key), (state.position, state.logp, acc / thin)
+            return (state, key), (state.position, state.logp, acc / thin,
+                                  div, en)
 
-        (state, _), (pos, lp, acc) = jax.lax.scan(body, (state, key), length=n_store)
-        return state, pos, lp, jnp.mean(acc)
+        (state, _), (pos, lp, acc, div, en) = jax.lax.scan(
+            body, (state, key), length=n_store
+        )
+        return state, pos, lp, jnp.mean(acc), div, en
 
     def _store_chunk_steps(self):
         """Bound each scan's device-side output to ~64 MiB (like the
@@ -424,8 +446,14 @@ class GradientSampler:
 
         def fetch(chunk_data):
             nonlocal acc_sum, acc_n
-            p_pos, p_lp, p_acc, p_take = chunk_data
+            p_pos, p_lp, p_acc, p_div, p_en, p_take = chunk_data
             self.chain, appended = append_device_chunk(self.chain, p_pos, p_lp)
+            from mcmcpp_tpu.chain import fetch_addressable
+
+            # appended even when the chain hit its cap mid-chunk (partial
+            # append); get_sample_stats truncates to chain.n_steps
+            self._divergences.append(fetch_addressable(p_div, walker_axis=1))
+            self._energies.append(fetch_addressable(p_en, walker_axis=1))
             acc_sum += float(p_acc) * p_take
             acc_n += p_take
             return appended
@@ -436,11 +464,11 @@ class GradientSampler:
                 fn = self._get_run_fn(take, thin)
                 self._key, run_key = jax.random.split(self._key)
                 # async dispatch: launch chunk k before fetching chunk k-1
-                self.state, pos, lp, acc = fn(
+                self.state, pos, lp, acc, div, en = fn(
                     self.state, run_key, step_vec, self.inv_mass
                 )
                 done += take
-                launched = (pos, lp, acc, take)
+                launched = (pos, lp, acc, div, en, take)
             else:
                 launched = None
             if pending is not None and not fetch(pending):
@@ -448,15 +476,17 @@ class GradientSampler:
                 if launched is not None:
                     # the launched chunk still advanced the state; keep its
                     # acceptance statistics even though it can't be stored
-                    acc_sum += float(launched[2]) * launched[3]
-                    acc_n += launched[3]
+                    acc_sum += float(launched[2]) * launched[-1]
+                    acc_n += launched[-1]
                 pending = None
                 break
             pending = launched
         if ok and leftover:
             fn = self._get_run_fn(1, leftover)
             self._key, run_key = jax.random.split(self._key)
-            state, _, _, acc = fn(self.state, run_key, step_vec, self.inv_mass)
+            state, _, _, acc, _, _ = fn(
+                self.state, run_key, step_vec, self.inv_mass
+            )
             self.state = state
             acc_sum += float(acc)
             acc_n += 1
@@ -469,6 +499,32 @@ class GradientSampler:
 
     def get_log_probs(self, burn_in=0, thin=1, flat=False):
         return self.chain.get_logp(burn_in=burn_in, thin=thin, flat=flat)
+
+    def get_sample_stats(self, burn_in=0, thin=1):
+        """Per-stored-step geometry diagnostics, sliced like
+        :meth:`get_samples`: ``diverging`` (S, C) bool — any divergent
+        transition (energy error beyond DIVERGENCE_THRESHOLD, Stan's
+        criterion) inside the step's thin window — and ``energy`` (S, C),
+        the post-refresh Hamiltonian whose lag-1 variance ratio is the
+        E-BFMI statistic. Consumed by ``export.to_inference_dict`` into
+        the ArviZ ``sample_stats`` group."""
+        if self._divergences:
+            div = np.concatenate(self._divergences, axis=0)
+            en = np.concatenate(self._energies, axis=0)
+        else:
+            div = np.zeros((0, self.n_chains), bool)
+            en = np.zeros((0, self.n_chains), np.float32)
+        n = self.chain.n_steps  # cap-truncated chunks store fewer rows
+        return {
+            "diverging": div[:n][burn_in::thin],
+            "energy": en[:n][burn_in::thin],
+        }
+
+    @property
+    def divergence_count(self):
+        """Total stored-step divergences per chain, (C,) int64."""
+        stats = self.get_sample_stats()
+        return stats["diverging"].sum(axis=0)
 
 
 class HMCSampler(GradientSampler):

@@ -26,6 +26,8 @@ def mala_kernel(logp_fn):
         return -mass_quad_inv(inv_mass, d) / (2.0 * eps2)
 
     def kernel(key, position, logp, grad, step_size, inv_mass):
+        from mcmcpp_tpu.gradient.hmc import DIVERGENCE_THRESHOLD
+
         k_prop, k_acc = jax.random.split(key)
         eps2 = step_size**2
         z = jax.random.normal(k_prop, position.shape, position.dtype)
@@ -42,13 +44,18 @@ def mala_kernel(logp_fn):
             - log_q(proposal, position, grad, eps2, inv_mass)
         )
         log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        diverging = log_ratio < -DIVERGENCE_THRESHOLD
+        # pseudo-Hamiltonian with the whitened proposal noise as momentum
+        # (keeps the (ap, acc, div, energy) info contract; E-BFMI is only
+        # meaningful for the HMC family)
+        energy = 0.5 * jnp.sum(z * z) - logp
         accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
         log_u = -jax.random.exponential(k_acc, (), position.dtype)
         accept = log_u < log_ratio
         position = jnp.where(accept, proposal, position)
         logp = jnp.where(accept, lp_new, logp)
         grad = jnp.where(accept, g_new, grad)
-        return (position, logp, grad), (accept_prob, accept)
+        return (position, logp, grad), (accept_prob, accept, diverging, energy)
 
     return kernel
 

@@ -95,9 +95,12 @@ def ghmc_fold_step(batch_lp_grad):
     Metropolis accept with momentum flip on rejection (Horowitz 1991)."""
 
     def step(key, q, p, lp, g, sd, eps, delta):
+        from mcmcpp_tpu.gradient.hmc import DIVERGENCE_THRESHOLD
+
         k_ref, k_acc = jax.random.split(key)
         xi = jax.random.normal(k_ref, p.shape, p.dtype)
         p = jnp.sqrt(1.0 - delta) * p + jnp.sqrt(delta) * xi
+        energy = 0.5 * jnp.sum(p**2, axis=1) - lp  # post-refresh Hamiltonian
 
         p_half = p + 0.5 * eps * (sd[None, :] * g)
         q_new = q + eps * (sd[None, :] * p_half)
@@ -108,6 +111,7 @@ def ghmc_fold_step(batch_lp_grad):
             lp - 0.5 * jnp.sum(p**2, axis=1)
         )
         log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        diverging = log_ratio < -DIVERGENCE_THRESHOLD
         accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
         log_u = -jax.random.exponential(k_acc, lp.shape, q.dtype)
         accept = log_u < log_ratio
@@ -116,7 +120,7 @@ def ghmc_fold_step(batch_lp_grad):
         p = jnp.where(a, p_new, -p)  # flip on rejection: reversibility
         lp = jnp.where(accept, lp_new, lp)
         g = jnp.where(a, g_new, g)
-        return q, p, lp, g, accept_prob, accept
+        return q, p, lp, g, accept_prob, accept, diverging, energy
 
     return step
 
@@ -162,7 +166,7 @@ class MEADSSampler(GradientSampler):
             lp = state.logp.reshape(K, C)
             g = state.grad.reshape(K, C, P)
             keys = jax.random.split(key, K)
-            aps, accs = [], []
+            aps, accs, divs, ens = [], [], [], []
             # sequential Gibbs-style sweep: fold k is tuned by fold k-1's
             # CURRENT state (already updated this sweep for k >= 1), so
             # parameters are measurable functions of the complement only
@@ -171,7 +175,7 @@ class MEADSSampler(GradientSampler):
                 sd, eps, delta = _fold_parameters(
                     q[prev], g[prev], step_factor, q.dtype
                 )
-                qk, pk, lpk, gk, ap, acc = fold_step(
+                qk, pk, lpk, gk, ap, acc, div, en = fold_step(
                     keys[k], q[k], p[k], lp[k], g[k], sd, eps, delta
                 )
                 q = q.at[k].set(qk)
@@ -180,11 +184,16 @@ class MEADSSampler(GradientSampler):
                 g = g.at[k].set(gk)
                 aps.append(ap)
                 accs.append(acc)
+                divs.append(div)
+                ens.append(en)
             new = MEADSState(
                 q.reshape(K * C, P), p.reshape(K * C, P),
                 lp.reshape(K * C), g.reshape(K * C, P),
             )
-            return new, (jnp.concatenate(aps), jnp.concatenate(accs))
+            return new, (
+                jnp.concatenate(aps), jnp.concatenate(accs),
+                jnp.concatenate(divs), jnp.concatenate(ens),
+            )
 
         return step
 
@@ -205,8 +214,8 @@ class MEADSSampler(GradientSampler):
             # (step_size, inv_mass) are driver-loop plumbing; MEADS tunes
             # itself from cross-fold statistics every step
             state = self._constrain(state)
-            state, (ap, acc) = kernel(key, state)
-            return self._constrain(state), (ap, acc)
+            state, (ap, acc, div, en) = kernel(key, state)
+            return self._constrain(state), (ap, acc, div, en)
 
         return step
 

@@ -52,9 +52,12 @@ def nuts_kernel(logp_fn, max_depth=10, max_delta_energy=1000.0):
     """Build the one-chain NUTS transition.
 
     Returns ``kernel(key, q, logp, grad, step_size, inv_mass) ->
-    ((q, logp, grad), (accept_stat, moved))`` where ``accept_stat`` is the
-    Stan-style mean Metropolis statistic over visited leaves (drives dual
-    averaging in the shared driver).
+    ((q, logp, grad), (accept_stat, moved, diverging, energy))`` where
+    ``accept_stat`` is the Stan-style mean Metropolis statistic over
+    visited leaves (drives dual averaging in the shared driver),
+    ``diverging`` flags a tree whose build stopped on an energy error
+    beyond ``max_delta_energy``, and ``energy`` is the post-refresh
+    Hamiltonian (E-BFMI statistic).
     """
     logp_grad_fn = jax.value_and_grad(logp_fn)
     D = int(max_depth)
@@ -197,13 +200,13 @@ def nuts_kernel(logp_fn, max_depth=10, max_delta_energy=1000.0):
             jnp.zeros((), dtype), jnp.int32(0),
             jnp.asarray(False), jnp.asarray(False),
         )
-        (_, _, _, _, prop, _, sum_acc, n_leaf, _, _) = jax.lax.while_loop(
-            outer_cond, outer_body, init
+        (_, _, _, _, prop, _, sum_acc, n_leaf, _, diverging) = (
+            jax.lax.while_loop(outer_cond, outer_body, init)
         )
         q_new, lp_new, g_new = prop
         accept_stat = sum_acc / jnp.maximum(n_leaf, 1).astype(dtype)
         moved = jnp.any(q_new != position)
-        return (q_new, lp_new, g_new), (accept_stat, moved)
+        return (q_new, lp_new, g_new), (accept_stat, moved, diverging, -h0)
 
     return kernel
 

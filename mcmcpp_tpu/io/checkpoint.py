@@ -107,11 +107,25 @@ def save_checkpoint(sampler, path):
             position=np.asarray(s.position), logp=np.asarray(s.logp),
             grad=np.asarray(s.grad),
             step_size=np.asarray(sampler.step_size),
-            inv_mass=np.asarray(sampler.inv_mass),
             key=_key_data(sampler._key),
             chain_samples=sampler.chain.get(),
             chain_logp=sampler.chain.get_logp(),
         )
+        # MEADS carries persistent momentum as part of the chain state
+        if hasattr(s, "momentum"):
+            arrays["momentum"] = np.asarray(s.momentum)
+        # dense metric: store the covariance; factors are recomputed on load
+        from mcmcpp_tpu.gradient.metric import is_dense
+
+        if is_dense(sampler.inv_mass):
+            meta["metric"] = "dense"
+            arrays["inv_mass_cov"] = np.asarray(sampler.inv_mass.cov)
+        else:
+            arrays["inv_mass"] = np.asarray(sampler.inv_mass)
+        # divergence/energy sample stats stay aligned with the chain
+        stats = sampler.get_sample_stats()
+        arrays["stat_diverging"] = stats["diverging"]
+        arrays["stat_energy"] = stats["energy"]
     else:
         raise TypeError(f"unsupported sampler type {type(sampler).__name__}")
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
@@ -177,14 +191,43 @@ def load_checkpoint(sampler, path):
             raise TypeError("checkpoint is for a gradient sampler")
         if meta["n_chains"] != sampler.n_chains:
             raise ValueError("chain count mismatch")
-        sampler.state = HMCState(
-            position=jnp.asarray(arrays["position"]),
-            logp=jnp.asarray(arrays["logp"]),
-            grad=jnp.asarray(arrays["grad"]),
-        )
+        if "momentum" in arrays:
+            from mcmcpp_tpu.gradient.meads import MEADSState
+
+            sampler.state = MEADSState(
+                position=jnp.asarray(arrays["position"]),
+                momentum=jnp.asarray(arrays["momentum"]),
+                logp=jnp.asarray(arrays["logp"]),
+                grad=jnp.asarray(arrays["grad"]),
+            )
+        else:
+            sampler.state = HMCState(
+                position=jnp.asarray(arrays["position"]),
+                logp=jnp.asarray(arrays["logp"]),
+                grad=jnp.asarray(arrays["grad"]),
+            )
         step_size = jnp.asarray(arrays["step_size"])
         sampler.step_size = float(step_size) if step_size.ndim == 0 else step_size
-        sampler.inv_mass = jnp.asarray(arrays["inv_mass"])
+        if meta.get("metric") == "dense":
+            from mcmcpp_tpu.gradient.metric import dense_mass_from_cov
+
+            sampler.inv_mass = dense_mass_from_cov(
+                jnp.asarray(arrays["inv_mass_cov"])
+            )
+        else:
+            sampler.inv_mass = jnp.asarray(arrays["inv_mass"])
+        if "stat_diverging" in arrays:
+            sampler._divergences = (
+                [arrays["stat_diverging"]]
+                if arrays["stat_diverging"].shape[0] else []
+            )
+            sampler._energies = (
+                [arrays["stat_energy"]]
+                if arrays["stat_energy"].shape[0] else []
+            )
+        else:  # pre-stats checkpoint: drop any stale stats from `sampler`
+            sampler._divergences = []
+            sampler._energies = []
         if "traj_length" in meta and hasattr(sampler, "traj_length"):
             sampler.traj_length = float(meta["traj_length"])
             # ChEES run programs bake the trajectory length in at trace time

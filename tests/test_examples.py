@@ -66,6 +66,14 @@ def test_hierarchical_example():
     assert "mu" in r.stdout and "posterior-predictive" in r.stdout
 
 
+@pytest.mark.slow
+def test_bayesian_workflow_example():
+    r = _run("bayesian_workflow.py", "--dim", "6", "--quick")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "divergent transitions" in r.stdout
+    assert "ArviZ export groups" in r.stdout
+
+
 def test_api_doc_generation(tmp_path):
     """docs/gen_api.py must run clean (catches docstring/import breakage)."""
     r = subprocess.run(

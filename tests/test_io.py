@@ -213,3 +213,75 @@ def test_writer_aborts_on_exception(tmp_path):
                 w.add("x", np.ones(3))
                 raise RuntimeError("boom")
         assert not artifact.exists(), artifact
+
+
+def test_checkpoint_resume_dense_metric_bitwise(tmp_path):
+    """Dense metric round-trips as a rebuilt DenseMassMatrix (a naive
+    np.asarray of the NamedTuple would stack it into a (3,P,P) array)."""
+    from mcmcpp_tpu.gradient.metric import DenseMassMatrix
+
+    def logp(t):
+        return -0.5 * jnp.sum(t * t) - 0.4 * t[0] * t[1]
+
+    a = HMCSampler(logp, n_chains=8, n_params=3, seed=4, n_leapfrog=8,
+                   metric="dense")
+    a.init_ball(np.zeros(3), scale=1.0, seed=5)
+    a.warmup(60)
+    a.run(20)
+    ckpt = save_checkpoint(a, tmp_path / "d.npz")
+    a.run(20)
+
+    b = HMCSampler(logp, n_chains=8, n_params=3, seed=123, n_leapfrog=8,
+                   metric="dense")
+    b.init_ball(np.ones(3), scale=2.0, seed=6)
+    load_checkpoint(b, ckpt)
+    assert isinstance(b.inv_mass, DenseMassMatrix)
+    b.run(20)
+
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+
+
+def test_checkpoint_resume_meads_bitwise(tmp_path):
+    """MEADS persistent momentum is chain state and must survive resume."""
+    from mcmcpp_tpu import MEADSSampler
+    from mcmcpp_tpu.gradient.meads import MEADSState
+
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    a = MEADSSampler(logp, n_chains=16, n_params=3, seed=4)
+    a.init_ball(np.zeros(3), scale=1.0, seed=5)
+    a.warmup(30)
+    a.run(20)
+    ckpt = save_checkpoint(a, tmp_path / "m.npz")
+    a.run(20)
+
+    b = MEADSSampler(logp, n_chains=16, n_params=3, seed=123)
+    b.init_ball(np.ones(3), scale=2.0, seed=6)
+    load_checkpoint(b, ckpt)
+    assert isinstance(b.state, MEADSState)
+    b.run(20)
+
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+
+
+def test_checkpoint_preserves_sample_stats(tmp_path):
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    a = HMCSampler(logp, n_chains=8, n_params=3, seed=4, n_leapfrog=8)
+    a.init_ball(np.zeros(3), scale=1.0, seed=5)
+    a.warmup(30)
+    a.run(25)
+    ckpt = save_checkpoint(a, tmp_path / "s.npz")
+
+    b = HMCSampler(logp, n_chains=8, n_params=3, seed=123, n_leapfrog=8)
+    b.init_ball(np.ones(3), scale=2.0, seed=6)
+    b.warmup(5)
+    b.run(5)  # stale stats that the load must replace
+    load_checkpoint(b, ckpt)
+    sa, sb = a.get_sample_stats(), b.get_sample_stats()
+    np.testing.assert_array_equal(sa["diverging"], sb["diverging"])
+    np.testing.assert_array_equal(sa["energy"], sb["energy"])
+    b.run(10)
+    assert b.get_sample_stats()["energy"].shape[0] == 35
