@@ -96,12 +96,62 @@ def ess_per_s(jax, jnp):
     return float(np.nanmin(rates)), mon.updates_per_s
 
 
+def ess_per_s_device_resident(jax, jnp):
+    """Co-located ESS/s: samples never leave HBM (ROADMAP perf item).
+
+    One jitted program runs the full thinned sampling scan AND the
+    per-walker autocovariance FFT on device; only the walker-averaged
+    rho(t) (P x S floats, ~20 KB) crosses the link for the Sokal window.
+    This is what a production host co-located with the chip sees, free of
+    the dev tunnel's ~18 MB/s offload path that caps the store-inclusive
+    number above.
+    """
+    from mcmcpp_tpu import EnsembleSampler
+    from mcmcpp_tpu.analysis.autocorr import _sokal_window_tau
+    from mcmcpp_tpu.sampler import run_scan
+
+    dim, logp_batched = _target(jnp)
+    n_walkers = 1 << 12
+    steps, thin = 3000, 6
+    n_store = steps // thin
+    s = EnsembleSampler(
+        logp_batched, n_walkers=n_walkers, n_params=dim, seed=0, batched=True,
+        prng_impl="rbg",
+    )
+    s.init_ball(np.zeros(dim), scale=0.5, seed=1)
+    s.run_mcmc(300, store=False)  # burn-in
+
+    def prog(state):
+        final, pos, _, _, _ = run_scan(state, s._step_fn, n_store, thin)
+        # (S, W, P) -> (P*W, S) rows; FFT batched over all rows on device
+        rows = pos.transpose(2, 1, 0).reshape(dim * n_walkers, n_store)
+        centered = rows - jnp.mean(rows, axis=1, keepdims=True)
+        npad = 2 * (1 << (n_store - 1).bit_length())
+        f = jnp.fft.rfft(centered, n=npad, axis=1)
+        acov = jnp.fft.irfft(f * jnp.conj(f), n=npad, axis=1)[:, :n_store]
+        rho = (acov / acov[:, :1]).reshape(dim, n_walkers, n_store).mean(axis=1)
+        return final, rho
+
+    prog = jax.jit(prog)
+    state, _ = prog(s.state)  # compile + warm the exact program
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state, rho = prog(state)
+    rho = np.asarray(rho)  # ~20 KB transfer, inside the window
+    taus = np.array([_sokal_window_tau(r, 4.0) for r in rho])
+    dt = time.perf_counter() - t0
+    ess = np.where(taus > 0, n_store * n_walkers / np.maximum(taus, 1e-12),
+                   np.nan)
+    return float(np.nanmin(ess) / dt)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     updates_per_s = headline_updates_per_s(jax, jnp)
     ess_rate, ess_window_updates = ess_per_s(jax, jnp)
+    ess_device = ess_per_s_device_resident(jax, jnp)
     print(
         json.dumps(
             {
@@ -112,6 +162,8 @@ def main():
                 "ess_per_s_10d_gaussian": ess_rate,
                 "ess_unit": "ESS/s (worst parameter, chain store included)",
                 "ess_window_updates_per_s": ess_window_updates,
+                "ess_per_s_device_resident": ess_device,
+                "ess_device_unit": "ESS/s (worst parameter, samples+ACT in HBM)",
             }
         )
     )
