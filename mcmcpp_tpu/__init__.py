@@ -37,6 +37,7 @@ from mcmcpp_tpu.parallel import (
 from mcmcpp_tpu import gradient
 from mcmcpp_tpu.gradient import (
     CheesHMCSampler, HMCSampler, MALASampler, MEADSSampler, NUTSSampler,
+    SGHMCSampler, SGLDSampler,
 )
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.vi import ADVI
@@ -82,6 +83,8 @@ __all__ = [
     "MALASampler",
     "MEADSSampler",
     "NUTSSampler",
+    "SGHMCSampler",
+    "SGLDSampler",
     "SMCSampler",
     "ADVI",
     "dsl",

@@ -15,6 +15,7 @@ from mcmcpp_tpu.gradient.mala import MALASampler, mala_kernel
 from mcmcpp_tpu.gradient.meads import MEADSSampler, ghmc_fold_step
 from mcmcpp_tpu.gradient.metric import DenseMassMatrix, dense_mass_from_cov
 from mcmcpp_tpu.gradient.nuts import NUTSSampler, nuts_kernel
+from mcmcpp_tpu.gradient.sgmcmc import SGHMCSampler, SGLDSampler
 
 __all__ = [
     "CheesHMCSampler",
@@ -29,4 +30,6 @@ __all__ = [
     "ghmc_fold_step",
     "NUTSSampler",
     "nuts_kernel",
+    "SGHMCSampler",
+    "SGLDSampler",
 ]

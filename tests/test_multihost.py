@@ -53,7 +53,10 @@ ENGINES_WORKER = textwrap.dedent("""
     pid, n = distributed.initialize(f"127.0.0.1:{{port}}", nprocs, proc_id)
     import numpy as np
     import jax.numpy as jnp
-    from mcmcpp_tpu import HMCSampler, ParallelTemperingSampler, SMCSampler
+    from mcmcpp_tpu import (
+        HMCSampler, MEADSSampler, ParallelTemperingSampler, SGLDSampler,
+        SMCSampler,
+    )
     from mcmcpp_tpu.parallel.mesh import make_walker_mesh
 
     mesh = make_walker_mesh()  # 2 hosts x 4 devices
@@ -90,6 +93,28 @@ ENGINES_WORKER = textwrap.dedent("""
     smc.run(max_stages=20)
     print(f"SMC pid={{pid}} shape={{smc.particles.shape}} "
           f"logZ={{smc.log_evidence:.6f}} beta={{float(smc.state.beta):.4f}}")
+
+    # MEADS: cross-fold stats are cross-host batch reductions
+    md = MEADSSampler(logp, n_chains=16, n_params=3, seed=0, mesh=mesh,
+                      n_folds=2)
+    md.init_ball(np.zeros(3), scale=0.5, seed=3)
+    md.warmup(3)
+    md.run(10)
+    print(f"MEADS pid={{pid}} shape={{md.get_samples().shape}} "
+          f"acc={{md.last_mean_accept:.6f}}")
+
+    # SGLD: chains sharded, minibatch gather replicated per host
+    y = np.random.default_rng(0).standard_normal((64, 3)).astype(np.float32)
+    sg = SGLDSampler(
+        logp, lambda t, b: -0.5 * jnp.sum((b - t[None, :]) ** 2), y,
+        n_chains=16, n_params=3, batch_size=8, step_size=1e-4, seed=0,
+        mesh=mesh,
+    )
+    sg.init_ball(np.zeros(3), scale=0.1, seed=4)
+    sg.run(10)
+    sgs = sg.get_samples()  # per-host shard: (10, 8, 3)
+    gmean = float(jnp.mean(sg.state.position))  # global -> replicated
+    print(f"SGLD pid={{pid}} shape={{sgs.shape}} mean={{gmean:.6f}}")
 """).format(repo=str(REPO))
 
 
@@ -148,6 +173,8 @@ def test_two_process_engines_hmc_pt_smc(tmp_path):
         ("HMC", r"HMC pid=\d+ shape=(\([^)]*\)) acc=(\S+)", "(20, 8, 3)"),
         ("PT", r"PT pid=\d+ shape=(\([^)]*\)) swaps=(\[.*?\])", "(10, 8, 3)"),
         ("SMC", r"SMC pid=\d+ shape=(\([^)]*\)) logZ=(\S+)", "(8, 3)"),
+        ("MEADS", r"MEADS pid=\d+ shape=(\([^)]*\)) acc=(\S+)", "(10, 8, 3)"),
+        ("SGLD", r"SGLD pid=\d+ shape=(\([^)]*\)) mean=(\S+)", "(10, 8, 3)"),
     ]:
         stats = set()
         for o in outs:
