@@ -340,6 +340,22 @@ class HalfNormal(Distribution):
         return jnp.abs(self.scale * jax.random.normal(key, shape))
 
 
+class HalfCauchy(Distribution):
+    """Half-Cauchy on (0, inf) — the standard weakly-informative scale
+    prior (Gelman 2006)."""
+
+    transform = Exp()
+
+    def __init__(self, scale=1.0):
+        self.scale = scale
+
+    def logpdf(self, x):
+        return jnp.log(2.0) + jstats.cauchy.logpdf(x, 0.0, self.scale)
+
+    def sample(self, key, shape=()):
+        return jnp.abs(self.scale * jax.random.cauchy(key, shape))
+
+
 class LogNormal(Distribution):
     transform = Exp()
 
@@ -666,6 +682,62 @@ class Binomial(Distribution):
             lo = jnp.where(below, mid, lo)
             hi = jnp.where(below, hi, mid)
         return hi.astype(jnp.float32)
+
+
+class Categorical(Distribution):
+    """Categorical over {0, ..., K-1}; give exactly one of probs/logits
+    (last axis = categories). Discrete — for ``observe`` sites and
+    posterior predictive."""
+
+    def __init__(self, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs= or logits=")
+        self.logits = (jnp.asarray(logits) if logits is not None
+                       else jnp.log(jnp.asarray(probs)))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        lp = jax.nn.log_softmax(self.logits, axis=-1)
+        lp = jnp.broadcast_to(lp, x.shape + lp.shape[-1:])
+        idx = x.astype(jnp.int32)[..., None]
+        return jnp.take_along_axis(lp, idx, axis=-1)[..., 0]
+
+    def sample(self, key, shape=()):
+        if self.logits.ndim != 1:
+            raise ValueError("sampling requires 1-D (K,) logits")
+        return jax.random.categorical(
+            key, self.logits, shape=shape
+        ).astype(jnp.float32)
+
+
+class NegativeBinomial(Distribution):
+    """NegativeBinomial(r, p): number of failures before the r-th success
+    (overdispersed counts; mean r(1-p)/p). Discrete — for ``observe``
+    sites. Sampling uses the exact Gamma-Poisson mixture."""
+
+    def __init__(self, total_count, probs=None, logits=None):
+        self.r = total_count
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs= or logits=")
+        self.logits = (logits if logits is not None
+                       else jnp.log(probs) - jnp.log1p(-jnp.asarray(probs)))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        r = jnp.asarray(self.r, x.dtype)
+        comb = (jax.scipy.special.gammaln(x + r)
+                - jax.scipy.special.gammaln(r)
+                - jax.scipy.special.gammaln(x + 1.0))
+        return (comb + r * jax.nn.log_sigmoid(self.logits)
+                + x * jax.nn.log_sigmoid(-self.logits))
+
+    def sample(self, key, shape=()):
+        k_gamma, k_pois = jax.random.split(key)
+        p = jax.nn.sigmoid(self.logits)
+        lam = jax.random.gamma(k_gamma, jnp.asarray(self.r), shape) * (
+            (1.0 - p) / p
+        )
+        return jax.random.poisson(k_pois, lam).astype(jnp.float32)
 
 
 class LKJCholesky(Distribution):

@@ -623,3 +623,121 @@ def test_binomial_large_n_sample_moments():
     assert np.all(x == np.floor(x))
     assert x.mean() == pytest.approx(n * p, rel=0.005)
     assert x.var() == pytest.approx(n * p * (1 - p), rel=0.05)
+
+
+class TestHalfCauchy:
+    def test_logpdf_is_doubled_cauchy(self):
+        from mcmcpp_tpu.dsl import Cauchy, HalfCauchy
+
+        x = np.linspace(0.1, 30.0, 50).astype(np.float32)
+        np.testing.assert_allclose(
+            HalfCauchy(2.0).logpdf(x),
+            np.log(2.0) + np.asarray(Cauchy(0.0, 2.0).logpdf(x)),
+            rtol=1e-6,
+        )
+
+    def test_sample_median_is_scale(self):
+        from mcmcpp_tpu.dsl import HalfCauchy
+
+        x = np.asarray(HalfCauchy(3.0).sample(jax.random.key(0), (40_000,)))
+        assert x.min() > 0
+        # median of |Cauchy(0, s)| is exactly s (moments don't exist)
+        assert np.median(x) == pytest.approx(3.0, rel=0.05)
+
+    @pytest.mark.slow
+    def test_scale_prior_recovers_sigma(self):
+        from mcmcpp_tpu.dsl import HalfCauchy
+
+        rng = np.random.default_rng(3)
+        y = (2.5 * rng.standard_normal(200)).astype(np.float64)
+        model = (
+            Model()
+            .param("sigma", HalfCauchy(5.0))
+            .observe("y", lambda p: Normal(0.0, p["sigma"]), y)
+        )
+        logp, dim, constrain = model.build()
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=1)
+        s.init_ball(np.zeros(dim), scale=0.3)
+        s.warmup(300)
+        s.run(600)
+        sigma = constrain(s.get_samples(flat=True))["sigma"]
+        assert sigma.mean() == pytest.approx(y.std(), rel=0.1)
+
+
+class TestCategorical:
+    def test_logpdf_matches_log_probs(self):
+        from mcmcpp_tpu.dsl import Categorical
+
+        probs = np.array([0.2, 0.5, 0.3], np.float32)
+        d = Categorical(probs=probs)
+        x = np.array([0.0, 1.0, 2.0, 1.0])
+        np.testing.assert_allclose(
+            d.logpdf(x), np.log(probs)[x.astype(int)], rtol=1e-5
+        )
+
+    def test_logits_probs_exclusive(self):
+        from mcmcpp_tpu.dsl import Categorical
+
+        with pytest.raises(ValueError, match="exactly one"):
+            Categorical()
+        with pytest.raises(ValueError, match="exactly one"):
+            Categorical(probs=[0.5, 0.5], logits=[0.0, 0.0])
+
+    def test_sample_frequencies(self):
+        from mcmcpp_tpu.dsl import Categorical
+
+        probs = np.array([0.1, 0.6, 0.3], np.float32)
+        x = np.asarray(
+            Categorical(probs=probs).sample(jax.random.key(0), (50_000,))
+        )
+        freq = np.bincount(x.astype(int), minlength=3) / x.size
+        np.testing.assert_allclose(freq, probs, atol=0.01)
+
+    @pytest.mark.slow
+    def test_dirichlet_categorical_conjugate(self):
+        from mcmcpp_tpu.dsl import Categorical, Dirichlet
+
+        rng = np.random.default_rng(0)
+        true_p = np.array([0.2, 0.5, 0.3])
+        y = rng.choice(3, size=300, p=true_p).astype(np.float64)
+        alpha = np.ones(3)
+        model = (
+            Model()
+            .param("p", Dirichlet(alpha), shape=(3,))
+            .observe("y", lambda par: Categorical(probs=par["p"]), y)
+        )
+        logp, dim, constrain = model.build()
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=1)
+        s.init_ball(np.zeros(dim), scale=0.3)
+        s.warmup(300)
+        s.run(600)
+        p = constrain(s.get_samples(flat=True))["p"]
+        counts = np.bincount(y.astype(int), minlength=3)
+        post_mean = (alpha + counts) / (alpha.sum() + len(y))
+        np.testing.assert_allclose(p.mean(axis=0), post_mean, atol=0.02)
+
+
+class TestNegativeBinomial:
+    def test_logpdf_matches_scipy(self):
+        from scipy import stats as sps
+
+        from mcmcpp_tpu.dsl import NegativeBinomial
+
+        r, p = 5.0, 0.4
+        x = np.arange(0, 40, dtype=np.float32)
+        np.testing.assert_allclose(
+            NegativeBinomial(r, probs=p).logpdf(x),
+            sps.nbinom.logpmf(x.astype(int), r, p),
+            rtol=1e-4,
+        )
+
+    def test_sample_moments(self):
+        from mcmcpp_tpu.dsl import NegativeBinomial
+
+        r, p = 6.0, 0.3
+        x = np.asarray(
+            NegativeBinomial(r, probs=p).sample(jax.random.key(0), (40_000,))
+        )
+        assert x.min() >= 0 and np.all(x == np.floor(x))
+        assert x.mean() == pytest.approx(r * (1 - p) / p, rel=0.02)
+        assert x.var() == pytest.approx(r * (1 - p) / p**2, rel=0.05)
