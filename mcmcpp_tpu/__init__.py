@@ -46,6 +46,7 @@ from mcmcpp_tpu.dsl import Model
 from mcmcpp_tpu.tempering import ParallelTemperingSampler
 from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
+from mcmcpp_tpu.pathfinder import multi_pathfinder, pathfinder
 from mcmcpp_tpu.chain_disk import DiskChain
 from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
 from mcmcpp_tpu.export import to_inference_dict, to_arviz
@@ -95,6 +96,8 @@ __all__ = [
     "find_map",
     "laplace",
     "laplace_sample",
+    "pathfinder",
+    "multi_pathfinder",
     "ShardedEnsembleSampler",
     "make_ladder_mesh",
     "make_walker_mesh",
