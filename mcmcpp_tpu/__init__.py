@@ -47,6 +47,7 @@ from mcmcpp_tpu.tempering import ParallelTemperingSampler
 from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
 from mcmcpp_tpu.pathfinder import multi_pathfinder, pathfinder
+from mcmcpp_tpu.elliptical import EllipticalSliceSampler
 from mcmcpp_tpu.chain_disk import DiskChain
 from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
 from mcmcpp_tpu.export import to_inference_dict, to_arviz
@@ -98,6 +99,7 @@ __all__ = [
     "laplace_sample",
     "pathfinder",
     "multi_pathfinder",
+    "EllipticalSliceSampler",
     "ShardedEnsembleSampler",
     "make_ladder_mesh",
     "make_walker_mesh",
