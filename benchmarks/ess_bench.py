@@ -7,7 +7,9 @@ JSON line.
 
 NOTE: under the tunneled dev setup the device->host chain transfer
 dominates wall time (~2 orders of magnitude below co-located PCIe); treat
-absolute ESS/s from a tunnel as a lower bound.
+absolute ESS/s from a tunnel as a lower bound. The co-located number is
+measured by bench.py's `ess_per_s_device_resident` (sampling + ACT FFT in
+one jitted program, nothing but the tiny rho vector crossing the link).
 
 Usage: python benchmarks/ess_bench.py [--walkers 65536] [--steps 2000]
 """

@@ -11,6 +11,12 @@ from mcmcpp_tpu.analysis.ess import (
     ess_bulk,
     ess_tail,
 )
+from mcmcpp_tpu.analysis.model_compare import (
+    ElpdResult,
+    compare,
+    loo,
+    waic,
+)
 from mcmcpp_tpu.analysis.diagnostics import (
     potential_scale_reduction,
     mcse_mean,
@@ -33,4 +39,8 @@ __all__ = [
     "CornerHistograms",
     "PercentileAndMaximumFinder",
     "effective_sample_size",
+    "ElpdResult",
+    "compare",
+    "loo",
+    "waic",
 ]

@@ -113,6 +113,41 @@ class UpperBound:
         return u
 
 
+class Ordered:
+    """u -> strictly increasing vector over the LAST axis:
+    ``x_1 = u_1, x_k = x_{k-1} + exp(u_k)`` (Stan's ordered type — the
+    standard identifiability constraint for mixture locations)."""
+
+    def forward(self, u):
+        inc = jnp.concatenate([u[..., :1], jnp.exp(u[..., 1:])], axis=-1)
+        return jnp.cumsum(inc, axis=-1)
+
+    def inverse(self, x):
+        return jnp.concatenate(
+            [x[..., :1], jnp.log(jnp.diff(x, axis=-1))], axis=-1
+        )
+
+    def log_det(self, u):
+        return jnp.concatenate(
+            [jnp.zeros_like(u[..., :1]), u[..., 1:]], axis=-1
+        )
+
+
+def ordered(dist):
+    """Impose the :class:`Ordered` constraint on a vector-shaped
+    continuous prior: the sampler works in unconstrained increment
+    coordinates while ``dist.logpdf`` scores the ordered vector (the
+    base prior restricted to the ordered region, Stan-style)::
+
+        Model().param("locs", ordered(Normal(0.0, 5.0)), shape=(K,))
+    """
+    import copy
+
+    d = copy.copy(dist)
+    d.transform = Ordered()
+    return d
+
+
 class StickBreaking:
     """R^{K-1} -> interior of the K-simplex (Stan's stick-breaking map).
 
@@ -684,6 +719,44 @@ class Binomial(Distribution):
         return hi.astype(jnp.float32)
 
 
+class Mixture(Distribution):
+    """Finite mixture of same-support components.
+
+    ``components``: list of Distributions (parameters may be traced
+    values from earlier params); ``weights``/``logits``: mixing vector
+    (exactly one). ``logpdf`` is the log-sum-exp marginal; ``sample``
+    draws a component index per element. As a prior, the sampler
+    transform is taken from the first component (components must share
+    support)."""
+
+    def __init__(self, components, weights=None, logits=None):
+        if len(components) < 2:
+            raise ValueError("need >= 2 mixture components")
+        if (weights is None) == (logits is None):
+            raise ValueError("pass exactly one of weights= or logits=")
+        self.components = list(components)
+        raw = (jnp.asarray(logits) if logits is not None
+               else jnp.log(jnp.asarray(weights)))
+        self.log_weights = jax.nn.log_softmax(raw)
+        self.transform = components[0].transform
+
+    def logpdf(self, x):
+        parts = jnp.stack([c.logpdf(x) for c in self.components], axis=-1)
+        return jax.scipy.special.logsumexp(
+            parts + self.log_weights, axis=-1
+        )
+
+    def sample(self, key, shape=()):
+        k_idx, k_comp = jax.random.split(key)
+        idx = jax.random.categorical(k_idx, self.log_weights, shape=shape)
+        draws = jnp.stack(
+            [c.sample(jax.random.fold_in(k_comp, i), shape)
+             for i, c in enumerate(self.components)],
+            axis=0,
+        )
+        return jnp.take_along_axis(draws, idx[None, ...], axis=0)[0]
+
+
 class Categorical(Distribution):
     """Categorical over {0, ..., K-1}; give exactly one of probs/logits
     (last axis = categories). Discrete — for ``observe`` sites and
@@ -996,6 +1069,57 @@ class Model:
         keys = jax.random.split(key, arr.shape[0])
         out = jax.vmap(one_draw)(arr, keys)
         return {k2: np.asarray(v) for k2, v in out.items()}
+
+    def pointwise_log_likelihood(self, flat_draws, names=None):
+        """Per-observation log-likelihood matrices for WAIC / LOO.
+
+        ``flat_draws``: (N, D) UNCONSTRAINED posterior draws. Returns
+        ``{site: (N, *data.shape)}``; masked-out entries (observe
+        ``mask=False``) come back NaN and are dropped by
+        ``analysis.model_compare``. Feed a site's matrix (or the dict sum)
+        to :func:`mcmcpp_tpu.analysis.waic` / :func:`~.loo`.
+        """
+        if not self._observes:
+            raise ValueError("model has no observe() sites")
+        sel = list(names) if names is not None else [
+            n for n, *_ in self._observes
+        ]
+        known = {n for n, *_ in self._observes}
+        for n in sel:
+            if n not in known:
+                raise ValueError(f"unknown observe site {n!r}")
+        params = tuple(self._params)
+        deterministics = tuple(self._deterministics)
+        sites = [(n, f, d, m, fl) for n, f, d, m, fl in self._observes
+                 if n in sel]
+
+        def unpack_values(theta):
+            out = {}
+            i = 0
+            for name, dist, shape, u_shape, u_size in params:
+                u = (theta[i : i + u_size].reshape(u_shape) if u_shape
+                     else theta[i])
+                out[name] = dist.transform.forward(u)
+                i += u_size
+            for name, fn in deterministics:
+                out[name] = fn(out)
+            return out
+
+        def one_draw(theta):
+            values = unpack_values(theta)
+            out = {}
+            for name, dist_fn, data, mask, fill in sites:
+                d = dist_fn(values)
+                if mask is None:
+                    out[name] = d.logpdf(data)
+                else:
+                    safe = jnp.where(mask, data, fill)
+                    out[name] = jnp.where(mask, d.logpdf(safe), jnp.nan)
+            return out
+
+        arr = jnp.atleast_2d(jnp.asarray(flat_draws))
+        out = jax.vmap(one_draw)(arr)
+        return {k: np.asarray(v) for k, v in out.items()}
 
     def prior_sample(self, key, n):
         """(n, D) UNCONSTRAINED draws from the priors (SMC-ready)."""

@@ -741,3 +741,90 @@ class TestNegativeBinomial:
         assert x.min() >= 0 and np.all(x == np.floor(x))
         assert x.mean() == pytest.approx(r * (1 - p) / p, rel=0.02)
         assert x.var() == pytest.approx(r * (1 - p) / p**2, rel=0.05)
+
+
+class TestOrderedTransform:
+    def test_round_trip_and_monotone(self):
+        from mcmcpp_tpu.dsl import Ordered
+
+        t = Ordered()
+        u = np.array([[0.5, -1.0, 2.0], [-3.0, 0.0, 0.1]], np.float32)
+        x = np.asarray(t.forward(u))
+        assert np.all(np.diff(x, axis=-1) > 0)
+        np.testing.assert_allclose(np.asarray(t.inverse(x)), u, atol=1e-5)
+
+    def test_log_det_matches_autodiff(self):
+        from mcmcpp_tpu.dsl import Ordered
+
+        t = Ordered()
+        u = jnp.asarray([0.3, -0.7, 1.2])
+        jac = jax.jacfwd(t.forward)(u)
+        _, want = np.linalg.slogdet(np.asarray(jac))
+        got = float(jnp.sum(t.log_det(u)))
+        assert got == pytest.approx(float(want), rel=1e-5)
+
+    @pytest.mark.slow
+    def test_mixture_locations_identifiable(self):
+        """2-component Gaussian mixture with ordered locs: NUTS recovers
+        the sorted component means without label switching."""
+        from mcmcpp_tpu.dsl import Mixture, ordered
+
+        rng = np.random.default_rng(0)
+        y = np.concatenate([
+            rng.normal(-2.0, 0.5, 150), rng.normal(3.0, 0.5, 150)
+        ]).astype(np.float64)
+        model = (
+            Model()
+            .param("locs", ordered(Normal(0.0, 5.0)), shape=(2,))
+            .observe(
+                "y",
+                lambda p: Mixture(
+                    [Normal(p["locs"][0], 0.5), Normal(p["locs"][1], 0.5)],
+                    weights=[0.5, 0.5],
+                ),
+                y,
+            )
+        )
+        logp, dim, constrain = model.build()
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=1, max_depth=8)
+        s.init_ball(np.zeros(dim), scale=0.5)
+        s.warmup(400)
+        s.run(600)
+        locs = constrain(s.get_samples(burn_in=100, flat=True))["locs"]
+        assert np.all(np.diff(locs, axis=-1) > 0)  # constraint held
+        np.testing.assert_allclose(
+            locs.mean(axis=0), [-2.0, 3.0], atol=0.15
+        )
+
+
+class TestMixture:
+    def test_logpdf_matches_manual(self):
+        from mcmcpp_tpu.dsl import Mixture
+
+        m = Mixture([Normal(-1.0, 1.0), Normal(2.0, 0.5)],
+                    weights=[0.3, 0.7])
+        x = np.linspace(-4, 4, 30).astype(np.float32)
+        from scipy import stats as sps
+
+        want = np.log(0.3 * sps.norm.pdf(x, -1.0, 1.0)
+                      + 0.7 * sps.norm.pdf(x, 2.0, 0.5))
+        np.testing.assert_allclose(m.logpdf(x), want, rtol=1e-4)
+
+    def test_sample_moments(self):
+        from mcmcpp_tpu.dsl import Mixture
+
+        m = Mixture([Normal(-1.0, 1.0), Normal(2.0, 0.5)],
+                    weights=[0.3, 0.7])
+        x = np.asarray(m.sample(jax.random.key(0), (60_000,)))
+        mean = 0.3 * -1.0 + 0.7 * 2.0
+        var = (0.3 * (1.0 + 1.0) + 0.7 * (0.25 + 4.0)) - mean**2
+        assert x.mean() == pytest.approx(mean, abs=0.03)
+        assert x.var() == pytest.approx(var, rel=0.03)
+
+    def test_validation(self):
+        from mcmcpp_tpu.dsl import Mixture
+
+        with pytest.raises(ValueError, match=">= 2"):
+            Mixture([Normal(0, 1)], weights=[1.0])
+        with pytest.raises(ValueError, match="exactly one"):
+            Mixture([Normal(0, 1), Normal(1, 1)])

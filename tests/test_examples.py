@@ -67,6 +67,13 @@ def test_hierarchical_example():
 
 
 @pytest.mark.slow
+def test_gp_latent_example():
+    r = _run("gp_latent.py", "--quick")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "posterior-mean RMSE" in r.stdout
+
+
+@pytest.mark.slow
 def test_bayesian_workflow_example():
     r = _run("bayesian_workflow.py", "--dim", "6", "--quick")
     assert r.returncode == 0, r.stderr[-2000:]
