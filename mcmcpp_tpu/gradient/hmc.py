@@ -416,7 +416,7 @@ class GradientSampler:
             self._run_cache[(take, thin)] = fn
         return fn
 
-    def run(self, n_steps, thin=1):
+    def run(self, n_steps, thin=1, checkpoint_path=None, checkpoint_every=1):
         """Sample ``n_steps`` post-warmup transitions, storing every thin-th.
 
         Returns True, or False if the host chain hit its byte capacity
@@ -429,6 +429,11 @@ class GradientSampler:
         NUTS runs overlap compute with the D2H copy instead of blocking on
         ``np.asarray`` per chunk. Under multi-host SPMD each process stores
         only its chain-axis shard (chain.append_device_chunk).
+
+        ``checkpoint_path``: if set, a full resumable checkpoint
+        (io.checkpoint) is written after every ``checkpoint_every`` chunks,
+        with the pipeline drained first so the snapshot is exactly
+        consistent (state == chain == stats); saves are atomic.
         """
         if self.state is None:
             raise RuntimeError("call init/init_ball first")
@@ -440,12 +445,14 @@ class GradientSampler:
         )
         chunk = self._store_chunk_steps()
         done = 0
+        fetched = 0
         acc_sum, acc_n = 0.0, 0
         ok = True
+        ckpt_every = max(1, int(checkpoint_every))
         pending = None  # chunk k-1's device futures
 
         def fetch(chunk_data):
-            nonlocal acc_sum, acc_n
+            nonlocal acc_sum, acc_n, fetched
             p_pos, p_lp, p_acc, p_div, p_en, p_take = chunk_data
             self.chain, appended = append_device_chunk(self.chain, p_pos, p_lp)
             from mcmcpp_tpu.chain import fetch_addressable
@@ -456,6 +463,7 @@ class GradientSampler:
             self._energies.append(fetch_addressable(p_en, walker_axis=1))
             acc_sum += float(p_acc) * p_take
             acc_n += p_take
+            fetched += 1
             return appended
 
         while done < n_store or pending is not None:
@@ -471,15 +479,29 @@ class GradientSampler:
                 launched = (pos, lp, acc, div, en, take)
             else:
                 launched = None
-            if pending is not None and not fetch(pending):
-                ok = False
-                if launched is not None:
-                    # the launched chunk still advanced the state; keep its
-                    # acceptance statistics even though it can't be stored
-                    acc_sum += float(launched[2]) * launched[-1]
-                    acc_n += launched[-1]
-                pending = None
-                break
+            if pending is not None:
+                if not fetch(pending):
+                    ok = False
+                    if launched is not None:
+                        # the launched chunk still advanced the state; keep
+                        # its acceptance stats even though it can't be stored
+                        acc_sum += float(launched[2]) * launched[-1]
+                        acc_n += launched[-1]
+                    pending = None
+                    break
+                if (checkpoint_path is not None
+                        and fetched % ckpt_every == 0):
+                    # drain the in-flight chunk so the snapshot is exactly
+                    # consistent (chain == state == stats), then save
+                    if launched is not None:
+                        if not fetch(launched):
+                            ok = False
+                            launched = None
+                            break
+                        launched = None
+                    from mcmcpp_tpu.io.checkpoint import save_checkpoint
+
+                    save_checkpoint(self, checkpoint_path)
             pending = launched
         if ok and leftover:
             fn = self._get_run_fn(1, leftover)
@@ -492,6 +514,10 @@ class GradientSampler:
             acc_n += 1
         if acc_n:
             self.last_mean_accept = acc_sum / acc_n
+        if ok and checkpoint_path is not None:
+            from mcmcpp_tpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(self, checkpoint_path)  # final snapshot
         return ok
 
     def get_samples(self, burn_in=0, thin=1, flat=False):

@@ -285,3 +285,29 @@ def test_checkpoint_preserves_sample_stats(tmp_path):
     np.testing.assert_array_equal(sa["energy"], sb["energy"])
     b.run(10)
     assert b.get_sample_stats()["energy"].shape[0] == 35
+
+
+def test_gradient_run_auto_checkpoint_resume(tmp_path):
+    """run(checkpoint_path=...): periodic consistent snapshots; resuming
+    from the final snapshot bitwise-continues (mirrors the ensemble
+    driver's crash-recovery contract)."""
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    ck = tmp_path / "auto.npz"
+    a = HMCSampler(logp, n_chains=8, n_params=3, seed=4, n_leapfrog=8)
+    a.init_ball(np.zeros(3), scale=1.0, seed=5)
+    a.warmup(30)
+    a.run(25, checkpoint_path=ck)
+    assert ck.exists()
+    a.run(25)
+
+    b = HMCSampler(logp, n_chains=8, n_params=3, seed=123, n_leapfrog=8)
+    b.init_ball(np.ones(3), scale=2.0, seed=6)
+    load_checkpoint(b, ck)
+    assert b.get_samples().shape[0] == 25  # snapshot carried the chain
+    b.run(25)
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+    np.testing.assert_array_equal(
+        a.get_sample_stats()["energy"], b.get_sample_stats()["energy"]
+    )
