@@ -76,6 +76,50 @@ def default_chunk_steps(n_rows, n_params, dtype, budget_bytes=64 << 20):
     return max(1, int(budget_bytes) // max(row, 1))
 
 
+def run_pipelined(n_store, chunk, launch, fetch, on_drop=None,
+                  checkpoint_save=None, checkpoint_every=1):
+    """Shared async launch/fetch store loop for ALL chunked drivers.
+
+    ``launch(take) -> futures`` dispatches the next device chunk (JAX
+    dispatch is async, so chunk k overlaps chunk k-1's device->host copy);
+    ``fetch(futures) -> bool`` lands one chunk (False = byte cap hit,
+    EndOfChain ≙ ``MCMCpp/Chain/Chain.h:230-234``). ``on_drop(futures)``
+    runs on the already-launched-but-unstorable chunk when the cap hits
+    (its transitions still advanced the sampler state — fold statistics
+    in, don't store). ``checkpoint_save()`` is called every
+    ``checkpoint_every`` fetched chunks with the pipeline DRAINED first,
+    so snapshots are exactly consistent. Returns ok.
+    """
+    done, fetched, ok, pending = 0, 0, True, None
+    ckpt_every = max(1, int(checkpoint_every))
+    while done < n_store or pending is not None:
+        if done < n_store:
+            take = min(chunk, n_store - done)
+            launched = launch(take)
+            done += take
+        else:
+            launched = None
+        if pending is not None:
+            if not fetch(pending):
+                ok = False
+                if launched is not None and on_drop is not None:
+                    on_drop(launched)
+                pending = None
+                break
+            fetched += 1
+            if checkpoint_save is not None and fetched % ckpt_every == 0:
+                if launched is not None:  # drain the in-flight chunk
+                    if not fetch(launched):
+                        ok = False
+                        launched = None
+                        break
+                    fetched += 1
+                    launched = None
+                checkpoint_save()
+        pending = launched
+    return ok
+
+
 class Chain:
     """Append-only (step, walker, param) store with byte capacity.
 

@@ -734,6 +734,13 @@ class Mixture(Distribution):
             raise ValueError("need >= 2 mixture components")
         if (weights is None) == (logits is None):
             raise ValueError("pass exactly one of weights= or logits=")
+        t0 = type(components[0].transform)
+        if any(type(c.transform) is not t0 for c in components[1:]):
+            raise ValueError(
+                "mixture components must share support (their sampler "
+                "transforms differ: "
+                f"{[type(c.transform).__name__ for c in components]})"
+            )
         self.components = list(components)
         raw = (jnp.asarray(logits) if logits is not None
                else jnp.log(jnp.asarray(weights)))

@@ -443,66 +443,54 @@ class GradientSampler:
         step_vec = jnp.broadcast_to(
             jnp.asarray(self.step_size, self.dtype), (self.n_chains,)
         )
+        from mcmcpp_tpu.chain import fetch_addressable, run_pipelined
+
         chunk = self._store_chunk_steps()
-        done = 0
-        fetched = 0
         acc_sum, acc_n = 0.0, 0
-        ok = True
-        ckpt_every = max(1, int(checkpoint_every))
-        pending = None  # chunk k-1's device futures
+
+        def launch(take):
+            fn = self._get_run_fn(take, thin)
+            self._key, run_key = jax.random.split(self._key)
+            self.state, pos, lp, acc, div, en = fn(
+                self.state, run_key, step_vec, self.inv_mass
+            )
+            return (pos, lp, acc, div, en, take)
 
         def fetch(chunk_data):
-            nonlocal acc_sum, acc_n, fetched
+            nonlocal acc_sum, acc_n
             p_pos, p_lp, p_acc, p_div, p_en, p_take = chunk_data
+            before = self.chain.n_steps
             self.chain, appended = append_device_chunk(self.chain, p_pos, p_lp)
-            from mcmcpp_tpu.chain import fetch_addressable
-
-            # appended even when the chain hit its cap mid-chunk (partial
-            # append); get_sample_stats truncates to chain.n_steps
-            self._divergences.append(fetch_addressable(p_div, walker_axis=1))
-            self._energies.append(fetch_addressable(p_en, walker_axis=1))
+            # stats stay exactly chain-aligned even through a partial
+            # (cap-truncated) append: keep only the rows the chain took
+            took = self.chain.n_steps - before
+            self._divergences.append(
+                fetch_addressable(p_div, walker_axis=1)[:took]
+            )
+            self._energies.append(
+                fetch_addressable(p_en, walker_axis=1)[:took]
+            )
             acc_sum += float(p_acc) * p_take
             acc_n += p_take
-            fetched += 1
             return appended
 
-        while done < n_store or pending is not None:
-            if done < n_store:
-                take = min(chunk, n_store - done)
-                fn = self._get_run_fn(take, thin)
-                self._key, run_key = jax.random.split(self._key)
-                # async dispatch: launch chunk k before fetching chunk k-1
-                self.state, pos, lp, acc, div, en = fn(
-                    self.state, run_key, step_vec, self.inv_mass
-                )
-                done += take
-                launched = (pos, lp, acc, div, en, take)
-            else:
-                launched = None
-            if pending is not None:
-                if not fetch(pending):
-                    ok = False
-                    if launched is not None:
-                        # the launched chunk still advanced the state; keep
-                        # its acceptance stats even though it can't be stored
-                        acc_sum += float(launched[2]) * launched[-1]
-                        acc_n += launched[-1]
-                    pending = None
-                    break
-                if (checkpoint_path is not None
-                        and fetched % ckpt_every == 0):
-                    # drain the in-flight chunk so the snapshot is exactly
-                    # consistent (chain == state == stats), then save
-                    if launched is not None:
-                        if not fetch(launched):
-                            ok = False
-                            launched = None
-                            break
-                        launched = None
-                    from mcmcpp_tpu.io.checkpoint import save_checkpoint
+        def on_drop(launched):
+            # the launched chunk still advanced the state; keep its
+            # acceptance statistics even though it can't be stored
+            nonlocal acc_sum, acc_n
+            acc_sum += float(launched[2]) * launched[-1]
+            acc_n += launched[-1]
 
-                    save_checkpoint(self, checkpoint_path)
-            pending = launched
+        checkpoint_save = None
+        if checkpoint_path is not None:
+            from mcmcpp_tpu.io.checkpoint import save_checkpoint
+
+            checkpoint_save = lambda: save_checkpoint(self, checkpoint_path)
+
+        ok = run_pipelined(
+            n_store, chunk, launch, fetch, on_drop=on_drop,
+            checkpoint_save=checkpoint_save, checkpoint_every=checkpoint_every,
+        )
         if ok and leftover:
             fn = self._get_run_fn(1, leftover)
             self._key, run_key = jax.random.split(self._key)

@@ -122,7 +122,10 @@ class StochasticGradientSampler:
         return eps * (1.0 + t.astype(self.dtype) / t0) ** (-gamma)
 
     def _make_step(self):
-        """Subclass hook: (key, state) -> (state, lp_est (C,))."""
+        """Subclass hook: (key, state) -> (state, (pos_eval, lp_est))
+        where ``lp_est`` is the minibatch estimate AT ``pos_eval`` (the
+        pre-transition position), so stored (position, logp) pairs are
+        always evaluated at the same point."""
         raise NotImplementedError
 
     def _constrain(self, state):
@@ -163,62 +166,69 @@ class StochasticGradientSampler:
         step = self._step
 
         def body(carry, _):
-            state, key, lp = carry
+            state, key, out = carry
 
             def inner(j, sk):
                 s, k, _ = sk
                 k, sub = jax.random.split(k)
-                s, lp = step(sub, s)
-                return (s, k, lp)
+                s, out = step(sub, s)
+                return (s, k, out)
 
-            state, key, lp = jax.lax.fori_loop(
-                0, thin, inner, (state, key, lp)
+            state, key, (pos, lp) = jax.lax.fori_loop(
+                0, thin, inner, (state, key, out)
             )
-            return (state, key, lp), (state.position, lp)
+            return (state, key, (pos, lp)), (pos, lp)
 
-        lp0 = jnp.zeros((self.n_chains,), self.dtype)
+        out0 = (state.position, jnp.zeros((self.n_chains,), self.dtype))
         (state, _, _), (pos, lps) = jax.lax.scan(
-            body, (state, key, lp0), length=n_store
+            body, (state, key, out0), length=n_store
         )
         return state, pos, lps
 
     def run(self, n_steps, thin=1):
-        """Advance ``n_steps``, storing every thin-th position with its
-        minibatch logp estimate. Pipelines device->host like the other
-        drivers; returns False on chain byte-cap (EndOfChain)."""
+        """Advance ``n_steps``, storing every thin-th (position, logp
+        estimate) pair — both evaluated at the same point, the position
+        the final kernel of each thin window evaluated (one transition
+        behind the live state). ``n_steps % thin`` leftover transitions
+        still advance the state, unstored. Pipelines device->host like
+        the other drivers; returns False on chain byte-cap (EndOfChain).
+        """
         if self.state is None:
             raise RuntimeError("call init/init_ball first")
         thin = int(thin)
         n_store = int(n_steps) // thin
-        from mcmcpp_tpu.chain import default_chunk_steps
+        leftover = int(n_steps) - n_store * thin
+        from mcmcpp_tpu.chain import default_chunk_steps, run_pipelined
 
         chunk = default_chunk_steps(self.n_chains, self.n_params, self.dtype)
-        done, ok, pending = 0, True, None
-        while done < n_store or pending is not None:
-            if done < n_store:
-                take = min(chunk, n_store - done)
-                fn = self._run_cache.get((take, thin))
-                if fn is None:
-                    fn = jax.jit(
-                        lambda st, k, t=take, th=thin: self._run_scan(
-                            st, k, t, th
-                        )
-                    )
-                    self._run_cache[(take, thin)] = fn
-                self._key, run_key = jax.random.split(self._key)
-                self.state, pos, lps = fn(self.state, run_key)
-                done += take
-                launched = (pos, lps)
-            else:
-                launched = None
-            if pending is not None:
-                self.chain, appended = append_device_chunk(
-                    self.chain, pending[0], pending[1]
+
+        def launch(take):
+            fn = self._run_cache.get((take, thin))
+            if fn is None:
+                fn = jax.jit(
+                    lambda st, k, t=take, th=thin: self._run_scan(st, k, t, th)
                 )
-                if not appended:
-                    ok = False
-                    break
-            pending = launched
+                self._run_cache[(take, thin)] = fn
+            self._key, run_key = jax.random.split(self._key)
+            self.state, pos, lps = fn(self.state, run_key)
+            return (pos, lps)
+
+        def fetch(futures):
+            self.chain, appended = append_device_chunk(
+                self.chain, futures[0], futures[1]
+            )
+            return appended
+
+        ok = run_pipelined(n_store, chunk, launch, fetch)
+        if ok and leftover:
+            launch_fn = self._run_cache.get((1, leftover))
+            if launch_fn is None:
+                launch_fn = jax.jit(
+                    lambda st, k, lo=leftover: self._run_scan(st, k, 1, lo)
+                )
+                self._run_cache[(1, leftover)] = launch_fn
+            self._key, run_key = jax.random.split(self._key)
+            self.state, _, _ = launch_fn(self.state, run_key)
         return ok
 
     def get_samples(self, burn_in=0, thin=1, flat=False):
@@ -249,7 +259,7 @@ class SGLDSampler(StochasticGradientSampler):
             pos = state.position + 0.5 * eps * g + jnp.sqrt(eps) * z
             return (
                 self._constrain(SGState(pos, state.velocity, state.step + 1)),
-                lp,
+                (state.position, lp),
             )
 
         return step
@@ -288,7 +298,7 @@ class SGHMCSampler(StochasticGradientSampler):
                 self._constrain(
                     SGState(state.position + v, v, state.step + 1)
                 ),
-                lp,
+                (state.position, lp),
             )
 
         return step

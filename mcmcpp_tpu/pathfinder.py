@@ -121,9 +121,13 @@ def pathfinder(logp_fn, init, maxiter=60, history=6, n_elbo_draws=30,
         )
         d = -_two_loop(g, s_buf, y_buf, valid, gamma0)
         slope = jnp.dot(g, d)
-        # if not a descent direction (degenerate history), fall back to -g
-        d = jnp.where(slope < 0, d, -g)
-        slope = jnp.minimum(slope, -jnp.sum(g * g))
+        # if not a descent direction (degenerate history), fall back to -g;
+        # the Armijo slope must match the direction actually taken (a
+        # -||g||^2 floor on a kept shallow direction would make the test
+        # unsatisfiable and collapse steps to init_step/2^16)
+        descent = slope < 0
+        d = jnp.where(descent, d, -g)
+        slope = jnp.where(descent, slope, -jnp.sum(g * g))
 
         def ls_body(c):
             alpha, n, _, f0, sl = c
