@@ -43,7 +43,11 @@ from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
 from mcmcpp_tpu.dsl import Model
-from mcmcpp_tpu.tempering import ParallelTemperingSampler
+from mcmcpp_tpu.tempering import (
+    ParallelTemperingSampler,
+    geometric_ladder,
+    power_ladder,
+)
 from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
 from mcmcpp_tpu.pathfinder import multi_pathfinder, pathfinder

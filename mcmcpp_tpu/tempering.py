@@ -27,11 +27,19 @@ from mcmcpp_tpu.movers.stretch import StretchMove
 class PTState(NamedTuple):
     red: jax.Array  # (K, H, P)
     black: jax.Array  # (K, H, P)
-    logp_red: jax.Array  # (K, H) raw logp
+    logp_red: jax.Array  # (K, H) raw logp (power mode: log-PRIOR)
     logp_black: jax.Array  # (K, H)
     step: jax.Array
     swaps_accepted: jax.Array  # (K-1,) int32
     swaps_proposed: jax.Array  # (K-1,) int32
+    # power-posterior (evidence) mode only; None otherwise
+    ll_red: jax.Array = None  # (K, H) log-likelihood
+    ll_black: jax.Array = None  # (K, H)
+    ll_mean: jax.Array = None  # (K,) running mean of per-step walker-mean ll
+    ll_m2: jax.Array = None  # (K,) running sum of squared deviations
+    ss_max: jax.Array = None  # (K-1,) streaming logsumexp max of dβ·ll
+    ss_sum: jax.Array = None  # (K-1,) streaming logsumexp scaled sum
+    acc_n: jax.Array = None  # () float32 number of accumulated steps
 
 
 def geometric_ladder(n_temps, beta_min=0.01):
@@ -41,17 +49,42 @@ def geometric_ladder(n_temps, beta_min=0.01):
     )
 
 
-def _swap_phase(key, pos_r, pos_b, lp_r, lp_b, betas, parity):
+def power_ladder(n_temps, exponent=5.0):
+    """β ladder 1 → 0 with β_k = ((K-1-k)/(K-1))^c, the Friel & Pettitt
+    (2008) power-posterior schedule (c≈5 concentrates rungs near the prior
+    where E_β[log L] changes fastest). Use for evidence runs — the ladder
+    must reach β=0 (the prior) for thermodynamic integration."""
+    k = np.arange(n_temps, dtype=np.float64)
+    return jnp.asarray(
+        ((n_temps - 1 - k) / (n_temps - 1)) ** exponent, jnp.float32
+    )
+
+
+def _neighbor_diff(score):
+    """score[k+1] - score[k] per adjacent ladder pair, -inf-safe (a pair of
+    zero-likelihood walkers has exchange ratio 1, not NaN)."""
+    hi, lo = score[1:], score[:-1]
+    both_inf = jnp.isneginf(hi) & jnp.isneginf(lo)
+    return jnp.where(both_inf, 0.0, hi - lo)
+
+
+def _swap_phase(key, pos_r, pos_b, lp_r, lp_b, betas, parity,
+                score_r=None, score_b=None, extra_r=(), extra_b=()):
     """Propose swaps between ladder pairs (k, k+1) with k ≡ parity (mod 2).
 
-    Swaps act on the FULL replica state (both halves) per walker.
+    Swaps act on the FULL replica state (both halves) per walker. The
+    exchange decision uses ``score`` (defaults to ``lp``; power-posterior
+    mode passes the log-likelihood grids); ``extra_*`` are further (K, H)
+    grids co-swapped with the same per-walker masks.
     """
     k_dim = pos_r.shape[0]
     dbeta = betas[:-1] - betas[1:]  # (K-1,)
+    score_r = lp_r if score_r is None else score_r
+    score_b = lp_b if score_b is None else score_b
     # per-walker exchange decisions for every adjacent pair; only pairs of
     # the current parity act, so active pairs touch disjoint replica rows
-    log_alpha_r = dbeta[:, None] * (lp_r[1:] - lp_r[:-1])  # (K-1, H)
-    log_alpha_b = dbeta[:, None] * (lp_b[1:] - lp_b[:-1])
+    log_alpha_r = dbeta[:, None] * _neighbor_diff(score_r)  # (K-1, H)
+    log_alpha_b = dbeta[:, None] * _neighbor_diff(score_b)
     kr, kb = jax.random.split(key)
     u_r = -jax.random.exponential(kr, log_alpha_r.shape, log_alpha_r.dtype)
     u_b = -jax.random.exponential(kb, log_alpha_b.shape, log_alpha_b.dtype)
@@ -60,29 +93,30 @@ def _swap_phase(key, pos_r, pos_b, lp_r, lp_b, betas, parity):
     acc_r = (u_r < log_alpha_r) & active_pair[:, None]  # (K-1, H)
     acc_b = (u_b < log_alpha_b) & active_pair[:, None]
 
-    def apply(pos, lp, acc):
+    def apply(pos, acc):
         # build swapped copies: row k takes from k+1 where acc[k], and
         # row k+1 takes from k where acc[k]
         take_upper = jnp.zeros(pos.shape[:2], bool)  # row k <- k+1
         take_upper = take_upper.at[:-1].set(acc)
         take_lower = jnp.zeros(pos.shape[:2], bool)  # row k+1 <- k
         take_lower = take_lower.at[1:].set(acc)
+        if pos.ndim == 3:
+            take_upper = take_upper[..., None]
+            take_lower = take_lower[..., None]
         up = jnp.roll(pos, -1, axis=0)  # row k holds pos[k+1]
         down = jnp.roll(pos, 1, axis=0)
-        new_pos = jnp.where(take_upper[..., None], up, pos)
-        new_pos = jnp.where(take_lower[..., None], down, new_pos)
-        lp_up = jnp.roll(lp, -1, axis=0)
-        lp_down = jnp.roll(lp, 1, axis=0)
-        new_lp = jnp.where(take_upper, lp_up, lp)
-        new_lp = jnp.where(take_lower, lp_down, new_lp)
-        return new_pos, new_lp
+        new_pos = jnp.where(take_upper, up, pos)
+        return jnp.where(take_lower, down, new_pos)
 
-    pos_r, lp_r = apply(pos_r, lp_r, acc_r)
-    pos_b, lp_b = apply(pos_b, lp_b, acc_b)
+    pos_r, lp_r = apply(pos_r, acc_r), apply(lp_r, acc_r)
+    pos_b, lp_b = apply(pos_b, acc_b), apply(lp_b, acc_b)
+    extra_r = tuple(apply(g, acc_r) for g in extra_r)
+    extra_b = tuple(apply(g, acc_b) for g in extra_b)
     n_acc = jnp.sum(acc_r, axis=1) + jnp.sum(acc_b, axis=1)  # (K-1,)
     h = pos_r.shape[1]
     n_prop = active_pair.astype(jnp.int32) * (2 * h)
-    return pos_r, pos_b, lp_r, lp_b, n_acc.astype(jnp.int32), n_prop
+    return (pos_r, pos_b, lp_r, lp_b, n_acc.astype(jnp.int32), n_prop,
+            extra_r, extra_b)
 
 
 class ParallelTemperingSampler:
@@ -93,26 +127,78 @@ class ParallelTemperingSampler:
     swap_every: steps between exchange phases.
     Samples/statistics are exposed for the cold (β=1) replica; swap
     acceptance rates per ladder pair via ``swap_acceptance``.
+
+    **Power-posterior (evidence) mode**: pass ``loglike_fn`` and
+    ``logprior_fn`` INSTEAD of ``logp_fn``. Replica k then targets
+    prior(x) · L(x)^β_k (the prior is never tempered), the β=0 rung is the
+    prior itself, and per-replica log-likelihood statistics are accumulated
+    on device so ``log_evidence()`` can return the stepping-stone (Xie et
+    al. 2011) or thermodynamic-integration (Friel & Pettitt 2008) estimate
+    of log Z = log ∫ prior·L. Use ``power_ladder`` (reaches β=0). The
+    reference has no evidence machinery at all (SURVEY.md §2); this mirrors
+    ``SMCSampler.log_evidence`` for the replica-exchange engine.
     """
 
-    def __init__(self, logp_fn, n_walkers, n_params, n_temps=8, betas=None,
-                 mover=None, seed=0, dtype=jnp.float32, swap_every=1,
-                 max_chain_bytes=2 << 30, batched=False, mesh=None,
-                 chain=None):
+    def __init__(self, logp_fn=None, n_walkers=None, n_params=None,
+                 n_temps=8, betas=None, mover=None, seed=0,
+                 dtype=jnp.float32, swap_every=1, max_chain_bytes=2 << 30,
+                 batched=False, mesh=None, chain=None, loglike_fn=None,
+                 logprior_fn=None):
+        if n_walkers is None or n_params is None:
+            raise TypeError("n_walkers and n_params are required")
         if n_walkers % 2:
             raise ValueError("n_walkers must be even")
         self.n_walkers = int(n_walkers)
         self.n_params = int(n_params)
         self.dtype = dtype
         self.swap_every = int(swap_every)
+        self._power = loglike_fn is not None or logprior_fn is not None
+        if self._power:
+            if loglike_fn is None or logprior_fn is None:
+                raise ValueError(
+                    "power-posterior mode needs BOTH loglike_fn and "
+                    "logprior_fn"
+                )
+            if logp_fn is not None:
+                raise ValueError(
+                    "pass either logp_fn OR (loglike_fn, logprior_fn)"
+                )
+        elif logp_fn is None:
+            raise TypeError("logp_fn is required (or loglike_fn+logprior_fn)")
         self.betas = (jnp.asarray(betas, dtype) if betas is not None
-                      else geometric_ladder(n_temps))
+                      else (power_ladder(n_temps) if self._power
+                            else geometric_ladder(n_temps)))
         if float(self.betas[0]) != 1.0:
             raise ValueError("betas[0] must be 1.0 (the cold chain)")
+        if not self._power and float(self.betas[-1]) <= 0.0:
+            raise ValueError(
+                "β=0 tempers the whole posterior to an improper flat "
+                "target; β=0 rungs need power-posterior mode "
+                "(loglike_fn+logprior_fn)"
+            )
         self.n_temps = int(self.betas.shape[0])
         self.mover = mover if mover is not None else StretchMove()
+        from mcmcpp_tpu.movers.base import Mover
+
+        if self._power and (
+            type(self.mover).propose is Mover.propose
+            or self.mover.always_accept
+        ):
+            raise ValueError(
+                "power-posterior mode needs a propose-based Metropolis "
+                f"mover (got {type(self.mover).__name__})"
+            )
         self._mover_state = self.mover.init_state(self.n_params, dtype)
-        self._batched_logp = logp_fn if batched else jax.vmap(logp_fn)
+        if self._power:
+            self._batched_ll = (loglike_fn if batched
+                                else jax.vmap(loglike_fn))
+            self._batched_prior = (logprior_fn if batched
+                                   else jax.vmap(logprior_fn))
+            self._batched_logp = lambda x: (
+                self._batched_prior(x) + self._batched_ll(x)
+            )
+        else:
+            self._batched_logp = logp_fn if batched else jax.vmap(logp_fn)
         self._key = jax.random.key(seed)
         self._step_key, self._aux_key = jax.random.split(self._key)
         self._step_epoch = 0
@@ -188,15 +274,39 @@ class ParallelTemperingSampler:
         if self._grid_sh is not None:
             red = jax.device_put(red, self._grid_sh)
             black = jax.device_put(black, self._grid_sh)
-        lp = lambda x: jax.vmap(self._batched_logp)(x)
+        extra = {}
+        if self._power:
+            prior = lambda x: jax.vmap(self._batched_prior)(x)
+            ll = lambda x: jax.vmap(self._batched_ll)(x)
+            # logp grids hold the PRIOR in power mode (ll kept separately,
+            # so -inf likelihoods never poison the prior via subtraction)
+            lp_red, lp_black = prior(red), prior(black)
+            extra = dict(
+                ll_red=ll(red), ll_black=ll(black),
+                **self._zero_evidence_acc(),
+            )
+        else:
+            f = lambda x: jax.vmap(self._batched_logp)(x)
+            lp_red, lp_black = f(red), f(black)
         self.state = PTState(
             red=red, black=black,
-            logp_red=lp(red), logp_black=lp(black),
+            logp_red=lp_red, logp_black=lp_black,
             step=jnp.zeros((), jnp.int32),
             swaps_accepted=jnp.zeros((self.n_temps - 1,), jnp.int32),
             swaps_proposed=jnp.zeros((self.n_temps - 1,), jnp.int32),
+            **extra,
         )
         return self
+
+    def _zero_evidence_acc(self):
+        k = self.n_temps
+        return dict(
+            ll_mean=jnp.zeros((k,), self.dtype),
+            ll_m2=jnp.zeros((k,), self.dtype),
+            ss_max=jnp.full((k - 1,), -jnp.inf, self.dtype),
+            ss_sum=jnp.zeros((k - 1,), self.dtype),
+            acc_n=jnp.zeros((), self.dtype),
+        )
 
     def _constrain(self, state: PTState) -> PTState:
         if self._grid_sh is None:
@@ -204,6 +314,16 @@ class ParallelTemperingSampler:
         c = lambda x: jax.lax.with_sharding_constraint(x, self._grid_sh)
         v = lambda x: jax.lax.with_sharding_constraint(x, self._gridvec_sh)
         r = lambda x: jax.lax.with_sharding_constraint(x, self._rep_sh)
+        extra = {}
+        if self._power:
+            extra = dict(
+                ll_red=v(state.ll_red), ll_black=v(state.ll_black),
+                # evidence accumulators are global statistics, like the
+                # swap counters: replicated so every host can read them
+                ll_mean=r(state.ll_mean), ll_m2=r(state.ll_m2),
+                ss_max=r(state.ss_max), ss_sum=r(state.ss_sum),
+                acc_n=r(state.acc_n),
+            )
         return state._replace(
             red=c(state.red), black=c(state.black),
             logp_red=v(state.logp_red), logp_black=v(state.logp_black),
@@ -211,9 +331,12 @@ class ParallelTemperingSampler:
             # every host can read them directly (multi-host safe)
             swaps_accepted=r(state.swaps_accepted),
             swaps_proposed=r(state.swaps_proposed),
+            **extra,
         )
 
     def _step(self, state: PTState) -> PTState:
+        if self._power:
+            return self._step_power(state)
         state = self._constrain(state)
         key = jax.random.fold_in(self._epoch_key, state.step)
         k_red, k_black, k_swap = jax.random.split(key, 3)
@@ -237,7 +360,7 @@ class ParallelTemperingSampler:
         def do_swap(args):
             red, black, lp_red, lp_black, sa, sp = args
             parity = (state.step // self.swap_every) % 2
-            r, b, lr, lb, n_acc, n_prop = _swap_phase(
+            r, b, lr, lb, n_acc, n_prop, _, _ = _swap_phase(
                 k_swap, red, black, lp_red, lp_black, self.betas, parity
             )
             return r, b, lr, lb, sa + n_acc, sp + n_prop
@@ -251,6 +374,95 @@ class ParallelTemperingSampler:
         return PTState(red, black, lp_red, lp_black, state.step + 1,
                        swaps_acc, swaps_prop)
 
+    def _step_power(self, state: PTState) -> PTState:
+        """One power-posterior step: per-replica Metropolis against
+        prior·L^β (prior never tempered), ladder swaps scored on the
+        log-likelihood, then on-device evidence accumulation."""
+        state = self._constrain(state)
+        key = jax.random.fold_in(self._epoch_key, state.step)
+        k_red, k_black, k_swap = jax.random.split(key, 3)
+
+        def half_update(key, active, prior, ll, other, beta):
+            kp, ka = jax.random.split(key)
+            proposal, log_factor = self.mover.propose(
+                kp, active, other, self._mover_state
+            )
+            prop_ll = self._batched_ll(proposal)
+            prop_prior = self._batched_prior(proposal)
+            # β·Δll with both lls at -inf would be NaN; such a move holds
+            # the (zero) likelihood fixed, so its ratio term is 0 — the
+            # walker keeps exploring the prior until L > 0
+            both = jnp.isneginf(prop_ll) & jnp.isneginf(ll)
+            dll = jnp.where(both, 0.0, prop_ll - ll)
+            # β=0 (the prior rung) ignores the likelihood ENTIRELY — 0·±inf
+            # would be NaN and permanently freeze walkers against the
+            # support boundary
+            tempered = jnp.where(beta > 0.0, beta * dll, 0.0)
+            log_ratio = log_factor + (prop_prior - prior) + tempered
+            log_u = -jax.random.exponential(ka, prior.shape, prior.dtype)
+            acc = log_u < log_ratio
+            new_active = jnp.where(acc[:, None], proposal, active)
+            new_prior = jnp.where(acc, prop_prior, prior)
+            new_ll = jnp.where(acc, prop_ll, ll)
+            return new_active, new_prior, new_ll
+
+        keys_r = jax.random.split(k_red, self.n_temps)
+        red, lp_red, ll_red = jax.vmap(half_update)(
+            keys_r, state.red, state.logp_red, state.ll_red, state.black,
+            self.betas,
+        )
+        keys_b = jax.random.split(k_black, self.n_temps)
+        black, lp_black, ll_black = jax.vmap(half_update)(
+            keys_b, state.black, state.logp_black, state.ll_black, red,
+            self.betas,
+        )
+        swaps_acc, swaps_prop = state.swaps_accepted, state.swaps_proposed
+
+        def do_swap(args):
+            red, black, lp_red, lp_black, ll_r, ll_b, sa, sp = args
+            parity = (state.step // self.swap_every) % 2
+            r, b, lr, lb, n_acc, n_prop, ex_r, ex_b = _swap_phase(
+                k_swap, red, black, lp_red, lp_black, self.betas, parity,
+                score_r=ll_r, score_b=ll_b, extra_r=(ll_r,), extra_b=(ll_b,),
+            )
+            return r, b, lr, lb, ex_r[0], ex_b[0], sa + n_acc, sp + n_prop
+
+        (red, black, lp_red, lp_black, ll_red, ll_black, swaps_acc,
+         swaps_prop) = jax.lax.cond(
+            (state.step + 1) % self.swap_every == 0,
+            do_swap,
+            lambda args: args,
+            (red, black, lp_red, lp_black, ll_red, ll_black, swaps_acc,
+             swaps_prop),
+        )
+        # --- evidence accumulators (one observation = this step) ---------
+        ll_all = jnp.concatenate([ll_red, ll_black], axis=1)  # (K, W)
+        # TI: Welford over per-step walker-means of log L (β descending)
+        step_mean = jnp.mean(ll_all, axis=1)  # (K,)
+        n_new = state.acc_n + 1.0
+        delta = step_mean - state.ll_mean
+        ll_mean = state.ll_mean + delta / n_new
+        ll_m2 = state.ll_m2 + delta * (step_mean - ll_mean)
+        # stepping stone: streaming logsumexp of dβ_k·ll over the β_{k+1}
+        # (lower) rung's walkers, merged one per-step LSE at a time
+        dbeta = self.betas[:-1] - self.betas[1:]  # (K-1,)
+        lo = ll_all[1:]  # (K-1, W)
+        x = jnp.where(jnp.isneginf(lo), -jnp.inf, dbeta[:, None] * lo)
+        step_lse = jax.scipy.special.logsumexp(x, axis=1)  # (K-1,)
+        m_new = jnp.maximum(state.ss_max, step_lse)
+        safe = jnp.isfinite(m_new)
+        ss_sum = jnp.where(
+            safe,
+            state.ss_sum * jnp.exp(
+                jnp.where(safe, state.ss_max - m_new, 0.0)
+            ) + jnp.exp(jnp.where(safe, step_lse - m_new, -jnp.inf)),
+            0.0,
+        )
+        return PTState(red, black, lp_red, lp_black, state.step + 1,
+                       swaps_acc, swaps_prop, ll_red=ll_red,
+                       ll_black=ll_black, ll_mean=ll_mean, ll_m2=ll_m2,
+                       ss_max=m_new, ss_sum=ss_sum, acc_n=n_new)
+
     def _scan_fn(self, n_store, thin):
         fn = self._run_cache.get((n_store, thin))
         if fn is None:
@@ -261,9 +473,16 @@ class ParallelTemperingSampler:
                         0, thin, lambda i, s: self._step(s), carry
                     )
                     pos = jnp.concatenate([carry.red[0], carry.black[0]], 0)
-                    lp = jnp.concatenate(
-                        [carry.logp_red[0], carry.logp_black[0]], 0
-                    )
+                    if self._power:
+                        # logp grids hold the prior; store the raw posterior
+                        lp = jnp.concatenate(
+                            [carry.logp_red[0] + carry.ll_red[0],
+                             carry.logp_black[0] + carry.ll_black[0]], 0
+                        )
+                    else:
+                        lp = jnp.concatenate(
+                            [carry.logp_red[0], carry.logp_black[0]], 0
+                        )
                     return carry, (pos, lp)
 
                 return jax.lax.scan(body, state, length=n_store)
@@ -367,7 +586,63 @@ class ParallelTemperingSampler:
         self.chain.clear()
         self._swaps_acc_host[:] = 0
         self._swaps_prop_host[:] = 0
+        if self._power:
+            # the SS/TI accumulators are defined w.r.t. the ladder spacing;
+            # a new ladder invalidates them
+            self.reset_evidence()
         return self
+
+    # -- evidence (power-posterior mode) ------------------------------------
+
+    def reset_evidence(self):
+        """Zero the on-device evidence accumulators (call after burn-in,
+        before the production run the estimate should be computed from)."""
+        if not self._power:
+            raise RuntimeError("evidence requires power-posterior mode")
+        if self.state is not None:
+            self.state = self.state._replace(**self._zero_evidence_acc())
+        return self
+
+    def ti_curve(self):
+        """(betas ascending, E_β[log L] ascending) — the thermodynamic
+        integrand, for diagnostics and custom quadrature."""
+        if not self._power:
+            raise RuntimeError("evidence requires power-posterior mode")
+        betas = np.asarray(self.betas, np.float64)[::-1]
+        means = np.asarray(self.state.ll_mean, np.float64)[::-1]
+        return betas, means
+
+    def log_evidence(self, method="stepping_stone"):
+        """log Z = log ∫ prior·L from the accumulated power-posterior run.
+
+        ``stepping_stone`` (Xie et al. 2011): Σ_k log E_{β_{k+1}}[L^{Δβ_k}],
+        each expectation over the LOWER rung's walkers — consistent for any
+        ladder and robust to -inf log-likelihoods. ``ti`` (Friel & Pettitt
+        2008): trapezoidal ∫_0^1 E_β[log L] dβ — needs a ladder reaching
+        β≈0 (``power_ladder``) and finite log L under the prior.
+        """
+        if not self._power:
+            raise RuntimeError("evidence requires power-posterior mode")
+        if self.state is None or float(self.state.acc_n) == 0:
+            raise RuntimeError("run_mcmc first (no accumulated steps)")
+        n = float(self.state.acc_n) * self.n_walkers
+        if method == "stepping_stone":
+            m = np.asarray(self.state.ss_max, np.float64)
+            s = np.asarray(self.state.ss_sum, np.float64)
+            terms = m + np.log(np.maximum(s, 1e-300)) - np.log(n)
+            return float(np.sum(terms))
+        if method == "ti":
+            betas, means = self.ti_curve()
+            if betas[0] > 1e-6:
+                import warnings
+
+                warnings.warn(
+                    f"TI ladder starts at β={betas[0]:.4g}, not 0 — the "
+                    "integral misses the prior end; use power_ladder",
+                    stacklevel=2,
+                )
+            return float(np.trapezoid(means, betas))
+        raise ValueError(f"unknown method {method!r}")
 
     @property
     def swap_acceptance(self):
