@@ -40,6 +40,7 @@ from mcmcpp_tpu.gradient import (
     SGHMCSampler, SGLDSampler,
 )
 from mcmcpp_tpu.smc import SMCSampler
+from mcmcpp_tpu.nested import NestedSampler
 from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
 from mcmcpp_tpu.dsl import Model
@@ -92,6 +93,9 @@ __all__ = [
     "SGHMCSampler",
     "SGLDSampler",
     "SMCSampler",
+    "NestedSampler",
+    "geometric_ladder",
+    "power_ladder",
     "ADVI",
     "dsl",
     "Model",

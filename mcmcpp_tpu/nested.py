@@ -1,0 +1,271 @@
+"""Nested sampling: evidence + posterior from a batched live-point set.
+
+Beyond-reference capability (the reference — jmatta1/MCMCpp — has no
+evidence machinery at all; SURVEY.md §2 covers samplers + diagnostics
+only). Completes the evidence triad next to ``SMCSampler.log_evidence``
+and ``ParallelTemperingSampler.log_evidence`` (power posteriors): nested
+sampling is the only one of the three that also yields the full
+sequence of likelihood-shell volumes, so it handles multimodal and
+phase-transition posteriors the annealed ladders miss.
+
+TPU-first design, not a port of any CPU nested sampler:
+
+- the live set is ONE ``(N, P)`` device array; each outer iteration
+  removes the ``B`` worst points in a single sort and regenerates all
+  ``B`` replacements as one batched constrained random walk (affine-
+  invariant stretch proposals against the surviving live set — scale-
+  free, no tuning, the same g(z) machinery as the ensemble sampler),
+  ``M`` steps unrolled in a ``fori_loop`` inside one jitted program.
+- batched removal uses the varying-live-count shrinkage accounting of
+  dynamic nested sampling (Higson et al. 2019): removing the rank-j
+  worst of n_j = N-j+1 live points shrinks log X by E[log t] = -1/n_j,
+  so one batch of B deaths advances log X by -Σ_{j=0}^{B-1} 1/(N-j).
+- evidence/weight accumulation runs on host in float64 (the device is
+  busy with likelihoods; the scalar ledger costs nothing and avoids
+  float32 drift over thousands of shells).
+
+Hard likelihood constraints (log L = -inf regions) are supported: dead
+zones just rank worst and are never swapped back in.
+"""
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class NestedResult(NamedTuple):
+    logz: float  # log evidence
+    logz_err: float  # sqrt(H / N) information-based uncertainty
+    h: float  # information (nats)
+    n_iters: int  # outer batches executed
+    n_calls: int  # total likelihood evaluations
+    samples: np.ndarray  # (D, P) dead points, worst-first
+    logl: np.ndarray  # (D,) their log-likelihoods
+    logw: np.ndarray  # (D,) normalized posterior log-weights (sum exp = 1)
+    ess: float  # Kish effective sample size of the weights
+
+
+def _shrink(n_live, batch):
+    """-Σ 1/(N-j) for j=0..B-1 and the per-death partial sums."""
+    counts = n_live - np.arange(batch)
+    steps = 1.0 / counts
+    return np.cumsum(steps)
+
+
+class NestedSampler:
+    """Static-live-set nested sampling with batched deaths.
+
+    logprior_fn: (P,) -> scalar log prior density (JAX-traceable).
+    loglike_fn: (P,) -> scalar log likelihood (-inf allowed).
+    prior_sample: (key, n) -> (n, P) exact prior draws (seeds the live set).
+    n_live: live-set size N (evidence error ~ sqrt(H/N)).
+    batch: deaths per iteration B (default N//4; smaller = finer shells,
+        larger = better device utilization).
+    n_mcmc: constrained stretch steps per replacement (decorrelation
+        length; 20-40 is the usual range).
+    a: stretch scale (g(z) support [1/a, a], cf. ops/gw.py).
+    """
+
+    def __init__(self, logprior_fn, loglike_fn, prior_sample, n_params,
+                 n_live=500, batch=None, n_mcmc=30, a=2.0, seed=0,
+                 dtype=jnp.float32):
+        self.n_params = int(n_params)
+        self.n_live = int(n_live)
+        self.batch = int(batch) if batch is not None else max(
+            1, self.n_live // 4
+        )
+        if not 0 < self.batch < self.n_live:
+            raise ValueError(
+                f"batch={self.batch} must be in (0, n_live={self.n_live})"
+            )
+        self.n_mcmc = int(n_mcmc)
+        self.a = float(a)
+        self.dtype = dtype
+        self._prior_sample = prior_sample
+        self._logprior = jax.vmap(logprior_fn)
+        self._loglike = jax.vmap(loglike_fn)
+        self._key = jax.random.key(seed)
+        self._iterate = jax.jit(self._build_iterate())
+        self.result = None
+
+    # -- device kernels ------------------------------------------------------
+
+    def _build_iterate(self):
+        n, b, m = self.n_live, self.batch, self.n_mcmc
+        a = self.a
+
+        def iterate(key, live, ll, lpp):
+            """One batch: sort, kill B worst, regrow B chains above L*.
+
+            Returns (new_live, new_ll, new_lpp, dead, dead_ll, n_accept).
+            """
+            order = jnp.argsort(ll)  # ascending: worst first
+            live, ll, lpp = live[order], ll[order], lpp[order]
+            dead, dead_ll = live[:b], ll[:b]
+            surv, surv_ll, surv_lpp = live[b:], ll[b:], lpp[b:]
+            lstar = ll[b - 1]  # highest killed likelihood
+            k_seed, k_walk = jax.random.split(key)
+            seed_idx = jax.random.randint(k_seed, (b,), 0, n - b)
+            pos = surv[seed_idx]
+            pos_ll = surv_ll[seed_idx]
+            pos_lpp = surv_lpp[seed_idx]
+
+            def step(i, carry):
+                pos, pos_ll, pos_lpp, acc = carry
+                kk = jax.random.fold_in(k_walk, i)
+                kz, kp, ku = jax.random.split(kk, 3)
+                # affine-invariant stretch against the survivors:
+                # y = c + z (x - c), z ~ g(z) on [1/a, a]
+                # (MCMCpp/Movers/StretchMove.h:110 semantics, constrained)
+                u = jax.random.uniform(kz, (b,), pos.dtype)
+                z = (u * (a - 1.0) + 1.0) ** 2 / a
+                c_idx = jax.random.randint(kp, (b,), 0, n - b)
+                c = surv[c_idx]
+                prop = c + z[:, None] * (pos - c)
+                prop_lpp = self._logprior(prop)
+                prop_ll = self._loglike(prop)
+                # target: prior restricted to {L > L*}
+                log_ratio = (
+                    (self.n_params - 1) * jnp.log(z)
+                    + prop_lpp - pos_lpp
+                )
+                log_u = -jax.random.exponential(ku, (b,), pos.dtype)
+                ok = (log_u < log_ratio) & (prop_ll > lstar)
+                pos = jnp.where(ok[:, None], prop, pos)
+                pos_ll = jnp.where(ok, prop_ll, pos_ll)
+                pos_lpp = jnp.where(ok, prop_lpp, pos_lpp)
+                return pos, pos_ll, pos_lpp, acc + jnp.sum(ok)
+
+            pos, pos_ll, pos_lpp, acc = jax.lax.fori_loop(
+                0, m, step, (pos, pos_ll, pos_lpp, jnp.zeros((), jnp.int32))
+            )
+            new_live = jnp.concatenate([surv, pos], 0)
+            new_ll = jnp.concatenate([surv_ll, pos_ll], 0)
+            new_lpp = jnp.concatenate([surv_lpp, pos_lpp], 0)
+            return new_live, new_ll, new_lpp, dead, dead_ll, acc
+
+        return iterate
+
+    # -- host ledger ---------------------------------------------------------
+
+    def run(self, dlogz=0.01, max_iters=100_000, min_accept=0.05):
+        """Iterate until the live set's remaining evidence contribution
+        drops below ``dlogz`` nats. Returns (and stores) a NestedResult.
+
+        ``min_accept``: warn if constrained-walk acceptance falls below
+        this (replacements then correlate with their seeds; raise n_mcmc
+        or n_live).
+        """
+        n, b = self.n_live, self.batch
+        self._key, k_init = jax.random.split(self._key)
+        live = jnp.asarray(self._prior_sample(k_init, n), self.dtype)
+        if live.shape != (n, self.n_params):
+            raise ValueError(
+                f"prior_sample returned {live.shape}, expected "
+                f"{(n, self.n_params)}"
+            )
+        ll = self._loglike(live)
+        lpp = self._logprior(live)
+        n_calls = n
+
+        dead_pos, dead_ll_all, dead_logw = [], [], []
+        logx_steps = _shrink(n, b)  # cumulative shrink per death in a batch
+        logz = -np.inf
+        logx = 0.0  # current log prior volume
+        low_acc_warned = False
+        it = 0
+        for it in range(1, int(max_iters) + 1):
+            self._key, k_it = jax.random.split(self._key)
+            live, ll, lpp, dead, d_ll, acc = self._iterate(
+                k_it, live, ll, lpp
+            )
+            n_calls += b * self.n_mcmc
+            d_ll = np.asarray(d_ll, np.float64)
+            dead_pos.append(np.asarray(dead))
+            dead_ll_all.append(d_ll)
+            # shell weights: w_j = X_{j-1} - X_j at likelihood L_j
+            logx_new = logx - logx_steps  # (B,) volumes after each death
+            x_prev = np.exp(np.concatenate([[logx], logx_new[:-1]]))
+            x_new = np.exp(logx_new)
+            w = np.maximum(x_prev - x_new, 1e-300)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                logw = np.log(w) + d_ll
+            dead_logw.append(logw)
+            logz = np.logaddexp(logz, _logsumexp(logw))
+            logx = float(logx_new[-1])
+            acc_rate = float(acc) / (b * self.n_mcmc)
+            if acc_rate < min_accept and not low_acc_warned:
+                import warnings
+
+                warnings.warn(
+                    f"constrained-walk acceptance {acc_rate:.3f} < "
+                    f"{min_accept} at iteration {it}; replacements may "
+                    "correlate with seeds (raise n_mcmc or n_live)",
+                    stacklevel=2,
+                )
+                low_acc_warned = True
+            # termination: best-case remaining evidence in the live set
+            ll_max = float(jnp.max(ll))
+            remain = logx + ll_max
+            if np.isfinite(logz) and (
+                np.logaddexp(logz, remain) - logz < dlogz
+            ):
+                break
+
+        # final increment: surviving live points share the last volume
+        live_np = np.asarray(live)
+        ll_np = np.asarray(ll, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logw_live = (logx - np.log(n)) + ll_np
+        logz = np.logaddexp(logz, _logsumexp(logw_live))
+
+        samples = np.concatenate(dead_pos + [live_np], 0)
+        logl = np.concatenate(dead_ll_all + [ll_np], 0)
+        logw = np.concatenate(dead_logw + [logw_live]) - logz  # Σ exp = 1
+        # information H = Σ p_j ln L_j − ln Z (Skilling 2006, eq. 17)
+        finite = np.isfinite(logw) & np.isfinite(logl)
+        h = float(np.sum(np.exp(logw[finite]) * logl[finite]) - logz)
+        wsum = np.exp(_logsumexp(2.0 * logw))
+        ess = 1.0 / wsum if wsum > 0 else 0.0
+        self.result = NestedResult(
+            logz=float(logz),
+            logz_err=float(math.sqrt(max(h, 0.0) / n)),
+            h=float(h),
+            n_iters=it,
+            n_calls=int(n_calls),
+            samples=samples,
+            logl=logl,
+            logw=logw,
+            ess=float(ess),
+        )
+        return self.result
+
+    @property
+    def log_evidence(self):
+        if self.result is None:
+            raise RuntimeError("call run() first")
+        return self.result.logz
+
+    def posterior_samples(self, n_draws=1000, seed=0):
+        """Equal-weight posterior draws by categorical resampling of the
+        dead points (the standard nested-sampling posterior readout)."""
+        if self.result is None:
+            raise RuntimeError("call run() first")
+        rng = np.random.default_rng(seed)
+        w = np.exp(self.result.logw - self.result.logw.max())
+        w /= w.sum()
+        idx = rng.choice(w.size, size=int(n_draws), p=w)
+        return self.result.samples[idx]
+
+
+def _logsumexp(x):
+    x = np.asarray(x, np.float64)
+    m = np.max(x) if x.size else -np.inf
+    if not np.isfinite(m):
+        return m
+    return m + np.log(np.sum(np.exp(x - m)))
+
+
