@@ -22,6 +22,7 @@ from mcmcpp_tpu.analysis.diagnostics import (
     mcse_mean,
     summary,
 )
+from mcmcpp_tpu.analysis.sbc import sbc_ranks, sbc_summary, sbc_uniformity
 
 __all__ = [
     "batch_means_ess",
@@ -43,4 +44,7 @@ __all__ = [
     "compare",
     "loo",
     "waic",
+    "sbc_ranks",
+    "sbc_summary",
+    "sbc_uniformity",
 ]

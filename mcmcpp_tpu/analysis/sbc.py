@@ -1,0 +1,117 @@
+"""Simulation-based calibration (Talts et al. 2018, arXiv:1804.06788).
+
+Workflow-validation subsystem, beyond the reference (jmatta1/MCMCpp has
+no calibration tooling; SURVEY.md §2). SBC checks the WHOLE inference
+pipeline — model + sampler + tuning — at once: draw θ* from the prior,
+simulate data y* | θ*, fit the posterior, and rank θ* among L posterior
+draws. If the pipeline is calibrated, ranks are uniform on {0, …, L};
+systematic ∪-shapes (overconfident posteriors), ∩-shapes (diffuse), or
+skews (bias) each have a distinct signature.
+
+TPU-first: the simulate-and-rank pipeline is a pure function of the key,
+so the replication axis is one ``vmap`` (``vectorized=True``) when the
+fit itself is jittable (analytic posteriors, ADVI, Laplace, a functional
+HMC kernel); driver-class fits (EnsembleSampler, NUTSSampler) run in a
+host loop with per-replication folded keys.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def sbc_ranks(prior_sample, simulate, fit, n_sims, seed=0,
+              vectorized=False):
+    """Rank statistics for ``n_sims`` SBC replications.
+
+    prior_sample: (key) -> θ* pytree-free (Q,) array of the scalar
+        quantities being calibrated (transform inside if the model has
+        structure).
+    simulate: (key, θ*) -> y* (any pytree) — one synthetic dataset.
+    fit: (key, y*) -> (L, Q) posterior draws for that dataset. Draws
+        should be approximately independent (thin by the integrated
+        autocorrelation time first — Talts et al. §5.1; correlated draws
+        skew ranks toward the extremes).
+    vectorized: vmap the whole pipeline over replications (fit must be
+        traceable); otherwise a host loop.
+
+    Returns ``ranks`` (n_sims, Q) int32 in [0, L]: the number of
+    posterior draws strictly below θ* per quantity.
+    """
+    key = jax.random.key(seed)
+
+    def one(k):
+        kp, ks, kf = jax.random.split(k, 3)
+        theta = prior_sample(kp)
+        y = simulate(ks, theta)
+        draws = fit(kf, y)
+        return jnp.sum(
+            jnp.asarray(draws) < jnp.asarray(theta)[None, :], axis=0
+        ).astype(jnp.int32)
+
+    keys = jax.random.split(key, int(n_sims))
+    if vectorized:
+        return np.asarray(jax.jit(jax.vmap(one))(keys))
+    return np.stack([np.asarray(one(k)) for k in keys])
+
+
+def sbc_uniformity(ranks, n_posterior_draws, n_bins=None):
+    """χ² uniformity test per quantity over binned ranks.
+
+    Returns (stat (Q,), p_value (Q,)): Pearson χ² against the uniform
+    histogram with ``n_bins`` bins (default: Talts et al.'s L+1 capped
+    at 20 so expected counts stay ≥ ~5) and its survival-function
+    p-value via the regularized incomplete gamma. Small p ⇒ the
+    pipeline is miscalibrated for that quantity.
+    """
+    ranks = np.asarray(ranks)
+    n_sims, n_q = ranks.shape
+    levels = int(n_posterior_draws) + 1  # ranks live on {0..L}
+    if n_bins is None:
+        n_bins = min(levels, 20, max(2, n_sims // 5))
+    n_bins = int(n_bins)
+    if levels % n_bins:
+        # uneven bins would bias the test; shrink to a divisor
+        divisors = [b for b in range(n_bins, 0, -1) if levels % b == 0]
+        n_bins = divisors[0]
+    edges = np.arange(n_bins + 1) * (levels // n_bins)
+    expected = n_sims / n_bins
+    stats = np.empty(n_q)
+    for q in range(n_q):
+        counts, _ = np.histogram(ranks[:, q], bins=edges)
+        stats[q] = np.sum((counts - expected) ** 2) / expected
+    df = n_bins - 1
+    from jax.scipy.special import gammaincc
+
+    p = np.asarray(gammaincc(df / 2.0, jnp.asarray(stats) / 2.0))
+    return stats, p
+
+
+def sbc_summary(ranks, n_posterior_draws, names=None):
+    """Human-readable calibration report: per-quantity χ², p-value, and a
+    shape diagnosis (uniform / overconfident / diffuse / biased)."""
+    ranks = np.asarray(ranks)
+    stats, p = sbc_uniformity(ranks, n_posterior_draws)
+    lines = []
+    l_half = n_posterior_draws / 2.0
+    for q in range(ranks.shape[1]):
+        name = names[q] if names is not None else f"q{q}"
+        r = ranks[:, q]
+        # tail mass vs center mass flags the failure shape
+        lo, hi = np.quantile(r, [0.25, 0.75])
+        spread = (hi - lo) / n_posterior_draws  # uniform → 0.5
+        shift = (np.mean(r) - l_half) / n_posterior_draws
+        if p[q] >= 0.05:
+            shape = "uniform (calibrated)"
+        elif abs(shift) > 0.1:
+            shape = ("biased high (posterior underestimates)"
+                     if shift > 0 else
+                     "biased low (posterior overestimates)")
+        elif spread > 0.55:
+            shape = "∪-shaped (overconfident / too narrow)"
+        else:
+            shape = "∩-shaped (diffuse / too wide)"
+        lines.append(
+            f"{name}: chi2={stats[q]:.1f} p={p[q]:.3f} — {shape}"
+        )
+    return "\n".join(lines)

@@ -1,0 +1,106 @@
+"""Simulation-based calibration: the calibrated pipeline passes, broken
+pipelines fail with the documented signatures (Talts et al. 2018)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu.analysis import sbc_ranks, sbc_summary, sbc_uniformity
+
+# conjugate scalar model: θ ~ N(0, τ²), y_i | θ ~ N(θ, 1), i=1..N_OBS
+TAU = 1.5
+N_OBS = 8
+L_DRAWS = 63  # ranks on {0..63}: clean power-of-two binning
+
+
+def prior_sample(key):
+    return TAU * jax.random.normal(key, (1,))
+
+
+def simulate(key, theta):
+    return theta[0] + jax.random.normal(key, (N_OBS,))
+
+
+def _posterior(y):
+    prec = 1.0 / TAU**2 + N_OBS
+    return jnp.sum(y) / prec, 1.0 / prec  # mean, var
+
+
+def fit_exact(key, y):
+    mu, var = _posterior(y)
+    return mu + jnp.sqrt(var) * jax.random.normal(key, (L_DRAWS, 1))
+
+
+def test_exact_posterior_is_calibrated():
+    ranks = sbc_ranks(prior_sample, simulate, fit_exact, n_sims=256,
+                      seed=0, vectorized=True)
+    assert ranks.shape == (256, 1)
+    assert ranks.min() >= 0 and ranks.max() <= L_DRAWS
+    stats, p = sbc_uniformity(ranks, L_DRAWS)
+    assert p[0] > 0.01, f"exact posterior flagged miscalibrated: p={p[0]}"
+    assert "calibrated" in sbc_summary(ranks, L_DRAWS, names=["theta"])
+
+
+@pytest.mark.parametrize(
+    "scale,shift,signature",
+    [
+        (0.3, 0.0, "overconfident"),  # too narrow → ∪-shaped ranks
+        (4.0, 0.0, "wide"),  # too wide → ∩-shaped
+        (1.0, 1.0, "overestimates"),  # shifted up → θ* ranks low
+    ],
+)
+def test_broken_posteriors_are_flagged(scale, shift, signature):
+    def fit_broken(key, y):
+        mu, var = _posterior(y)
+        return (mu + shift) + scale * jnp.sqrt(var) * jax.random.normal(
+            key, (L_DRAWS, 1)
+        )
+
+    ranks = sbc_ranks(prior_sample, simulate, fit_broken, n_sims=256,
+                      seed=1, vectorized=True)
+    stats, p = sbc_uniformity(ranks, L_DRAWS)
+    assert p[0] < 1e-4, f"{signature} pipeline not flagged: p={p[0]}"
+    assert signature in sbc_summary(ranks, L_DRAWS)
+
+
+def test_host_loop_matches_vectorized():
+    rv = sbc_ranks(prior_sample, simulate, fit_exact, n_sims=16, seed=2,
+                   vectorized=True)
+    rh = sbc_ranks(prior_sample, simulate, fit_exact, n_sims=16, seed=2,
+                   vectorized=False)
+    np.testing.assert_array_equal(rv, rh)
+
+
+def test_uniformity_bins_divide_levels():
+    # 64 levels, default bins → a divisor of 64, expected counts exact
+    ranks = np.random.default_rng(0).integers(0, 64, size=(200, 1))
+    stats, p = sbc_uniformity(ranks, 63)
+    assert np.isfinite(stats).all() and (0 <= p).all() and (p <= 1).all()
+
+
+@pytest.mark.slow
+def test_end_to_end_ensemble_sampler_calibrated():
+    """Full-pipeline SBC: EnsembleSampler fits of the conjugate model,
+    thinned past the ACT, must produce uniform ranks."""
+    from mcmcpp_tpu import EnsembleSampler
+
+    def fit_mcmc(key, y):
+        y = np.asarray(y)
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+
+        def logp(t):
+            return (-0.5 * t[0] ** 2 / TAU**2
+                    - 0.5 * jnp.sum((y - t[0]) ** 2))
+
+        s = EnsembleSampler(logp, n_walkers=32, n_params=1, seed=seed)
+        s.init_ball(np.zeros(1), scale=0.5, seed=seed + 1)
+        s.run_mcmc(200, store=False)
+        s.run_mcmc(80, thin=10)  # 8 stored steps × 32 walkers, thinned
+        draws = s.get_samples(flat=True)
+        idx = np.linspace(0, draws.shape[0] - 1, L_DRAWS).astype(int)
+        return draws[idx]
+
+    ranks = sbc_ranks(prior_sample, simulate, fit_mcmc, n_sims=96, seed=3)
+    stats, p = sbc_uniformity(ranks, L_DRAWS)
+    assert p[0] > 0.005, f"ensemble pipeline miscalibrated: p={p[0]}"
