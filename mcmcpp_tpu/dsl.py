@@ -855,6 +855,199 @@ class LKJCholesky(Distribution):
         return self.transform._rows(2.0 * beta - 1.0)  # _rows is batch-aware
 
 
+class InverseGamma(Distribution):
+    """InverseGamma(concentration a, scale b) on (0, inf) — the conjugate
+    variance prior. Mean b/(a-1) for a > 1."""
+
+    transform = Exp()
+
+    def __init__(self, concentration, scale=1.0):
+        self.concentration, self.scale = concentration, scale
+
+    def logpdf(self, x):
+        a, b = self.concentration, self.scale
+        return (a * jnp.log(b) - jax.scipy.special.gammaln(a)
+                - (a + 1.0) * jnp.log(x) - b / x)
+
+    def cdf(self, x):
+        return jax.scipy.special.gammaincc(
+            self.concentration, self.scale / jnp.maximum(x, 1e-38)
+        )
+
+    def sample(self, key, shape=()):
+        return self.scale / jax.random.gamma(key, self.concentration, shape)
+
+
+class Weibull(Distribution):
+    """Weibull(concentration k, scale λ) on (0, inf) — survival/extreme
+    value analysis."""
+
+    transform = Exp()
+
+    def __init__(self, concentration, scale=1.0):
+        self.concentration, self.scale = concentration, scale
+
+    def logpdf(self, x):
+        k, lam = self.concentration, self.scale
+        z = x / lam
+        return jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
+
+    def cdf(self, x):
+        z = jnp.maximum(x, 0.0) / self.scale
+        return -jnp.expm1(-(z**self.concentration))
+
+    def sample(self, key, shape=()):
+        e = jax.random.exponential(key, shape)
+        return self.scale * e ** (1.0 / self.concentration)
+
+
+class Gumbel(Distribution):
+    """Gumbel(loc, scale) max-extreme-value distribution on R."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc, self.scale = loc, scale
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return -z - jnp.exp(-z) - jnp.log(self.scale)
+
+    def cdf(self, x):
+        return jnp.exp(-jnp.exp(-(x - self.loc) / self.scale))
+
+    def sample(self, key, shape=()):
+        return self.loc + self.scale * jax.random.gumbel(key, shape)
+
+
+class Pareto(Distribution):
+    """Pareto(scale x_m, concentration α) on (x_m, inf) — heavy tails,
+    power laws."""
+
+    def __init__(self, scale, concentration):
+        self.scale = float(scale)
+        self.concentration = concentration
+        self.transform = LowerBound(self.scale)
+
+    def logpdf(self, x):
+        a = self.concentration
+        return (jnp.log(a) + a * jnp.log(self.scale)
+                - (a + 1.0) * jnp.log(x))
+
+    def cdf(self, x):
+        return -jnp.expm1(
+            self.concentration
+            * (jnp.log(self.scale) - jnp.log(jnp.maximum(x, self.scale)))
+        )
+
+    def sample(self, key, shape=()):
+        return self.scale * jax.random.pareto(
+            key, jnp.asarray(self.concentration, jnp.float32), shape
+        )
+
+
+class Geometric(Distribution):
+    """Geometric(p): failures BEFORE the first success, support {0, 1, …}
+    (mean (1-p)/p). Discrete — for ``observe`` sites."""
+
+    def __init__(self, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs= or logits=")
+        self.logits = (logits if logits is not None
+                       else jnp.log(probs) - jnp.log1p(-jnp.asarray(probs)))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        return (jax.nn.log_sigmoid(self.logits)
+                + x * jax.nn.log_sigmoid(-self.logits))
+
+    def sample(self, key, shape=()):
+        p = jax.nn.sigmoid(self.logits)
+        # jax.random.geometric counts TRIALS (support {1, 2, …})
+        return (jax.random.geometric(key, p, shape) - 1).astype(jnp.float32)
+
+
+class BetaBinomial(Distribution):
+    """BetaBinomial(n, a, b): Binomial with a Beta-mixed success
+    probability (overdispersed bounded counts). Discrete — for
+    ``observe`` sites."""
+
+    def __init__(self, n, a, b):
+        self.n, self.a, self.b = n, a, b
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        n = jnp.asarray(self.n, x.dtype)
+        a, b = self.a, self.b
+        betaln = lambda p, q: (jax.scipy.special.gammaln(p)
+                               + jax.scipy.special.gammaln(q)
+                               - jax.scipy.special.gammaln(p + q))
+        comb = (jax.scipy.special.gammaln(n + 1.0)
+                - jax.scipy.special.gammaln(x + 1.0)
+                - jax.scipy.special.gammaln(n - x + 1.0))
+        return comb + betaln(x + a, n - x + b) - betaln(a, b)
+
+    def sample(self, key, shape=()):
+        kb, kn = jax.random.split(key)
+        p = jax.random.beta(kb, self.a, self.b, shape)
+        return jax.random.binomial(
+            kn, jnp.asarray(self.n, jnp.float32), p
+        ).astype(jnp.float32)
+
+
+class Multinomial(Distribution):
+    """Multinomial(n, probs/logits) over K categories; observations are
+    (…, K) count vectors summing to n. Discrete — for ``observe`` sites
+    (declare the site with ``shape=(K,)``)."""
+
+    def __init__(self, n, probs=None, logits=None):
+        self.n = n
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs= or logits=")
+        self.log_p = (jax.nn.log_softmax(jnp.asarray(logits))
+                      if logits is not None
+                      else jnp.log(jnp.asarray(probs)))
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        n = jnp.asarray(self.n, x.dtype)
+        return (jax.scipy.special.gammaln(n + 1.0)
+                - jnp.sum(jax.scipy.special.gammaln(x + 1.0), -1)
+                + jnp.sum(x * self.log_p, -1))
+
+    def sample(self, key, shape=()):
+        k = self.log_p.shape[-1]
+        if shape and shape[-1:] == (k,):
+            shape = shape[:-1]  # batch shape; category axis is implicit
+        return jax.random.multinomial(
+            key, jnp.asarray(self.n, jnp.float32),
+            jnp.exp(self.log_p), shape=tuple(shape) + (k,),
+        ).astype(jnp.float32)
+
+
+class ZeroInflatedPoisson(Distribution):
+    """ZIP(gate π, rate λ): a point mass at zero mixed with a Poisson —
+    excess-zero count data. ``gate`` is the extra-zero probability.
+    Discrete — for ``observe`` sites."""
+
+    def __init__(self, gate, rate):
+        self.gate, self.rate = gate, rate
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        lam = self.rate
+        log_gate = jnp.log(self.gate)
+        log_ngate = jnp.log1p(-self.gate)
+        pois = (x * jnp.log(lam) - lam
+                - jax.scipy.special.gammaln(x + 1.0))
+        at_zero = jnp.logaddexp(log_gate, log_ngate - lam)
+        return jnp.where(x == 0, at_zero, log_ngate + pois)
+
+    def sample(self, key, shape=()):
+        kg, kp = jax.random.split(key)
+        zero = jax.random.bernoulli(kg, self.gate, shape)
+        counts = jax.random.poisson(kp, self.rate, shape)
+        return jnp.where(zero, 0, counts).astype(jnp.float32)
+
+
 # -- model -------------------------------------------------------------------
 
 

@@ -828,3 +828,154 @@ class TestMixture:
             Mixture([Normal(0, 1)], weights=[1.0])
         with pytest.raises(ValueError, match="exactly one"):
             Mixture([Normal(0, 1), Normal(1, 1)])
+
+
+class TestRound2Distributions:
+    """InverseGamma / Weibull / Gumbel / Pareto / Geometric / BetaBinomial
+    / Multinomial / ZeroInflatedPoisson: scipy logpdf oracles + sample
+    moments + transform support."""
+
+    def test_logpdfs_match_scipy(self):
+        from scipy import stats as sps
+        from mcmcpp_tpu.dsl import (
+            BetaBinomial, Geometric, Gumbel, InverseGamma, Multinomial,
+            Pareto, Weibull, ZeroInflatedPoisson,
+        )
+
+        xc = np.linspace(0.1, 8.0, 23).astype(np.float32)
+        np.testing.assert_allclose(
+            InverseGamma(3.0, 2.0).logpdf(xc),
+            sps.invgamma.logpdf(xc, 3.0, scale=2.0), rtol=2e-4)
+        np.testing.assert_allclose(
+            Weibull(1.7, 2.5).logpdf(xc),
+            sps.weibull_min.logpdf(xc, 1.7, scale=2.5), rtol=2e-4)
+        xr = np.linspace(-5, 8, 23).astype(np.float32)
+        np.testing.assert_allclose(
+            Gumbel(0.5, 1.3).logpdf(xr),
+            sps.gumbel_r.logpdf(xr, 0.5, 1.3), rtol=2e-4)
+        xp = np.linspace(1.6, 20.0, 23).astype(np.float32)
+        np.testing.assert_allclose(
+            Pareto(1.5, 2.5).logpdf(xp),
+            sps.pareto.logpdf(xp, 2.5, scale=1.5), rtol=2e-4)
+        k = np.arange(0, 12).astype(np.float32)
+        np.testing.assert_allclose(
+            Geometric(probs=0.3).logpdf(k),
+            sps.geom.logpmf(k + 1, 0.3), rtol=2e-4)
+        np.testing.assert_allclose(
+            BetaBinomial(10, 2.0, 3.0).logpdf(k[k <= 10]),
+            sps.betabinom.logpmf(k[k <= 10].astype(int), 10, 2.0, 3.0),
+            rtol=2e-4)
+        counts = np.array([[3, 5, 2], [0, 10, 0], [4, 4, 2]], np.float32)
+        p = np.array([0.2, 0.5, 0.3])
+        np.testing.assert_allclose(
+            Multinomial(10, probs=p).logpdf(counts),
+            sps.multinomial.logpmf(counts, 10, p), rtol=2e-4)
+        zlam, zgate = 3.0, 0.25
+        zp = ZeroInflatedPoisson(zgate, zlam)
+        want0 = np.log(zgate + (1 - zgate) * np.exp(-zlam))
+        assert float(zp.logpdf(0.0)) == pytest.approx(want0, rel=1e-5)
+        np.testing.assert_allclose(
+            zp.logpdf(k[1:]),
+            np.log(1 - zgate) + sps.poisson.logpmf(k[1:].astype(int), zlam),
+            rtol=2e-4)
+
+    def test_cdfs_match_scipy(self):
+        from scipy import stats as sps
+        from mcmcpp_tpu.dsl import Gumbel, InverseGamma, Pareto, Weibull
+
+        xc = np.linspace(0.2, 9.0, 17).astype(np.float32)
+        np.testing.assert_allclose(
+            InverseGamma(3.0, 2.0).cdf(xc),
+            sps.invgamma.cdf(xc, 3.0, scale=2.0), atol=2e-5)
+        np.testing.assert_allclose(
+            Weibull(1.7, 2.5).cdf(xc),
+            sps.weibull_min.cdf(xc, 1.7, scale=2.5), atol=2e-5)
+        np.testing.assert_allclose(
+            Gumbel(0.5, 1.3).cdf(xc),
+            sps.gumbel_r.cdf(xc, 0.5, 1.3), atol=2e-5)
+        np.testing.assert_allclose(
+            Pareto(1.5, 2.5).cdf(xc),
+            sps.pareto.cdf(xc, 2.5, scale=1.5), atol=2e-5)
+
+    def test_sample_moments(self):
+        from mcmcpp_tpu.dsl import (
+            BetaBinomial, Geometric, Gumbel, InverseGamma, Multinomial,
+            Pareto, Weibull, ZeroInflatedPoisson,
+        )
+        import math
+
+        n = 60_000
+        key = jax.random.key(0)
+        x = np.asarray(InverseGamma(4.0, 3.0).sample(key, (n,)))
+        assert x.mean() == pytest.approx(3.0 / 3.0, rel=0.05)
+        assert x.min() > 0
+        x = np.asarray(Weibull(2.0, 3.0).sample(key, (n,)))
+        assert x.mean() == pytest.approx(3.0 * math.gamma(1.5), rel=0.03)
+        x = np.asarray(Gumbel(1.0, 2.0).sample(key, (n,)))
+        assert x.mean() == pytest.approx(1.0 + 2.0 * 0.5772157, rel=0.05)
+        x = np.asarray(Pareto(2.0, 3.0).sample(key, (n,)))
+        assert x.mean() == pytest.approx(3.0 * 2.0 / 2.0, rel=0.05)
+        assert x.min() >= 2.0
+        x = np.asarray(Geometric(probs=0.25).sample(key, (n,)))
+        assert x.mean() == pytest.approx(0.75 / 0.25, rel=0.05)
+        assert x.min() >= 0
+        x = np.asarray(BetaBinomial(10, 2.0, 3.0).sample(key, (n,)))
+        assert x.mean() == pytest.approx(10 * 2.0 / 5.0, rel=0.05)
+        # betabinomial variance exceeds binomial(n, a/(a+b)) variance
+        var_bin = 10 * 0.4 * 0.6
+        assert x.var() > 1.3 * var_bin
+        x = np.asarray(Multinomial(20, probs=[0.2, 0.5, 0.3]).sample(
+            key, (n, 3)))
+        assert x.shape == (n, 3)
+        np.testing.assert_allclose(x.sum(-1), 20.0)
+        np.testing.assert_allclose(x.mean(0), [4.0, 10.0, 6.0], rtol=0.05)
+        x = np.asarray(ZeroInflatedPoisson(0.3, 4.0).sample(key, (n,)))
+        assert x.mean() == pytest.approx(0.7 * 4.0, rel=0.05)
+        assert (x == 0).mean() == pytest.approx(
+            0.3 + 0.7 * np.exp(-4.0), abs=0.01)
+
+    def test_positive_supports_sampleable_by_nuts(self):
+        """InverseGamma variance prior recovered through the Exp transform
+        (conjugate oracle: posterior of sigma^2 is InverseGamma)."""
+        from mcmcpp_tpu import NUTSSampler
+        from mcmcpp_tpu.dsl import InverseGamma, Model, Normal
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(0.0, 1.5, size=40).astype(np.float32)
+        a0, b0 = 3.0, 2.0
+        model = (Model()
+                 .param("var", InverseGamma(a0, b0))
+                 .likelihood(lambda p: jnp.sum(
+                     Normal(0.0, jnp.sqrt(p["var"])).logpdf(data))))
+        logp, dim, constrain = model.build()
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=0)
+        s.init_ball(np.zeros(dim), scale=0.3)
+        s.warmup(300)
+        s.run(400)
+        var_draws = constrain(s.get_samples(flat=True))["var"]
+        a_post = a0 + data.size / 2
+        b_post = b0 + 0.5 * float(np.sum(data**2))
+        assert var_draws.mean() == pytest.approx(
+            b_post / (a_post - 1), rel=0.1)
+        assert var_draws.min() > 0
+
+    def test_truncated_weibull_uses_cdf(self):
+        from scipy import stats as sps
+        from mcmcpp_tpu.dsl import Truncated, Weibull
+
+        t = Truncated(Weibull(1.5, 2.0), low=1.0, high=4.0)
+        x = np.asarray(t.sample(jax.random.key(1), (40_000,)))
+        assert x.min() >= 1.0 and x.max() <= 4.0
+        lo, hi = sps.weibull_min.cdf([1.0, 4.0], 1.5, scale=2.0)
+        want_mean = sps.weibull_min.expect(
+            lambda v: v, args=(1.5,), scale=2.0, lb=1.0, ub=4.0
+        ) / (hi - lo)
+        assert x.mean() == pytest.approx(want_mean, rel=0.02)
+
+    def test_validation(self):
+        from mcmcpp_tpu.dsl import Geometric, Multinomial
+
+        with pytest.raises(ValueError, match="exactly one"):
+            Geometric()
+        with pytest.raises(ValueError, match="exactly one"):
+            Multinomial(5, probs=[0.5, 0.5], logits=[0.0, 0.0])
