@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-_FORMAT_VERSION = 2  # v2: per-walker accept counters (round 2)
+_FORMAT_VERSION = 3  # v3: PT / SMC / SGMCMC engine coverage (round 2)
 
 
 def _key_data(key):
@@ -34,6 +34,24 @@ def _key_impl_name(key):
 
 def _wrap_key(data, impl=None):
     return jax.random.wrap_key_data(jnp.asarray(data), impl=impl)
+
+
+def _is_pt(sampler):
+    from mcmcpp_tpu.tempering import ParallelTemperingSampler
+
+    return isinstance(sampler, ParallelTemperingSampler)
+
+
+def _is_smc(sampler):
+    from mcmcpp_tpu.smc import SMCSampler
+
+    return isinstance(sampler, SMCSampler)
+
+
+def _is_sgmcmc(sampler):
+    from mcmcpp_tpu.gradient.sgmcmc import StochasticGradientSampler
+
+    return isinstance(sampler, StochasticGradientSampler)
 
 
 def save_checkpoint(sampler, path):
@@ -126,6 +144,76 @@ def save_checkpoint(sampler, path):
         stats = sampler.get_sample_stats()
         arrays["stat_diverging"] = stats["diverging"]
         arrays["stat_energy"] = stats["energy"]
+    elif _is_pt(sampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="pt",
+            n_walkers=sampler.n_walkers,
+            n_temps=sampler.n_temps,
+            power=bool(sampler._power),
+            step_epoch=sampler._step_epoch,
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            red=np.asarray(s.red), black=np.asarray(s.black),
+            logp_red=np.asarray(s.logp_red),
+            logp_black=np.asarray(s.logp_black),
+            step=np.asarray(s.step),
+            swaps_accepted=np.asarray(s.swaps_accepted),
+            swaps_proposed=np.asarray(s.swaps_proposed),
+            swaps_acc_host=sampler._swaps_acc_host,
+            swaps_prop_host=sampler._swaps_prop_host,
+            betas=np.asarray(sampler.betas),
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
+        if sampler._power:
+            arrays.update(
+                ll_red=np.asarray(s.ll_red),
+                ll_black=np.asarray(s.ll_black),
+                ll_mean=np.asarray(s.ll_mean), ll_m2=np.asarray(s.ll_m2),
+                ss_max=np.asarray(s.ss_max), ss_sum=np.asarray(s.ss_sum),
+                acc_n=np.asarray(s.acc_n),
+            )
+    elif _is_smc(sampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="smc",
+            n_particles=sampler.n,
+            n_stages=sampler.n_stages,
+            beta_ladder=[float(b) for b in sampler.beta_ladder],
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            particles=np.asarray(s.particles),
+            log_prior=np.asarray(s.log_prior),
+            log_like=np.asarray(s.log_like),
+            beta=np.asarray(s.beta),
+            log_evidence=np.asarray(s.log_evidence),
+            key=_key_data(sampler._key),
+        )
+    elif _is_sgmcmc(sampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="sgmcmc",
+            n_chains=sampler.n_chains,
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            position=np.asarray(s.position),
+            velocity=np.asarray(s.velocity),
+            sg_step=np.asarray(s.step),
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
     else:
         raise TypeError(f"unsupported sampler type {type(sampler).__name__}")
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
@@ -243,6 +331,87 @@ def load_checkpoint(sampler, path):
                     count=jnp.asarray(arrays["sadapt_count"]),
                 ),
             )
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "pt":
+        from mcmcpp_tpu.tempering import PTState
+
+        if not _is_pt(sampler):
+            raise TypeError("checkpoint is for a ParallelTemperingSampler")
+        if meta["n_walkers"] != sampler.n_walkers:
+            raise ValueError("walker count mismatch")
+        if meta["n_temps"] != sampler.n_temps:
+            raise ValueError("ladder size mismatch")
+        if bool(meta["power"]) != bool(sampler._power):
+            raise ValueError(
+                "checkpoint/sampler disagree on power-posterior mode"
+            )
+        extra = {}
+        if sampler._power:
+            extra = dict(
+                ll_red=jnp.asarray(arrays["ll_red"]),
+                ll_black=jnp.asarray(arrays["ll_black"]),
+                ll_mean=jnp.asarray(arrays["ll_mean"]),
+                ll_m2=jnp.asarray(arrays["ll_m2"]),
+                ss_max=jnp.asarray(arrays["ss_max"]),
+                ss_sum=jnp.asarray(arrays["ss_sum"]),
+                acc_n=jnp.asarray(arrays["acc_n"]),
+            )
+        sampler.state = PTState(
+            red=jnp.asarray(arrays["red"]),
+            black=jnp.asarray(arrays["black"]),
+            logp_red=jnp.asarray(arrays["logp_red"]),
+            logp_black=jnp.asarray(arrays["logp_black"]),
+            step=jnp.asarray(arrays["step"]),
+            swaps_accepted=jnp.asarray(arrays["swaps_accepted"]),
+            swaps_proposed=jnp.asarray(arrays["swaps_proposed"]),
+            **extra,
+        )
+        # a tuned ladder travels with the checkpoint
+        sampler.betas = jnp.asarray(arrays["betas"], sampler.dtype)
+        sampler._run_cache.clear()
+        sampler._swaps_acc_host = arrays["swaps_acc_host"].astype(np.int64)
+        sampler._swaps_prop_host = arrays["swaps_prop_host"].astype(np.int64)
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler._step_key, sampler._aux_key = jax.random.split(sampler._key)
+        sampler._step_epoch = int(meta.get("step_epoch", 0))
+        sampler._epoch_key = jax.random.fold_in(
+            sampler._step_key, sampler._step_epoch
+        )
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "smc":
+        from mcmcpp_tpu.smc import SMCState
+
+        if not _is_smc(sampler):
+            raise TypeError("checkpoint is for an SMCSampler")
+        if meta["n_particles"] != sampler.n:
+            raise ValueError("particle count mismatch")
+        sampler.state = SMCState(
+            particles=jnp.asarray(arrays["particles"]),
+            log_prior=jnp.asarray(arrays["log_prior"]),
+            log_like=jnp.asarray(arrays["log_like"]),
+            beta=jnp.asarray(arrays["beta"]),
+            log_evidence=jnp.asarray(arrays["log_evidence"]),
+        )
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler.n_stages = int(meta["n_stages"])
+        sampler.beta_ladder = list(meta["beta_ladder"])
+    elif meta["kind"] == "sgmcmc":
+        from mcmcpp_tpu.gradient.sgmcmc import SGState
+
+        if not _is_sgmcmc(sampler):
+            raise TypeError("checkpoint is for a stochastic-gradient sampler")
+        if meta["n_chains"] != sampler.n_chains:
+            raise ValueError("chain count mismatch")
+        sampler.state = SGState(
+            position=jnp.asarray(arrays["position"]),
+            velocity=jnp.asarray(arrays["velocity"]),
+            step=jnp.asarray(arrays["sg_step"]),
+        )
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:

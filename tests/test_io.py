@@ -1,6 +1,7 @@
 """IO subsystem: engines × outputs matrix, checkpoint/resume round trips."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -311,3 +312,138 @@ def test_gradient_run_auto_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(
         a.get_sample_stats()["energy"], b.get_sample_stats()["energy"]
     )
+
+
+def test_checkpoint_resume_pt_bitwise(tmp_path):
+    """PT resume == uninterrupted run, bit for bit (plain mode), incl.
+    swap statistics and a tuned (non-default) ladder."""
+    from mcmcpp_tpu import ParallelTemperingSampler
+
+    def make(seed):
+        s = ParallelTemperingSampler(
+            skewed_gaussian_logp, n_walkers=16, n_params=2, n_temps=4,
+            seed=7, swap_every=2,
+        )
+        s.init_ball(np.zeros(2), scale=0.3, seed=seed)
+        return s
+
+    a = make(2)
+    a.run_mcmc(40)
+    ckpt = save_checkpoint(a, tmp_path / "pt.npz")
+    a.run_mcmc(40)
+
+    b = make(55)  # different init; fully overwritten by the checkpoint
+    load_checkpoint(b, ckpt)
+    b.run_mcmc(40)
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+    np.testing.assert_array_equal(a.swap_acceptance, b.swap_acceptance)
+
+
+def test_checkpoint_resume_pt_power_bitwise(tmp_path):
+    """Power-posterior PT: the evidence accumulators must travel with the
+    checkpoint so log_evidence after resume == uninterrupted."""
+    from mcmcpp_tpu import ParallelTemperingSampler, power_ladder
+
+    def lp(t):
+        return -0.5 * jnp.sum(t * t) / 4.0
+
+    def ll(t):
+        return -0.5 * jnp.sum((t - 1.0) ** 2)
+
+    def make():
+        s = ParallelTemperingSampler(
+            loglike_fn=ll, logprior_fn=lp, n_walkers=16, n_params=2,
+            betas=power_ladder(4), seed=3,
+        )
+        s.init_ball(np.zeros(2), scale=0.5, seed=4)
+        return s
+
+    a = make()
+    a.run_mcmc(30)
+    ckpt = save_checkpoint(a, tmp_path / "ptp.npz")
+    a.run_mcmc(30)
+
+    b = make()
+    load_checkpoint(b, ckpt)
+    b.run_mcmc(30)
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+    assert a.log_evidence("stepping_stone") == b.log_evidence(
+        "stepping_stone")
+    assert a.log_evidence("ti") == b.log_evidence("ti")
+
+
+def test_checkpoint_resume_smc_bitwise(tmp_path):
+    """SMC mid-anneal resume: remaining stages reproduce the uninterrupted
+    run's particles and evidence exactly."""
+    from mcmcpp_tpu.smc import SMCSampler
+
+    def lp(t):
+        return -0.5 * jnp.sum(t**2) / 4.0
+
+    def ll(t):
+        return -40.0 * 0.5 * jnp.sum((t - 1.0) ** 2)  # peaked: >1 stage
+
+    def ps(key, n):
+        return 2.0 * jax.random.normal(key, (n, 2))
+
+    def make():
+        return SMCSampler(lp, ll, ps, n_particles=256, n_params=2,
+                          n_mcmc=3, seed=6)
+
+    a = make()
+    a.init()
+    # advance ONE stage exactly as run() does, then checkpoint mid-anneal
+    a._key, k = jax.random.split(a._key)
+    a.state = a._stage(k, a.state)
+    a.n_stages += 1
+    a.beta_ladder.append(float(a.state.beta))
+    assert float(a.state.beta) < 1.0, "oracle needs a multi-stage anneal"
+    ckpt = save_checkpoint(a, tmp_path / "smc.npz")
+    b = make()
+    load_checkpoint(b, ckpt)
+    a.run()
+    b.run()
+    np.testing.assert_array_equal(a.particles, b.particles)
+    assert a.log_evidence == b.log_evidence
+    assert a.n_stages == b.n_stages
+    assert a.beta_ladder == b.beta_ladder
+
+
+def test_checkpoint_resume_sgld_bitwise(tmp_path):
+    from mcmcpp_tpu import SGLDSampler
+
+    data = np.linspace(-1, 1, 64).astype(np.float32)[:, None]
+
+    def lprior(t):
+        return -0.5 * jnp.sum(t * t)
+
+    def llike(t, batch):
+        return jnp.sum(-0.5 * (batch - t) ** 2)
+
+    def make(seed):
+        s = SGLDSampler(lprior, llike, data, n_chains=4, n_params=1,
+                        batch_size=16, step_size=1e-3, seed=9)
+        s.init_ball(np.zeros(1), scale=0.1, seed=seed)
+        return s
+
+    a = make(1)
+    a.run(40, thin=2)
+    ckpt = save_checkpoint(a, tmp_path / "sg.npz")
+    a.run(40, thin=2)
+
+    b = make(77)
+    load_checkpoint(b, ckpt)
+    b.run(40, thin=2)
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+
+
+def test_checkpoint_kind_mismatch_rejected(tmp_path):
+    from mcmcpp_tpu import ParallelTemperingSampler
+
+    a = _sampled(tmp_path, n_steps=5)
+    ckpt = save_checkpoint(a, tmp_path / "e.npz")
+    pt = ParallelTemperingSampler(
+        skewed_gaussian_logp, n_walkers=16, n_params=2, n_temps=2, seed=0
+    )
+    with pytest.raises(TypeError, match="EnsembleSampler"):
+        load_checkpoint(pt, ckpt)
