@@ -89,3 +89,11 @@ def test_api_doc_generation(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (REPO / "docs" / "api.md").stat().st_size > 5000
+
+
+@pytest.mark.slow
+def test_evidence_example():
+    r = _run("evidence.py", "--quick")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "log Bayes factor" in r.stdout
+    assert "decisive for M2" in r.stdout
