@@ -979,3 +979,95 @@ class TestRound2Distributions:
             Geometric()
         with pytest.raises(ValueError, match="exactly one"):
             Multinomial(5, probs=[0.5, 0.5], logits=[0.0, 0.0])
+
+
+class TestBuildSplit:
+    """build_split: evidence decomposition consistent with build()."""
+
+    def _model(self):
+        from mcmcpp_tpu.dsl import HalfNormal, Model, Normal
+
+        data = np.array([0.4, 1.2, 0.8, 1.9, 0.1], np.float32)
+        return (
+            Model()
+            .param("mu", Normal(0.0, 2.0))
+            .param("sigma", HalfNormal(1.5))
+            .observe("y", lambda p: Normal(p["mu"], p["sigma"]), data)
+        )
+
+    def test_sum_matches_build(self):
+        m = self._model()
+        logp, dim, _ = m.build()
+        logprior, loglike, dim2, _, _ = m.build_split()
+        assert dim2 == dim
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            t = jnp.asarray(rng.normal(size=dim).astype(np.float32))
+            total = float(logprior(t)) + float(loglike(t))
+            assert total == pytest.approx(float(logp(t)), rel=1e-5)
+
+    def test_prior_sample_moments_and_jacobian(self):
+        m = self._model()
+        logprior, _, dim, constrain, prior_sample = m.build_split()
+        u = prior_sample(jax.random.key(0), 50_000)
+        assert u.shape == (50_000, dim)
+        vals = constrain(u)
+        assert vals["mu"].mean() == pytest.approx(0.0, abs=0.03)
+        assert vals["mu"].std() == pytest.approx(2.0, rel=0.03)
+        # sigma is HalfNormal(1.5): mean = 1.5·sqrt(2/pi)
+        assert vals["sigma"].mean() == pytest.approx(
+            1.5 * np.sqrt(2 / np.pi), rel=0.03)
+        assert (vals["sigma"] > 0).all()
+        # logprior is a PROPER density on R^dim: MC check of normalization
+        # via importance sampling against N(0, 3 I)
+        z = 3.0 * np.random.default_rng(1).normal(size=(200_000, dim))
+        z = jnp.asarray(z.astype(np.float32))
+        lp = jax.vmap(logprior)(z)
+        lq = jnp.sum(
+            -0.5 * (z / 3.0) ** 2 - np.log(3.0 * np.sqrt(2 * np.pi)), -1
+        )
+        est = jax.scipy.special.logsumexp(lp - lq) - np.log(z.shape[0])
+        assert float(est) == pytest.approx(0.0, abs=0.05)
+
+    def test_dsl_model_evidence_via_all_engines(self):
+        """Conjugate normal-mean model declared in the DSL, evidence from
+        SMC and nested sampling vs the analytic marginal likelihood."""
+        from mcmcpp_tpu import NestedSampler, SMCSampler
+        from mcmcpp_tpu.dsl import Model, Normal
+
+        data = np.array([1.1, 0.3, 0.9, 1.7, 0.6, 1.2], np.float32)
+        tau = 2.0
+        m = (Model()
+             .param("mu", Normal(0.0, tau))
+             .observe("y", lambda p: Normal(p["mu"], 1.0), data))
+        logprior, loglike, dim, _, prior_sample = m.build_split()
+        # analytic: y ~ N(0, tau^2 11^T + I)
+        n = data.size
+        cov = tau**2 * np.ones((n, n)) + np.eye(n)
+        sign, logdet = np.linalg.slogdet(cov)
+        logz_true = float(
+            -0.5 * data @ np.linalg.solve(cov, data)
+            - 0.5 * logdet - n / 2 * np.log(2 * np.pi)
+        )
+        smc = SMCSampler(logprior, loglike, prior_sample,
+                         n_particles=2048, n_params=dim, n_mcmc=5, seed=0)
+        smc.run()
+        assert smc.log_evidence == pytest.approx(logz_true, abs=0.15)
+        ns = NestedSampler(logprior, loglike, prior_sample, n_params=dim,
+                           n_live=400, n_mcmc=25, seed=0)
+        r = ns.run()
+        assert r.logz == pytest.approx(
+            logz_true, abs=max(3 * r.logz_err, 0.2))
+
+    def test_shape_changing_transform_prior_sample(self):
+        from mcmcpp_tpu.dsl import Dirichlet, Model
+
+        m = Model().param("w", Dirichlet(np.array([2.0, 3.0, 4.0])),
+                          shape=(3,))
+        _, _, dim, constrain, prior_sample = m.build_split()
+        assert dim == 2  # K-1 unconstrained dims
+        u = prior_sample(jax.random.key(2), 30_000)
+        w = constrain(u)["w"]
+        np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(
+            w.mean(0), np.array([2, 3, 4]) / 9.0, atol=0.01)
