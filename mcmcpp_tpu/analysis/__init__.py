@@ -22,7 +22,12 @@ from mcmcpp_tpu.analysis.diagnostics import (
     mcse_mean,
     summary,
 )
-from mcmcpp_tpu.analysis.sbc import sbc_ranks, sbc_summary, sbc_uniformity
+from mcmcpp_tpu.analysis.sbc import (
+    sbc_model,
+    sbc_ranks,
+    sbc_summary,
+    sbc_uniformity,
+)
 
 __all__ = [
     "batch_means_ess",
@@ -44,6 +49,7 @@ __all__ = [
     "compare",
     "loo",
     "waic",
+    "sbc_model",
     "sbc_ranks",
     "sbc_summary",
     "sbc_uniformity",

@@ -87,6 +87,48 @@ def sbc_uniformity(ranks, n_posterior_draws, n_bins=None):
     return stats, p
 
 
+def sbc_model(build_model, fit, n_sims, seed=0):
+    """SBC for a declarative :class:`~mcmcpp_tpu.dsl.Model`.
+
+    ``build_model(sim_data)`` returns the Model; called with ``None`` it
+    must return the model on its ORIGINAL data (the template whose priors
+    and observe sites define the simulator), and with a dict
+    ``{site: array}`` it must attach that simulated data instead.
+    ``fit(key, logp, dim) -> (L, dim)`` returns approximately independent
+    UNCONSTRAINED posterior draws for the rebuilt model (ranks are
+    computed per unconstrained coordinate — elementwise-monotone
+    transforms preserve per-coordinate ranks, and any measurable function
+    of θ is a valid SBC quantity regardless).
+
+    Returns ``(ranks (n_sims, dim), L)`` ready for
+    :func:`sbc_uniformity` / :func:`sbc_summary`.
+    """
+    template = build_model(None)
+    _, _, dim, _, prior_sample = template.build_split()
+    key = jax.random.key(seed)
+    ranks = []
+    n_draws = None
+    for i in range(int(n_sims)):
+        kp, ks, kf = jax.random.split(jax.random.fold_in(key, i), 3)
+        theta = prior_sample(kp, 1)  # (1, dim) unconstrained
+        sim = template.posterior_predictive(ks, theta)
+        m = build_model({k: v[0] for k, v in sim.items()})
+        logp, dim2, _ = m.build()
+        if dim2 != dim:
+            raise ValueError(
+                f"rebuilt model changed dimension ({dim2} != {dim})"
+            )
+        draws = np.asarray(fit(kf, logp, dim))
+        if n_draws is None:
+            n_draws = draws.shape[0]
+        elif draws.shape[0] != n_draws:
+            raise ValueError("fit returned varying draw counts")
+        ranks.append(
+            np.sum(draws < np.asarray(theta)[0][None, :], axis=0)
+        )
+    return np.stack(ranks).astype(np.int32), n_draws
+
+
 def sbc_summary(ranks, n_posterior_draws, names=None):
     """Human-readable calibration report: per-quantity χ², p-value, and a
     shape diagnosis (uniform / overconfident / diffuse / biased)."""

@@ -104,3 +104,36 @@ def test_end_to_end_ensemble_sampler_calibrated():
     ranks = sbc_ranks(prior_sample, simulate, fit_mcmc, n_sims=96, seed=3)
     stats, p = sbc_uniformity(ranks, L_DRAWS)
     assert p[0] > 0.005, f"ensemble pipeline miscalibrated: p={p[0]}"
+
+
+@pytest.mark.slow
+def test_sbc_model_dsl_bridge_calibrated():
+    """Declare once, calibrate the whole pipeline: prior draws and
+    simulated datasets come from the Model's own sites."""
+    from mcmcpp_tpu import EnsembleSampler
+    from mcmcpp_tpu.analysis import sbc_model
+    from mcmcpp_tpu.dsl import Model, Normal
+
+    template_y = np.zeros(N_OBS, np.float32)  # placeholder data
+
+    def build_model(sim):
+        y = template_y if sim is None else sim["y"]
+        return (Model()
+                .param("theta", Normal(0.0, TAU))
+                .observe("y", lambda p: Normal(p["theta"], 1.0), y))
+
+    def fit(key, logp, dim):
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        s = EnsembleSampler(logp, n_walkers=32, n_params=dim, seed=seed)
+        s.init_ball(np.zeros(dim), scale=0.5, seed=seed + 1)
+        s.run_mcmc(300, store=False)
+        s.run_mcmc(160, thin=20)  # 8 stored steps, ~3 ACTs apart
+        draws = s.get_samples(flat=True)
+        idx = np.linspace(0, draws.shape[0] - 1, L_DRAWS).astype(int)
+        return draws[idx]
+
+    ranks, n_draws = sbc_model(build_model, fit, n_sims=96, seed=5)
+    assert n_draws == L_DRAWS
+    assert ranks.shape == (96, 1)
+    stats, p = sbc_uniformity(ranks, n_draws)
+    assert p[0] > 0.005, f"DSL SBC pipeline miscalibrated: p={p[0]}"
