@@ -53,6 +53,13 @@ from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
 from mcmcpp_tpu.pathfinder import multi_pathfinder, pathfinder
 from mcmcpp_tpu.elliptical import EllipticalSliceSampler
+from mcmcpp_tpu.gibbs import (
+    BlockedGibbsSampler,
+    EllipticalSliceKernel,
+    HMCKernel,
+    MALAKernel,
+    RWMKernel,
+)
 from mcmcpp_tpu.chain_disk import DiskChain
 from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
 from mcmcpp_tpu.export import to_inference_dict, to_arviz
@@ -108,6 +115,11 @@ __all__ = [
     "pathfinder",
     "multi_pathfinder",
     "EllipticalSliceSampler",
+    "BlockedGibbsSampler",
+    "EllipticalSliceKernel",
+    "HMCKernel",
+    "MALAKernel",
+    "RWMKernel",
     "ShardedEnsembleSampler",
     "make_ladder_mesh",
     "make_walker_mesh",

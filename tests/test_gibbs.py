@@ -1,0 +1,179 @@
+"""Blocked Gibbs: kernel-level moment oracles, a conjugate hierarchical
+oracle, and hyperparameter-dependent prior structure (the GP use case)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu.gibbs import (
+    BlockedGibbsSampler,
+    EllipticalSliceKernel,
+    HMCKernel,
+    MALAKernel,
+    RWMKernel,
+)
+
+
+def _std_normal(x, others):
+    return -0.5 * jnp.sum(x * x)
+
+
+@pytest.mark.parametrize(
+    "kernel",
+    [
+        MALAKernel(_std_normal, step_size=0.9),
+        HMCKernel(_std_normal, step_size=0.4, n_leapfrog=8),
+        RWMKernel(_std_normal, scale=1.2),
+        EllipticalSliceKernel(
+            lambda x, o: jnp.zeros(()), prior_scale=jnp.ones(3)
+        ),  # flat likelihood: posterior IS the N(0,1) prior
+    ],
+    ids=["mala", "hmc", "rwm", "ess"],
+)
+def test_single_block_recovers_standard_normal(kernel):
+    s = BlockedGibbsSampler(
+        [("x", 3, kernel)], n_chains=64, seed=0,
+        logp_fn=lambda v: -0.5 * jnp.sum(v["x"] ** 2),
+    )
+    s.init({"x": np.zeros(3)})
+    s.run(300, thin=300)  # burn
+    s.chain.clear()
+    s.run(3000, thin=3)
+    x = s.get_samples(flat=True)
+    np.testing.assert_allclose(x.mean(0), 0.0, atol=0.11)
+    np.testing.assert_allclose(x.var(0), 1.0, atol=0.12)
+
+
+def test_hierarchical_conjugate_oracle():
+    """mu ~ N(0, tau^2); e ~ N(0, I_N); y = mu + e + eps, eps ~ N(0, s^2).
+    Marginally y ~ N(mu 1, (1+s^2) I), so the mu posterior is conjugate
+    Gaussian — an exact oracle for the two-block sweep."""
+    tau, sig = 2.0, 0.5
+    rng = np.random.default_rng(0)
+    n = 12
+    y = jnp.asarray((1.2 + rng.normal(0, np.sqrt(1 + sig**2), n))
+                    .astype(np.float32))
+
+    def mu_logp(mu, others):
+        e = others["e"]
+        return (-0.5 * mu[0] ** 2 / tau**2
+                - 0.5 * jnp.sum((y - mu[0] - e) ** 2) / sig**2)
+
+    def e_loglike(e, others):
+        mu = others["mu"][0]
+        return -0.5 * jnp.sum((y - mu - e) ** 2) / sig**2
+
+    s = BlockedGibbsSampler(
+        [
+            ("mu", 1, MALAKernel(mu_logp, step_size=0.15)),
+            ("e", n, EllipticalSliceKernel(
+                e_loglike, prior_scale=jnp.ones(n))),
+        ],
+        n_chains=64, seed=1,
+    )
+    s.init({"mu": np.zeros(1), "e": np.zeros(n)})
+    s.run(500, thin=500)  # burn
+    s.chain.clear()
+    s.run(4000, thin=4)
+    mu_draws = s.get_block("mu", flat=True)[:, 0]
+    prec = 1.0 / tau**2 + n / (1.0 + sig**2)
+    mean_true = float(jnp.sum(y)) / (1.0 + sig**2) / prec
+    sd_true = prec**-0.5
+    assert mu_draws.mean() == pytest.approx(mean_true, abs=4 * sd_true / 30)
+    assert mu_draws.std() == pytest.approx(sd_true, rel=0.12)
+    # latent reconstruction: posterior mean of mu + e_i tracks y_i shrunk
+    # toward the chain mean by the 1/(1+s^2) factor
+    z = mu_draws[:, None] + s.get_block("e", flat=True)
+    expected = (np.asarray(y) / sig**2 + mean_true) / (1 / sig**2 + 1)
+    np.testing.assert_allclose(z.mean(0), expected, atol=0.15)
+
+
+@pytest.mark.slow
+def test_gp_lengthscale_learning():
+    """The headline use case: ESS over the GP latent with a covariance
+    Cholesky computed LIVE from the hyperparameter block, HMC over the
+    log-lengthscale. The posterior for log(l) must concentrate near truth."""
+    n = 24
+    xs = jnp.linspace(0.0, 4.0, n)
+    true_l = 1.0
+    rng = np.random.default_rng(3)
+
+    def k_chol(log_l):
+        d2 = (xs[:, None] - xs[None, :]) ** 2
+        k = jnp.exp(-0.5 * d2 / jnp.exp(2.0 * log_l))
+        return jnp.linalg.cholesky(k + 1e-5 * jnp.eye(n))
+
+    f_true = np.asarray(k_chol(jnp.log(true_l))) @ rng.standard_normal(n)
+    sig = 0.15
+    y = jnp.asarray((f_true + sig * rng.standard_normal(n))
+                    .astype(np.float32))
+
+    def f_loglike(f, others):
+        return -0.5 * jnp.sum((y - f) ** 2) / sig**2
+
+    def hyper_logp(h, others):
+        # p(log l) = N(0, 1); p(f | log l) via the live Cholesky
+        f = others["f"]
+        chol = k_chol(h[0])
+        w = jax.scipy.linalg.solve_triangular(chol, f, lower=True)
+        return (-0.5 * h[0] ** 2
+                - 0.5 * jnp.sum(w * w)
+                - jnp.sum(jnp.log(jnp.diagonal(chol))))
+
+    s = BlockedGibbsSampler(
+        [
+            ("f", n, EllipticalSliceKernel(
+                f_loglike,
+                prior_chol=lambda others: k_chol(others["h"][0]))),
+            ("h", 1, HMCKernel(hyper_logp, step_size=0.02, n_leapfrog=8)),
+        ],
+        n_chains=32, seed=2,
+    )
+    s.init({"f": np.zeros(n), "h": np.zeros(1)})
+    s.run(400, thin=400)  # burn
+    s.chain.clear()
+    s.run(1200, thin=4)
+    log_l = s.get_block("h", flat=True)[:, 0]
+    l_mean = float(np.exp(log_l).mean())
+    assert 0.5 < l_mean < 2.0, f"lengthscale not recovered: {l_mean:.3f}"
+    # the latent must track the data where it is well-determined
+    f_mean = s.get_block("f", flat=True).mean(0)
+    assert float(np.mean((f_mean - np.asarray(y)) ** 2)) < 4 * sig**2
+
+
+def test_validation_and_block_slicing():
+    k = RWMKernel(_std_normal, scale=1.0)
+    with pytest.raises(ValueError, match="duplicate"):
+        BlockedGibbsSampler([("a", 1, k), ("a", 2, k)], n_chains=4)
+    with pytest.raises(ValueError, match="at least one"):
+        BlockedGibbsSampler([], n_chains=4)
+    s = BlockedGibbsSampler([("a", 2, k), ("b", 3, k)], n_chains=4)
+    with pytest.raises(ValueError, match="missing init"):
+        s.init({"a": np.zeros(2)})
+    s.init({"a": np.zeros(2), "b": np.ones(3)})
+    s.run(4)
+    assert s.get_samples().shape == (4, 4, 5)
+    assert s.get_block("b").shape == (4, 4, 3)
+    with pytest.raises(KeyError):
+        s.get_block("nope")
+
+
+def test_mesh_bitwise_identical():
+    from mcmcpp_tpu import make_walker_mesh
+
+    def run(mesh):
+        s = BlockedGibbsSampler(
+            [
+                ("x", 2, MALAKernel(_std_normal, step_size=0.5)),
+                ("z", 3, EllipticalSliceKernel(
+                    lambda x, o: -0.5 * jnp.sum((x - o["x"].sum()) ** 2),
+                    prior_scale=jnp.ones(3))),
+            ],
+            n_chains=16, seed=5, mesh=mesh,
+        )
+        s.init({"x": np.zeros(2), "z": np.zeros(3)})
+        s.run(60, thin=3)
+        return s.get_samples()
+
+    np.testing.assert_array_equal(run(None), run(make_walker_mesh()))
