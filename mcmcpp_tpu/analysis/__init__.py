@@ -23,6 +23,7 @@ from mcmcpp_tpu.analysis.diagnostics import (
     summary,
 )
 from mcmcpp_tpu.analysis.sbc import (
+    sbc_ecdf_band,
     sbc_model,
     sbc_ranks,
     sbc_summary,
@@ -49,6 +50,7 @@ __all__ = [
     "compare",
     "loo",
     "waic",
+    "sbc_ecdf_band",
     "sbc_model",
     "sbc_ranks",
     "sbc_summary",

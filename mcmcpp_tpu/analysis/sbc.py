@@ -129,6 +129,51 @@ def sbc_model(build_model, fit, n_sims, seed=0):
     return np.stack(ranks).astype(np.int32), n_draws
 
 
+def sbc_ecdf_band(ranks, n_posterior_draws, alpha=0.05, n_sim=4000,
+                  seed=0):
+    """Simultaneous rank-ECDF confidence band (Säilynoja, Bürkner &
+    Vehtari 2022 style, calibrated by Monte Carlo under the exact
+    discrete-uniform null).
+
+    The χ² test (``sbc_uniformity``) bins ranks; the ECDF band uses every
+    rank level, so it detects smaller and more localized miscalibration.
+    Under the null the ECDF of n_sims uniform ranks stays inside the band
+    with probability 1-α SIMULTANEOUSLY over all levels.
+
+    Returns a dict with ``levels`` (L+1,) the rank values, ``expected``
+    the null CDF at each level, ``band`` the simultaneous half-width,
+    ``ecdf`` (Q, L+1) the observed ECDFs, and ``reject`` (Q,) booleans.
+    """
+    ranks = np.asarray(ranks)
+    n_sims, n_q = ranks.shape
+    levels = int(n_posterior_draws) + 1
+    ks = np.arange(levels)
+    expected = (ks + 1.0) / levels
+    # null distribution of the sup-deviation, exact by simulation
+    rng = np.random.default_rng(seed)
+    sims = rng.integers(0, levels, size=(int(n_sim), n_sims))
+    # ECDF at every level via counting: (n_sim, levels)
+    counts = np.apply_along_axis(
+        lambda row: np.bincount(row, minlength=levels), 1, sims
+    )
+    null_ecdf = np.cumsum(counts, axis=1) / n_sims
+    sup = np.max(np.abs(null_ecdf - expected[None, :]), axis=1)
+    band = float(np.quantile(sup, 1.0 - alpha))
+    ecdf = np.empty((n_q, levels))
+    for q in range(n_q):
+        c = np.bincount(ranks[:, q], minlength=levels)
+        ecdf[q] = np.cumsum(c) / n_sims
+    dev = np.max(np.abs(ecdf - expected[None, :]), axis=1)
+    return {
+        "levels": ks,
+        "expected": expected,
+        "band": band,
+        "ecdf": ecdf,
+        "max_deviation": dev,
+        "reject": dev > band,
+    }
+
+
 def sbc_summary(ranks, n_posterior_draws, names=None):
     """Human-readable calibration report: per-quantity χ², p-value, and a
     shape diagnosis (uniform / overconfident / diffuse / biased)."""

@@ -137,3 +137,34 @@ def test_sbc_model_dsl_bridge_calibrated():
     assert ranks.shape == (96, 1)
     stats, p = sbc_uniformity(ranks, n_draws)
     assert p[0] > 0.005, f"DSL SBC pipeline miscalibrated: p={p[0]}"
+
+
+def test_ecdf_band_calibrated_passes_broken_fails():
+    from mcmcpp_tpu.analysis import sbc_ecdf_band
+
+    ranks = sbc_ranks(prior_sample, simulate, fit_exact, n_sims=256,
+                      seed=0, vectorized=True)
+    out = sbc_ecdf_band(ranks, L_DRAWS, seed=1)
+    assert not out["reject"][0], (
+        f"exact posterior outside ECDF band: dev={out['max_deviation'][0]}"
+        f" > {out['band']}")
+    # the band is tighter than binning: a mildly narrow posterior (0.7x)
+    # must be caught
+    def fit_narrow(key, y):
+        mu, var = _posterior(y)
+        return mu + 0.7 * jnp.sqrt(var) * jax.random.normal(
+            key, (L_DRAWS, 1))
+
+    ranks_bad = sbc_ranks(prior_sample, simulate, fit_narrow, n_sims=256,
+                          seed=2, vectorized=True)
+    out_bad = sbc_ecdf_band(ranks_bad, L_DRAWS, seed=1)
+    assert out_bad["reject"][0]
+    # null calibration sanity: ~alpha of simulated uniform rank sets
+    # fall outside their own band
+    rng = np.random.default_rng(3)
+    hits = 0
+    for i in range(200):
+        r = rng.integers(0, L_DRAWS + 1, size=(256, 1))
+        hits += int(sbc_ecdf_band(r, L_DRAWS, n_sim=1500,
+                                  seed=4)["reject"][0])
+    assert 1 <= hits <= 25, f"null rejection rate off: {hits}/200"
