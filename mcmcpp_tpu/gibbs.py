@@ -291,6 +291,14 @@ class BlockedGibbsSampler:
                 )(flat)
             else:
                 lp = jnp.zeros((self.n_chains,), self.dtype)
+            if self._chain_sharding is not None:
+                # the stored lp column must shard WITH the chains axis, or
+                # multi-host stores fetch mismatched widths
+                from mcmcpp_tpu.parallel.mesh import vector_sharding
+
+                lp = jax.lax.with_sharding_constraint(
+                    lp, vector_sharding(self._chain_sharding)
+                )
             return (state, key), (flat, lp)
 
         (state, _), (pos, lp) = jax.lax.scan(

@@ -94,6 +94,38 @@ ENGINES_WORKER = textwrap.dedent("""
     print(f"SMC pid={{pid}} shape={{smc.particles.shape}} "
           f"logZ={{smc.log_evidence:.6f}} beta={{float(smc.state.beta):.4f}}")
 
+    # power-posterior PT: evidence accumulators are replicated global
+    # statistics — identical stepping-stone logZ on every host
+    from mcmcpp_tpu import power_ladder
+
+    ptp = ParallelTemperingSampler(
+        loglike_fn=logp, logprior_fn=lambda t: -0.5 * jnp.sum(t * t) / 4.0,
+        n_walkers=16, n_params=3, betas=power_ladder(4), seed=0, mesh=mesh,
+    )
+    ptp.init_ball(np.zeros(3), scale=0.5, seed=5)
+    ptp.run_mcmc(10)
+    print(f"PTP pid={{pid}} shape={{ptp.get_samples().shape}} "
+          f"ss={{ptp.log_evidence('stepping_stone'):.6f}}")
+
+    # blocked Gibbs: chains axis sharded; ESS + MALA sweep
+    from mcmcpp_tpu import BlockedGibbsSampler, EllipticalSliceKernel, \
+        MALAKernel
+
+    gb = BlockedGibbsSampler(
+        [
+            ("x", 2, MALAKernel(lambda x, o: -0.5 * jnp.sum(x * x), 0.5)),
+            ("z", 3, EllipticalSliceKernel(
+                lambda z, o: -0.5 * jnp.sum((z - jnp.sum(o["x"])) ** 2),
+                prior_scale=jnp.ones(3))),
+        ],
+        n_chains=16, seed=0, mesh=mesh,
+    )
+    gb.init({{"x": np.zeros(2), "z": np.zeros(3)}})
+    gb.run(10)
+    gmean_gb = float(jnp.mean(gb.state["z"]))
+    print(f"GIBBS pid={{pid}} shape={{gb.get_samples().shape}} "
+          f"mean={{gmean_gb:.6f}}")
+
     # MEADS: cross-fold stats are cross-host batch reductions
     md = MEADSSampler(logp, n_chains=16, n_params=3, seed=0, mesh=mesh,
                       n_folds=2)
@@ -173,6 +205,9 @@ def test_two_process_engines_hmc_pt_smc(tmp_path):
         ("HMC", r"HMC pid=\d+ shape=(\([^)]*\)) acc=(\S+)", "(20, 8, 3)"),
         ("PT", r"PT pid=\d+ shape=(\([^)]*\)) swaps=(\[.*?\])", "(10, 8, 3)"),
         ("SMC", r"SMC pid=\d+ shape=(\([^)]*\)) logZ=(\S+)", "(8, 3)"),
+        ("PTP", r"PTP pid=\d+ shape=(\([^)]*\)) ss=(\S+)", "(10, 8, 3)"),
+        ("GIBBS", r"GIBBS pid=\d+ shape=(\([^)]*\)) mean=(\S+)",
+         "(10, 8, 5)"),
         ("MEADS", r"MEADS pid=\d+ shape=(\([^)]*\)) acc=(\S+)", "(10, 8, 3)"),
         ("SGLD", r"SGLD pid=\d+ shape=(\([^)]*\)) mean=(\S+)", "(10, 8, 3)"),
     ]:
