@@ -148,6 +148,39 @@ def ordered(dist):
     return d
 
 
+class Circular:
+    """u (…, 2) -> angle in (-π, π] via atan2 — Stan's unit-vector trick.
+
+    A bounded-interval transform puts a cut at ±π (a posterior straddling
+    it splits into two lobes); embedding the circle in R² has no cut. The
+    ``log_det`` term is the auxiliary radial density −‖u‖²/2 (any proper
+    radial law works; the Gaussian makes u|θ standard normal), under
+    which the implied marginal of θ is EXACTLY the declared distribution
+    — so inference and evidence are both correct.
+    """
+
+    def forward(self, u):
+        return jnp.arctan2(u[..., 1], u[..., 0])
+
+    def inverse(self, x):
+        # deterministic section (r = 1); prior draws for the evidence
+        # engines come from inverse_sample, which also draws the radius
+        return jnp.stack([jnp.cos(x), jnp.sin(x)], axis=-1)
+
+    def inverse_sample(self, key, x):
+        """Map a constrained draw to u-space INCLUDING the auxiliary
+        radius r ~ Rayleigh, so u is an exact draw from the implied
+        unconstrained prior density (build_split's prior_sample)."""
+        r = jnp.sqrt(2.0 * jax.random.exponential(key, jnp.shape(x)))
+        return r[..., None] * self.inverse(x)
+
+    def log_det(self, u):
+        return -0.5 * jnp.sum(u * u, axis=-1)
+
+    def unconstrained_shape(self, shape):
+        return tuple(shape) + (2,)
+
+
 class StickBreaking:
     """R^{K-1} -> interior of the K-simplex (Stan's stick-breaking map).
 
@@ -1048,6 +1081,65 @@ class ZeroInflatedPoisson(Distribution):
         return jnp.where(zero, 0, counts).astype(jnp.float32)
 
 
+class VonMises(Distribution):
+    """VonMises(loc, concentration) on the circle (-π, π] — directional
+    data, phases. Sampling via Best & Fisher (1979) wrapped-Cauchy
+    rejection. Declared parameters use the cut-free unit-vector
+    embedding (:class:`Circular`)."""
+
+    transform = Circular()
+
+    def __init__(self, loc=0.0, concentration=1.0):
+        self.loc, self.concentration = loc, concentration
+
+    def logpdf(self, x):
+        k = jnp.asarray(self.concentration)
+        # log I0(k) = log i0e(k) + k  (stable for large k)
+        log_i0 = jnp.log(jax.scipy.special.i0e(k)) + k
+        return (k * jnp.cos(x - self.loc)
+                - jnp.log(2.0 * jnp.pi) - log_i0)
+
+    def sample(self, key, shape=()):
+        k = jnp.asarray(self.concentration, jnp.float32)
+        # Best & Fisher 1979 (as in Mardia & Jupp, Fisher 1993 §3.3.6)
+        tau = 1.0 + jnp.sqrt(1.0 + 4.0 * k * k)
+        rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * k)
+        r = (1.0 + rho * rho) / (2.0 * rho)
+
+        def draw_one(key):
+            def cond(c):
+                done, *_ = c
+                return ~done
+
+            def body(c):
+                _, _, key = c
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                u1 = jax.random.uniform(k1, ())
+                z = jnp.cos(jnp.pi * u1)
+                f = (1.0 + r * z) / (r + z)
+                csd = k * (r - f)
+                u2 = jax.random.uniform(k2, ())
+                ok = (csd * (2.0 - csd) - u2 > 0.0) | (
+                    jnp.log(csd / jnp.maximum(u2, 1e-37)) + 1.0 - csd
+                    >= 0.0
+                )
+                u3 = jax.random.uniform(k3, ())
+                theta = jnp.sign(u3 - 0.5) * jnp.arccos(
+                    jnp.clip(f, -1.0, 1.0)
+                )
+                return (ok, theta, key)
+
+            _, theta, _ = jax.lax.while_loop(
+                cond, body, (jnp.asarray(False), jnp.zeros(()), key)
+            )
+            return theta
+
+        n = int(np.prod(shape)) if shape else 1
+        thetas = jax.vmap(draw_one)(jax.random.split(key, n))
+        out = jnp.mod(thetas + self.loc + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        return out.reshape(shape) if shape else out[0]
+
+
 # -- model -------------------------------------------------------------------
 
 
@@ -1287,11 +1379,23 @@ class Model:
         def prior_sample(key, n):
             cols = []
             for j, (name, dist, shape, u_shape, u_size) in enumerate(params):
-                x = dist.sample(jax.random.fold_in(key, j), (n,) + shape)
+                kj = jax.random.fold_in(key, j)
+                x = dist.sample(kj, (n,) + shape)
                 # vmap the inverse over the draw axis: shape-changing
                 # transforms (stick-breaking, corr-Cholesky) are written
-                # unbatched
-                u = jax.vmap(dist.transform.inverse)(x)
+                # unbatched. Transforms with auxiliary coordinates
+                # (Circular's radius) provide inverse_sample, which draws
+                # them from the implied density so u-space prior draws
+                # stay exact for the evidence engines.
+                t = dist.transform
+                inv_s = getattr(t, "inverse_sample", None)
+                if inv_s is not None:
+                    keys = jax.random.split(
+                        jax.random.fold_in(kj, 0x1A7), n
+                    )
+                    u = jax.vmap(inv_s)(keys, x)
+                else:
+                    u = jax.vmap(t.inverse)(x)
                 cols.append(u.reshape(n, u_size))
             return jnp.concatenate(cols, axis=1)
 
