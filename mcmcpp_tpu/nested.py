@@ -64,14 +64,25 @@ class NestedSampler:
     n_live: live-set size N (evidence error ~ sqrt(H/N)).
     batch: deaths per iteration B (default N//4; smaller = finer shells,
         larger = better device utilization).
-    n_mcmc: constrained stretch steps per replacement (decorrelation
-        length; 20-40 is the usual range).
+    n_mcmc: constrained steps per replacement (decorrelation length;
+        20-40 stretch steps or 3-8 slice directions are the usual ranges).
+    kernel: ``"stretch"`` (default; affine-invariant walk against the
+        survivors — cheap per step) or ``"slice"`` (PolyChord-style
+        random-direction slice sampling in live-set-whitened coordinates
+        — rejection-free along each direction, more robust in higher
+        dimensions where stretch acceptance collapses).
     a: stretch scale (g(z) support [1/a, a], cf. ops/gw.py).
     """
 
     def __init__(self, logprior_fn, loglike_fn, prior_sample, n_params,
                  n_live=500, batch=None, n_mcmc=30, a=2.0, seed=0,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, kernel="stretch", max_slice_expand=8,
+                 max_slice_shrink=32):
+        if kernel not in ("stretch", "slice"):
+            raise ValueError(f"unknown kernel {kernel!r}")
+        self.kernel = kernel
+        self.max_slice_expand = int(max_slice_expand)
+        self.max_slice_shrink = int(max_slice_shrink)
         self.n_params = int(n_params)
         self.n_live = int(n_live)
         self.batch = int(batch) if batch is not None else max(
@@ -139,9 +150,114 @@ class NestedSampler:
                 pos_lpp = jnp.where(ok, prop_lpp, pos_lpp)
                 return pos, pos_ll, pos_lpp, acc + jnp.sum(ok)
 
-            pos, pos_ll, pos_lpp, acc = jax.lax.fori_loop(
-                0, m, step, (pos, pos_ll, pos_lpp, jnp.zeros((), jnp.int32))
-            )
+            if self.kernel == "slice":
+                # live-set-whitened random-direction slice sampling
+                # (PolyChord, Handley et al. 2015): rejection-free along
+                # each direction, so "acc" counts directions completed
+                cov = jnp.cov(surv, rowvar=False).reshape(
+                    self.n_params, self.n_params
+                )
+                chol = jnp.linalg.cholesky(
+                    cov + 1e-8 * jnp.eye(self.n_params, dtype=pos.dtype)
+                )
+
+                def slice_one(key, x, x_ll, x_lpp):
+                    def direction_step(i, c):
+                        x, x_ll, x_lpp, key, evals = c
+                        key, kd, kh, kb, ks = jax.random.split(key, 5)
+                        z = jax.random.normal(kd, (self.n_params,), x.dtype)
+                        d = chol @ (z / jnp.linalg.norm(z))
+                        # slice height under the constrained prior
+                        log_y = x_lpp - jax.random.exponential(
+                            kh, (), x.dtype
+                        )
+
+                        def g(t):
+                            p = x + t * d
+                            return (jnp.where(
+                                self._loglike(p[None, :])[0] > lstar,
+                                self._logprior(p[None, :])[0],
+                                -jnp.inf,
+                            ), p)
+
+                        # stepping out: unit whitened width, randomly
+                        # placed, doubled up to max_slice_expand times
+                        u0 = jax.random.uniform(kb, (), x.dtype)
+                        lo0, hi0 = -u0, 1.0 - u0
+
+                        def expand(t0):
+                            def cond(c):
+                                i, t, open_ = c
+                                return open_ & (i < self.max_slice_expand)
+
+                            def body(c):
+                                i, t, _ = c
+                                t2 = t * 2.0
+                                val, _ = g(t2)
+                                return (i + 1, t2, val > log_y)
+
+                            val0, _ = g(t0)
+                            i, t, _ = jax.lax.while_loop(
+                                cond, body, (jnp.int32(0), t0, val0 > log_y)
+                            )
+                            return t, i + 1  # +1: the t0 evaluation
+
+                        lo, e_lo = expand(lo0)
+                        hi, e_hi = expand(hi0)
+
+                        def shrink_cond(c):
+                            i, lo, hi, t, val, p, key = c
+                            return (val <= log_y) & (
+                                i < self.max_slice_shrink
+                            )
+
+                        def shrink_body(c):
+                            i, lo, hi, t, val, p, key = c
+                            key, ku = jax.random.split(key)
+                            t2 = lo + jax.random.uniform(
+                                ku, (), x.dtype
+                            ) * (hi - lo)
+                            val2, p2 = g(t2)
+                            lo = jnp.where((val2 <= log_y) & (t2 < 0), t2, lo)
+                            hi = jnp.where(
+                                (val2 <= log_y) & (t2 >= 0), t2, hi
+                            )
+                            return (i + 1, lo, hi, t2, val2, p2, key)
+
+                        i0 = (jnp.int32(0), lo, hi, jnp.zeros((), x.dtype),
+                              -jnp.inf, x, ks)
+                        i_sh, _, _, t, val, p, _ = jax.lax.while_loop(
+                            shrink_cond, shrink_body, i0
+                        )
+                        ok = val > log_y  # shrink cap hit -> keep x
+                        new_x = jnp.where(ok, p, x)
+                        new_ll = jnp.where(
+                            ok, self._loglike(new_x[None, :])[0], x_ll
+                        )
+                        new_lpp = jnp.where(
+                            ok, self._logprior(new_x[None, :])[0], x_lpp
+                        )
+                        evals = evals + e_lo + e_hi + i_sh + 1
+                        return (new_x, new_ll, new_lpp, key, evals)
+
+                    x, x_ll, x_lpp, _, evals = jax.lax.fori_loop(
+                        0, m, direction_step,
+                        (x, x_ll, x_lpp, key, jnp.int32(0)),
+                    )
+                    return x, x_ll, x_lpp, evals
+
+                keys = jax.random.split(k_walk, b)
+                pos, pos_ll, pos_lpp, evals = jax.vmap(slice_one)(
+                    keys, pos, pos_ll, pos_lpp
+                )
+                # acc carries the TOTAL likelihood evaluations (the slice
+                # kernel is rejection-free; run() branches on self.kernel)
+                acc = jnp.sum(evals)
+            else:
+                pos, pos_ll, pos_lpp, acc = jax.lax.fori_loop(
+                    0, m, step,
+                    (pos, pos_ll, pos_lpp, jnp.zeros((), jnp.int32)),
+                )
             new_live = jnp.concatenate([surv, pos], 0)
             new_ll = jnp.concatenate([surv_ll, pos_ll], 0)
             new_lpp = jnp.concatenate([surv_lpp, pos_lpp], 0)
@@ -182,7 +298,8 @@ class NestedSampler:
             live, ll, lpp, dead, d_ll, acc = self._iterate(
                 k_it, live, ll, lpp
             )
-            n_calls += b * self.n_mcmc
+            n_calls += (int(acc) if self.kernel == "slice"
+                        else b * self.n_mcmc)
             d_ll = np.asarray(d_ll, np.float64)
             dead_pos.append(np.asarray(dead))
             dead_ll_all.append(d_ll)
@@ -196,7 +313,8 @@ class NestedSampler:
             dead_logw.append(logw)
             logz = np.logaddexp(logz, _logsumexp(logw))
             logx = float(logx_new[-1])
-            acc_rate = float(acc) / (b * self.n_mcmc)
+            acc_rate = (1.0 if self.kernel == "slice"
+                        else float(acc) / (b * self.n_mcmc))
             if acc_rate < min_accept and not low_acc_warned:
                 import warnings
 

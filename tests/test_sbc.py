@@ -85,7 +85,16 @@ def test_end_to_end_ensemble_sampler_calibrated():
     thinned past the ACT, must produce uniform ranks."""
     from mcmcpp_tpu import EnsembleSampler
 
+    fit_count = [0]
+
     def fit_mcmc(key, y):
+        # every sim builds fresh jit closures (new data, new logp), so the
+        # executable cache only ACCUMULATES across the 96 fits — enough,
+        # on top of a full-suite run, to segfault XLA's in-process
+        # compiler. Caching buys nothing across sims; cap the buildup.
+        fit_count[0] += 1
+        if fit_count[0] % 16 == 0:
+            jax.clear_caches()
         y = np.asarray(y)
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
 
@@ -122,7 +131,12 @@ def test_sbc_model_dsl_bridge_calibrated():
                 .param("theta", Normal(0.0, TAU))
                 .observe("y", lambda p: Normal(p["theta"], 1.0), y))
 
+    fit_count = [0]
+
     def fit(key, logp, dim):
+        fit_count[0] += 1
+        if fit_count[0] % 16 == 0:
+            jax.clear_caches()  # see fit_mcmc: per-sim closures never hit
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
         s = EnsembleSampler(logp, n_walkers=32, n_params=dim, seed=seed)
         s.init_ball(np.zeros(dim), scale=0.5, seed=seed + 1)
