@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""GP regression with UNKNOWN hyperparameters via blocked Gibbs.
+
+`examples/gp_latent.py` samples a GP latent with fixed kernel
+hyperparameters (elliptical slice alone). Real GP workflows must learn
+them. The blocked Gibbs engine alternates:
+
+- elliptical slice over the WHITENED latent (f = L(θ) e, e ~ N(0, I));
+- BOTH hyperparameter conditionals, interwoven (ASIS, Yu & Meng 2011):
+  θ | e (ancillary / non-centered) then θ | f (sufficient / centered),
+  through the exact coordinate switch — ``GaussianInterweaveKernel``.
+
+Interweaving matters: either single parametrization alone leaves a tight
+θ-conditional (prior-tight centered when the data are informative,
+likelihood-tight non-centered) and the sweep crawls — measured on this
+exact script, plain non-centered Gibbs was still far from the truth
+after 4500 sweeps, while ASIS converges in a few hundred. The oracle is
+the EXACT marginal hyperposterior (f integrates out analytically).
+
+Usage: python examples/gp_hyperparams.py [--quick]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu import (
+    BlockedGibbsSampler,
+    GaussianInterweaveKernel,
+    HMCKernel,
+)
+
+QUICK = "--quick" in sys.argv
+N = 48
+SIG = 0.2
+TRUE_L, TRUE_A = 0.8, 1.5
+
+xs = jnp.linspace(0.0, 5.0, N)
+rng = np.random.default_rng(11)
+
+
+def k_chol(log_l, log_a):
+    d2 = (xs[:, None] - xs[None, :]) ** 2
+    k = jnp.exp(2.0 * log_a) * jnp.exp(-0.5 * d2 / jnp.exp(2.0 * log_l))
+    return jnp.linalg.cholesky(k + 1e-5 * jnp.eye(N))
+
+
+F_TRUE = np.asarray(
+    k_chol(jnp.log(TRUE_L), jnp.log(TRUE_A)) @ rng.standard_normal(N)
+)
+Y = jnp.asarray((F_TRUE + SIG * rng.standard_normal(N)).astype(np.float32))
+
+
+def loglike_f(f):
+    return -0.5 * jnp.sum((Y - f) ** 2) / SIG**2
+
+
+def hyper_logprior(h):
+    return -0.5 * jnp.sum(h * h)  # N(0,1) on log l, log a
+
+
+def exact_hyper_posterior():
+    """f integrates out analytically: y ~ N(0, K(θ) + σ²I), so the
+    hyperparameter posterior is available by 2-D grid quadrature — the
+    oracle the Gibbs chain must match (the simulation truth itself need
+    not sit mid-CI for one realization)."""
+    gl = np.linspace(-1.2, 1.2, 41)
+    ga = np.linspace(-1.2, 1.8, 41)
+    y = np.asarray(Y, np.float64)
+    lp = np.empty((gl.size, ga.size))
+    d2 = np.asarray((xs[:, None] - xs[None, :]) ** 2, np.float64)
+    for i, a1 in enumerate(gl):
+        for j, a2 in enumerate(ga):
+            k = (np.exp(2 * a2) * np.exp(-0.5 * d2 / np.exp(2 * a1))
+                 + (SIG**2 + 1e-5) * np.eye(N))
+            sign, logdet = np.linalg.slogdet(k)
+            lp[i, j] = (-0.5 * (a1**2 + a2**2) - 0.5 * logdet
+                        - 0.5 * y @ np.linalg.solve(k, y))
+    w = np.exp(lp - lp.max())
+    w /= w.sum()
+    m_l = float((w.sum(1) * gl).sum())
+    m_a = float((w.sum(0) * ga).sum())
+    s_l = float(np.sqrt((w.sum(1) * (gl - m_l) ** 2).sum()))
+    s_a = float(np.sqrt((w.sum(0) * (ga - m_a) ** 2).sum()))
+    return (m_l, s_l), (m_a, s_a)
+
+
+def main():
+    s = BlockedGibbsSampler(
+        [
+            (("h", "e"), (2, N), GaussianInterweaveKernel(
+                loglike_f, lambda h: k_chol(h[0], h[1]), hyper_logprior,
+                lambda logp: HMCKernel(logp, step_size=0.01,
+                                       n_leapfrog=16))),
+        ],
+        n_chains=16 if QUICK else 32, seed=0,
+    )
+    s.init({"e": np.zeros(N), "h": np.zeros(2)})
+    burn = 400 if QUICK else 800
+    keep = 800 if QUICK else 2400
+    s.run(burn, thin=burn)
+    s.chain.clear()
+    s.run(keep, thin=4)
+    h = s.get_block("h", flat=True)
+    e = s.get_block("e", flat=True)
+    # reconstruct the latent: f = L(theta) e per stored draw
+    f_draws = jax.vmap(lambda hh, ee: k_chol(hh[0], hh[1]) @ ee)(
+        jnp.asarray(h), jnp.asarray(e)
+    )
+    f_mean = np.asarray(f_draws).mean(0)
+    rmse = float(np.sqrt(np.mean((f_mean - F_TRUE) ** 2)))
+    (m_l, s_l), (m_a, s_a) = exact_hyper_posterior()
+    print(f"log lengthscale: gibbs {h[:, 0].mean():+.3f}±{h[:, 0].std():.3f}"
+          f"  exact {m_l:+.3f}±{s_l:.3f}  (true {np.log(TRUE_L):+.3f})")
+    print(f"log amplitude:   gibbs {h[:, 1].mean():+.3f}±{h[:, 1].std():.3f}"
+          f"  exact {m_a:+.3f}±{s_a:.3f}  (true {np.log(TRUE_A):+.3f})")
+    print(f"latent RMSE vs truth: {rmse:.3f} (noise sd {SIG})")
+    # the Gibbs chain must match the EXACT marginal hyperposterior
+    assert abs(h[:, 0].mean() - m_l) < 0.5 * s_l, "lengthscale off"
+    assert abs(h[:, 1].mean() - m_a) < 0.5 * s_a, "amplitude off"
+    assert abs(h[:, 0].std() / s_l - 1) < 0.5, "lengthscale spread off"
+    assert rmse < 2 * SIG, "latent reconstruction degraded"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,7 @@ from mcmcpp_tpu.elliptical import EllipticalSliceSampler
 from mcmcpp_tpu.gibbs import (
     BlockedGibbsSampler,
     EllipticalSliceKernel,
+    GaussianInterweaveKernel,
     HMCKernel,
     MALAKernel,
     RWMKernel,
@@ -117,6 +118,7 @@ __all__ = [
     "EllipticalSliceSampler",
     "BlockedGibbsSampler",
     "EllipticalSliceKernel",
+    "GaussianInterweaveKernel",
     "HMCKernel",
     "MALAKernel",
     "RWMKernel",

@@ -176,10 +176,84 @@ class RWMKernel:
         return jnp.where(log_u < log_ratio, prop, x)
 
 
+class GaussianInterweaveKernel:
+    """Joint (hyper, latent) update by ancillarity-sufficiency
+    interweaving (ASIS, Yu & Meng 2011) for Gaussian-latent models
+    ``f = chol(h) @ e``, ``e ~ N(0, I)``, data likelihood ``loglike(f)``.
+
+    Plain Gibbs mixes glacially here whichever parametrization you pick:
+    centered leaves h | f prior-tight when the data are informative;
+    non-centered leaves h | e likelihood-tight. Interweaving does BOTH
+    conditionals back-to-back through the exact coordinate switch, which
+    breaks the ridge (the measured difference on the GP example is
+    convergence in hundreds of sweeps vs none in thousands).
+
+    Declare as a JOINT block over (hyper, latent)::
+
+        BlockedGibbsSampler([
+            (("h", "e"), (2, N), GaussianInterweaveKernel(
+                loglike, chol_fn, hyper_logprior,
+                lambda logp: HMCKernel(logp, 0.02, 8))),
+        ], ...)
+
+    loglike_fn(f) -> scalar data log-likelihood of the latent.
+    chol_fn(h) -> (N, N) lower Cholesky of the latent prior covariance.
+    hyper_logprior(h) -> scalar.
+    make_hyper_kernel(logp_fn) -> a single-block kernel (HMC/MALA/RWM)
+        used for both hyper sub-updates.
+
+    One step = ESS on e | h, then h | e (ancillary / non-centered),
+    switch to f, then h | f (sufficient / centered), switch back.
+    """
+
+    def __init__(self, loglike_fn, chol_fn, hyper_logprior,
+                 make_hyper_kernel, max_shrink=64):
+        self._like = loglike_fn
+        self._chol = chol_fn
+        self._prior = hyper_logprior
+        self._mk = make_hyper_kernel
+        self.max_shrink = int(max_shrink)
+
+    def step(self, key, values, others):
+        h, e = values
+        k0, k1, k2 = jax.random.split(key, 3)
+        # phase 0: ESS on the whitened latent given h
+        chol_h = self._chol(h)
+        ess = EllipticalSliceKernel(
+            lambda e_, o: self._like(chol_h @ e_),
+            prior_scale=jnp.ones(e.shape[-1], e.dtype),
+            max_shrink=self.max_shrink,
+        )
+        e = ess.step(k0, e, {})
+        # phase 1 (ancillary): h | e — likelihood-coupled conditional
+        nc = self._mk(
+            lambda h_, o: self._prior(h_) + self._like(self._chol(h_) @ e)
+        )
+        h = nc.step(k1, h, {})
+        # phase 2 (sufficient): h | f — prior-coupled conditional
+        f = self._chol(h) @ e
+
+        def c_logp(h_, o):
+            chol = self._chol(h_)
+            w = jax.scipy.linalg.solve_triangular(chol, f, lower=True)
+            return (self._prior(h_) - 0.5 * jnp.sum(w * w)
+                    - jnp.sum(jnp.log(jnp.diagonal(chol))))
+
+        h = self._mk(c_logp).step(k2, h, {})
+        # exact coordinate switch back: f is held fixed through phase 2
+        e = jax.scipy.linalg.solve_triangular(
+            self._chol(h), f, lower=True
+        )
+        return (h, e)
+
+
 class BlockedGibbsSampler:
     """Sequential per-block kernel sweep, C chains in lockstep.
 
     blocks: list of ``(name, size, kernel)``; sweep order is list order.
+        A JOINT entry ``((n1, n2), (s1, s2), kernel)`` updates several
+        blocks in one kernel step (``kernel.step(key, (v1, v2), others)
+        -> (v1', v2')``) — used by interweaving kernels.
     logp_fn (optional): joint log density over the values dict, stored as
         the chain's logp column (zeros if omitted).
     Storage is flat ``(C, Σ size)`` rows in block declaration order;
@@ -191,12 +265,29 @@ class BlockedGibbsSampler:
                  chain=None):
         if not blocks:
             raise ValueError("need at least one block")
-        names = [n for n, _, _ in blocks]
+        self.blocks = []
+        for n, s, k in blocks:
+            if isinstance(n, tuple):
+                if not (isinstance(s, tuple) and len(s) == len(n)):
+                    raise ValueError(
+                        f"joint block {n}: sizes must be a matching tuple"
+                    )
+                self.blocks.append((tuple(n), tuple(int(x) for x in s), k))
+            else:
+                self.blocks.append((n, int(s), k))
+        names = [x for n, _, _ in self.blocks
+                 for x in (n if isinstance(n, tuple) else (n,))]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate block names in {names}")
-        self.blocks = [(n, int(s), k) for n, s, k in blocks]
+        # flat (name, size) layout for storage/state, declaration order
+        self._layout = []
+        for n, s, _ in self.blocks:
+            if isinstance(n, tuple):
+                self._layout.extend(zip(n, s))
+            else:
+                self._layout.append((n, s))
         self.n_chains = int(n_chains)
-        self.n_params = sum(s for _, s, _ in self.blocks)
+        self.n_params = sum(s for _, s in self._layout)
         self.dtype = dtype
         self._logp = logp_fn
         self._key = jax.random.key(seed)
@@ -231,7 +322,7 @@ class BlockedGibbsSampler:
     def init(self, values):
         """``values``: {name: (size,) or (C, size)} initial positions."""
         state = {}
-        for name, size, _ in self.blocks:
+        for name, size in self._layout:
             if name not in values:
                 raise ValueError(f"missing init for block {name!r}")
             v = jnp.asarray(values[name], self.dtype)
@@ -260,16 +351,23 @@ class BlockedGibbsSampler:
 
     def _sweep(self, key, values):
         for i, (name, _, kernel) in enumerate(self.blocks):
-            others = {n: v for n, v in values.items() if n != name}
+            sub = jax.random.fold_in(key, i)
             values = dict(values)
-            values[name] = kernel.step(
-                jax.random.fold_in(key, i), values[name], others
-            )
+            if isinstance(name, tuple):
+                others = {n: v for n, v in values.items()
+                          if n not in name}
+                new = kernel.step(
+                    sub, tuple(values[n] for n in name), others
+                )
+                values.update(zip(name, new))
+            else:
+                others = {n: v for n, v in values.items() if n != name}
+                values[name] = kernel.step(sub, values[name], others)
         return values
 
     def _flat(self, state):
         return jnp.concatenate(
-            [state[n] for n, _, _ in self.blocks], axis=1
+            [state[n] for n, _ in self._layout], axis=1
         )
 
     def _run_scan(self, state, key, n_store, thin):
@@ -308,7 +406,7 @@ class BlockedGibbsSampler:
 
     def _unflatten(self, row):
         out, i = {}, 0
-        for name, size, _ in self.blocks:
+        for name, size in self._layout:
             out[name] = row[i : i + size]
             i += size
         return out
@@ -362,7 +460,7 @@ class BlockedGibbsSampler:
     def get_block(self, name, burn_in=0, thin=1, flat=False):
         """Samples for one named block, sliced from the flat store."""
         i = 0
-        for n, size, _ in self.blocks:
+        for n, size in self._layout:
             if n == name:
                 s = self.get_samples(burn_in=burn_in, thin=thin, flat=flat)
                 return s[..., i : i + size]

@@ -97,3 +97,11 @@ def test_evidence_example():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "log Bayes factor" in r.stdout
     assert "decisive for M2" in r.stdout
+
+
+@pytest.mark.slow
+def test_gp_hyperparams_example():
+    r = _run("gp_hyperparams.py", "--quick", timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
+    assert "lengthscale" in r.stdout

@@ -177,3 +177,67 @@ def test_mesh_bitwise_identical():
         return s.get_samples()
 
     np.testing.assert_array_equal(run(None), run(make_walker_mesh()))
+
+
+def test_joint_block_validation_and_layout():
+    from mcmcpp_tpu.gibbs import GaussianInterweaveKernel
+
+    k = RWMKernel(_std_normal, scale=1.0)
+    gk = GaussianInterweaveKernel(
+        lambda f: -0.5 * jnp.sum(f * f),
+        lambda h: jnp.exp(h[0]) * jnp.eye(3),
+        lambda h: -0.5 * jnp.sum(h * h),
+        lambda logp: RWMKernel(logp, 0.3),
+    )
+    with pytest.raises(ValueError, match="matching tuple"):
+        BlockedGibbsSampler([(("h", "e"), 5, gk)], n_chains=4)
+    with pytest.raises(ValueError, match="duplicate"):
+        BlockedGibbsSampler(
+            [(("h", "e"), (1, 3), gk), ("h", 1, k)], n_chains=4
+        )
+    s = BlockedGibbsSampler(
+        [(("h", "e"), (1, 3), gk), ("x", 2, k)], n_chains=4, seed=0
+    )
+    s.init({"h": np.zeros(1), "e": np.zeros(3), "x": np.zeros(2)})
+    s.run(6, thin=2)
+    assert s.get_samples().shape == (3, 4, 6)
+    assert s.get_block("e").shape == (3, 4, 3)
+    assert s.get_block("x").shape == (3, 4, 2)
+
+
+def test_interweave_matches_exact_marginal():
+    """Tiny Gaussian-latent model with an analytic hyper marginal:
+    h ~ N(0,1), e ~ N(0, I_2), y = exp(h)·e + noise. ASIS must recover
+    the quadrature posterior of h."""
+    from mcmcpp_tpu.gibbs import GaussianInterweaveKernel
+
+    sig = 0.3
+    y = jnp.asarray(np.array([1.1, -0.7], np.float32))
+
+    def loglike(f):
+        return -0.5 * jnp.sum((y - f) ** 2) / sig**2
+
+    def chol(h):
+        return jnp.exp(h[0]) * jnp.eye(2)
+
+    gk = GaussianInterweaveKernel(
+        loglike, chol, lambda h: -0.5 * jnp.sum(h * h),
+        lambda logp: RWMKernel(logp, 0.4),
+    )
+    s = BlockedGibbsSampler([(("h", "e"), (1, 2), gk)], n_chains=64,
+                            seed=0)
+    s.init({"h": np.zeros(1), "e": np.zeros(2)})
+    s.run(300, thin=300)
+    s.chain.clear()
+    s.run(2000, thin=4)
+    h = s.get_block("h", flat=True)[:, 0]
+    # quadrature: y | h ~ N(0, (e^{2h} + sig^2) I)
+    g = np.linspace(-4, 4, 20001)
+    v = np.exp(2 * g) + sig**2
+    lp = (-0.5 * g**2
+          - float(np.sum(np.asarray(y) ** 2)) / (2 * v) - np.log(v))
+    w = np.exp(lp - lp.max()); w /= w.sum()
+    m = float((w * g).sum())
+    sd = float(np.sqrt((w * (g - m) ** 2).sum()))
+    assert h.mean() == pytest.approx(m, abs=0.4 * sd)
+    assert h.std() == pytest.approx(sd, rel=0.25)
