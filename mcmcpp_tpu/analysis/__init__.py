@@ -22,6 +22,7 @@ from mcmcpp_tpu.analysis.diagnostics import (
     mcse_mean,
     summary,
 )
+from mcmcpp_tpu.analysis.bridge import BridgeResult, bridge_log_evidence
 from mcmcpp_tpu.analysis.sbc import (
     sbc_ecdf_band,
     sbc_model,
@@ -50,6 +51,8 @@ __all__ = [
     "compare",
     "loo",
     "waic",
+    "BridgeResult",
+    "bridge_log_evidence",
     "sbc_ecdf_band",
     "sbc_model",
     "sbc_ranks",
