@@ -1406,6 +1406,18 @@ class Model:
 
         return logprior, loglike, dim, constrain, prior_sample
 
+    def prior_predictive(self, key, n_draws, names=None):
+        """Prior-predictive datasets: exact prior draws pushed through
+        every ``observe`` site — the standard first check of the Bayesian
+        workflow (does the model generate data on the right scale at
+        all?). Returns ``({site: (n_draws, *data.shape)}, u)`` where
+        ``u`` is the (n_draws, dim) UNCONSTRAINED prior draws used
+        (feed to ``constrain`` for named parameter values)."""
+        kp, ks = jax.random.split(jax.random.fold_in(key, 0x9D))
+        _, _, _, _, prior_sample = self.build_split()
+        u = prior_sample(kp, int(n_draws))
+        return self.posterior_predictive(ks, u, names=names), np.asarray(u)
+
     def posterior_predictive(self, key, flat_draws, names=None):
         """Replicated datasets from every ``observe`` site.
 

@@ -1158,3 +1158,27 @@ class TestVonMisesCircular:
                          n_particles=4096, n_params=dim, n_mcmc=5, seed=0)
         smc.run()
         assert smc.log_evidence == pytest.approx(logz_true, abs=0.15)
+
+
+def test_prior_predictive():
+    """Prior predictive must match the analytic marginal of the data:
+    y ~ N(0, tau^2 + 1) for theta ~ N(0, tau^2), y|theta ~ N(theta, 1)."""
+    from mcmcpp_tpu.dsl import Model, Normal
+
+    tau = 2.0
+    m = (Model()
+         .param("theta", Normal(0.0, tau))
+         .observe("y", lambda p: Normal(p["theta"], 1.0),
+                  np.zeros(6, np.float32)))
+    sims, u = m.prior_predictive(jax.random.key(0), 20_000)
+    y = sims["y"]
+    assert y.shape == (20_000, 6)
+    assert u.shape == (20_000, 1)
+    assert y.mean() == pytest.approx(0.0, abs=0.05)
+    assert y.std() == pytest.approx(np.sqrt(tau**2 + 1.0), rel=0.02)
+    # within-draw correlation: shared theta induces cov = tau^2
+    c = np.cov(y[:, 0], y[:, 1])[0, 1]
+    assert c == pytest.approx(tau**2, rel=0.05)
+    _, _, _, constrain, _ = m.build_split()
+    th = constrain(u)["theta"]
+    assert th.std() == pytest.approx(tau, rel=0.02)
