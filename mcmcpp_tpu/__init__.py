@@ -63,7 +63,11 @@ from mcmcpp_tpu.gibbs import (
 )
 from mcmcpp_tpu.chain_disk import DiskChain
 from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
-from mcmcpp_tpu.export import to_inference_dict, to_arviz
+from mcmcpp_tpu.export import (
+    nested_to_inference_dict,
+    to_arviz,
+    to_inference_dict,
+)
 
 __version__ = "0.1.0"
 
@@ -77,6 +81,7 @@ __all__ = [
     "IAF",
     "SplineCoupling",
     "to_inference_dict",
+    "nested_to_inference_dict",
     "to_arviz",
     "StretchMove",
     "EnsembleSliceMove",

@@ -69,6 +69,48 @@ def to_inference_dict(sampler, model=None, burn_in=0, thin=1,
     return out
 
 
+def nested_to_inference_dict(sampler_or_result, model=None, n_draws=2000,
+                             seed=0):
+    """``arviz.from_dict`` kwargs from a nested-sampling run.
+
+    Nested sampling yields WEIGHTED dead points; ArviZ wants equal-weight
+    draws, so the posterior group holds a categorical resample (one
+    "chain" of ``n_draws``) and ``sample_stats`` records the evidence
+    ledger (log-likelihood of each resampled point plus scalar logz /
+    logz_err / ess as attributes-style arrays). model: optional DSL
+    Model/constrain for named parameters (see :func:`to_inference_dict`).
+    """
+    from mcmcpp_tpu.nested import NestedResult, NestedSampler
+
+    if isinstance(sampler_or_result, NestedSampler):
+        res = sampler_or_result.result
+        if res is None:
+            raise RuntimeError("call run() first")
+    elif isinstance(sampler_or_result, NestedResult):
+        res = sampler_or_result
+    else:
+        raise TypeError("expected a NestedSampler or NestedResult")
+    rng = np.random.default_rng(seed)
+    w = np.exp(res.logw - res.logw.max())
+    w /= w.sum()
+    idx = rng.choice(w.size, size=int(n_draws), p=w)
+    draws = res.samples[idx]  # (n_draws, P)
+    n, p = draws.shape
+    if model is not None:
+        constrain = model if not hasattr(model, "build") else model.build()[2]
+        named = constrain(draws)
+        posterior = {k: np.asarray(v)[None, ...] for k, v in named.items()}
+    else:
+        posterior = {"theta": draws[None, :, :]}
+    stats = {
+        "log_likelihood": res.logl[idx][None, :],
+        "logz": np.full((1, n), res.logz),
+        "logz_err": np.full((1, n), res.logz_err),
+        "weights_ess": np.full((1, n), res.ess),
+    }
+    return {"posterior": posterior, "sample_stats": stats}
+
+
 def to_arviz(sampler, model=None, burn_in=0, thin=1,
              posterior_predictive=None):
     """``arviz.InferenceData`` (requires arviz; actionable error if absent)."""

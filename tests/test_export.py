@@ -67,3 +67,38 @@ def test_tempering_export():
     d = to_inference_dict(s)
     assert d["posterior"]["theta"].shape == (16, 30, 2)
     assert d["sample_stats"]["lp"].shape == (16, 30)
+
+
+def test_nested_to_inference_dict():
+    from mcmcpp_tpu import NestedSampler
+    from mcmcpp_tpu.export import nested_to_inference_dict
+
+    dim = 2
+
+    def lp(t):
+        return -0.5 * jnp.sum(t**2) / 4.0 - dim / 2 * jnp.log(
+            2 * jnp.pi * 4.0)
+
+    def ll(t):
+        return -0.5 * jnp.sum((t - 1.0) ** 2) - dim / 2 * jnp.log(
+            2 * jnp.pi)
+
+    ns = NestedSampler(lp, ll, lambda k, n: 2.0 * jax.random.normal(
+        k, (n, dim)), n_params=dim, n_live=300, n_mcmc=20, seed=0)
+    ns.run()
+    d = nested_to_inference_dict(ns, n_draws=3000, seed=1)
+    post = d["posterior"]["theta"]
+    assert post.shape == (1, 3000, dim)
+    s2 = 1.0 / (1.0 / 4.0 + 1.0)
+    np.testing.assert_allclose(post.mean((0, 1)), [s2, s2], atol=0.12)
+    assert d["sample_stats"]["logz"].shape == (1, 3000)
+    assert np.isfinite(d["sample_stats"]["log_likelihood"]).all()
+    # result object works too; unfitted sampler is rejected
+    d2 = nested_to_inference_dict(ns.result, n_draws=100)
+    assert d2["posterior"]["theta"].shape == (1, 100, dim)
+    ns2 = NestedSampler(lp, ll, lambda k, n: jax.random.normal(
+        k, (n, dim)), n_params=dim, n_live=50)
+    with pytest.raises(RuntimeError, match="run"):
+        nested_to_inference_dict(ns2)
+    with pytest.raises(TypeError, match="NestedSampler"):
+        nested_to_inference_dict(42)
