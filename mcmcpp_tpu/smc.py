@@ -95,11 +95,27 @@ class SMCSampler:
         steps, and keep every intermediate ensemble as particles.
         ``n_mcmc`` is ignored in this mode. Requires n_particles divisible
         by K+1 with an even quotient.
+    mutation : ``"ensemble"`` (default; the affine-invariant ``mover``,
+        gradient-free) or ``"mala"`` — preconditioned MALA on the
+        tempered target, with the per-dimension proposal scale set from
+        the post-resampling particle spread each stage (the standard
+        adaptive-SMC argument: kernel parameters are measurable wrt the
+        pre-mutation state, so π_β-invariance per particle is preserved;
+        cf. Chopin & Papaspiliopoulos 2020 §17.2). The gradient kernel
+        is the choice in higher dimensions, where stretch acceptance
+        collapses.
+    mala_scale : step multiplier; the proposal sd per dim is
+        ``mala_scale · P^{-1/6} · std_d`` (MALA optimal scaling).
     """
 
     def __init__(self, log_prior_fn, log_like_fn, prior_sample_fn, n_particles,
                  n_params, n_mcmc=5, target_ess=0.5, seed=0, dtype=jnp.float32,
-                 mover=None, mesh=None, waste_free_k=None):
+                 mover=None, mesh=None, waste_free_k=None,
+                 mutation="ensemble", mala_scale=1.0):
+        if mutation not in ("ensemble", "mala"):
+            raise ValueError(f"unknown mutation {mutation!r}")
+        self.mutation = mutation
+        self.mala_scale = float(mala_scale)
         self.log_prior_fn = log_prior_fn
         self.log_like_fn = log_like_fn
         self.prior_sample_fn = prior_sample_fn
@@ -193,21 +209,66 @@ class SMCSampler:
 
         mover_state = self.mover.init_state(self.n_params, self.dtype)
 
-        def mcmc_step(red, black, lpr, lpb, key):
-            kr, kb = jax.random.split(key)
-            red, lpr, _ = self.mover.update_half(
-                kr, red, lpr, black, tempered_batch, mover_state
-            )
-            black, lpb, _ = self.mover.update_half(
-                kb, black, lpb, red, tempered_batch, mover_state
-            )
-            return red, black, lpr, lpb
+        def make_mcmc_step(sd):
+            if self.mutation == "ensemble":
+
+                def mcmc_step(red, black, lpr, lpb, key):
+                    kr, kb = jax.random.split(key)
+                    red, lpr, _ = self.mover.update_half(
+                        kr, red, lpr, black, tempered_batch, mover_state
+                    )
+                    black, lpb, _ = self.mover.update_half(
+                        kb, black, lpb, red, tempered_batch, mover_state
+                    )
+                    return red, black, lpr, lpb
+
+                return mcmc_step
+
+            # preconditioned MALA on the tempered target; proposal sd per
+            # dim from the post-resampling spread (constant through the
+            # stage — a valid adaptive-SMC kernel, see class docstring)
+            s = (self.mala_scale * self.n_params ** (-1.0 / 6.0)
+                 * jnp.maximum(sd, 1e-6))  # (P,)
+
+            def tempered_one(x):
+                return (self.log_prior_fn(x)
+                        + beta_new * self.log_like_fn(x))
+
+            vg = jax.vmap(jax.value_and_grad(tempered_one))
+
+            def half_update(key, x, lp):
+                kp, ka = jax.random.split(key)
+                lp0, g0 = vg(x)
+                noise = jax.random.normal(kp, x.shape, x.dtype)
+                drift = 0.5 * (s**2)[None, :]
+                y = x + drift * g0 + s[None, :] * noise
+                lp1, g1 = vg(y)
+                fwd = -0.5 * jnp.sum(
+                    ((y - x - drift * g0) / s[None, :]) ** 2, axis=1
+                )
+                rev = -0.5 * jnp.sum(
+                    ((x - y - drift * g1) / s[None, :]) ** 2, axis=1
+                )
+                log_ratio = lp1 - lp0 + rev - fwd
+                log_u = -jax.random.exponential(ka, lp0.shape, lp0.dtype)
+                acc = log_u < log_ratio
+                return (jnp.where(acc[:, None], y, x),
+                        jnp.where(acc, lp1, lp0))
+
+            def mcmc_step(red, black, lpr, lpb, key):
+                kr, kb = jax.random.split(key)
+                red, lpr = half_update(kr, red, lpr)
+                black, lpb = half_update(kb, black, lpb)
+                return red, black, lpr, lpb
+
+            return mcmc_step
 
         if self.waste_free_k is None:
             idx = systematic_resample(k_rs, log_w, self.n)
             particles = jnp.take(state.particles, idx, axis=0)
             lp = jnp.take(state.log_prior, idx)
             ll = jnp.take(state.log_like, idx)
+            mcmc_step = make_mcmc_step(jnp.std(particles, axis=0))
             half = self.n // 2
             logp_t = lp + beta_new * ll
 
@@ -231,6 +292,7 @@ class SMCSampler:
             seeds = jnp.take(state.particles, idx, axis=0)
             lp_s = jnp.take(state.log_prior, idx)
             ll_s = jnp.take(state.log_like, idx)
+            mcmc_step = make_mcmc_step(jnp.std(seeds, axis=0))
             half = m // 2
             logp_t = lp_s + beta_new * ll_s
 

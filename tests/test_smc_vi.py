@@ -161,3 +161,61 @@ class TestWasteFreeSMC:
         assert float(s.state.beta) == 1.0
         p = s.particles
         np.testing.assert_allclose(p.mean(axis=0), [mu_n, mu_n], atol=0.12)
+
+
+class TestMalaMutation:
+    """Gradient (MALA) mutation kernel: same evidence/moment oracles as
+    the ensemble mover, plus a higher-dim case where it matters."""
+
+    def _model(self, dim):
+        s2 = 1.0 / (1.0 / 4.0 + 1.0)
+        logz = dim * (-0.5 * np.log(2 * np.pi * 5.0) - 0.5 / 5.0)
+
+        def lp(t):
+            return (-0.5 * jnp.sum(t**2) / 4.0
+                    - dim / 2 * jnp.log(2 * jnp.pi * 4.0))
+
+        def ll(t):
+            return (-0.5 * jnp.sum((t - 1.0) ** 2)
+                    - dim / 2 * jnp.log(2 * jnp.pi))
+
+        def ps(key, n):
+            return 2.0 * jax.random.normal(key, (n, dim))
+
+        return lp, ll, ps, s2, logz
+
+    def test_evidence_and_moments(self):
+        lp, ll, ps, s2, logz = self._model(2)
+        s = SMCSampler(lp, ll, ps, n_particles=2048, n_params=2,
+                       n_mcmc=5, seed=0, mutation="mala")
+        s.run()
+        p = s.particles
+        np.testing.assert_allclose(p.mean(0), [s2, s2], atol=0.08)
+        np.testing.assert_allclose(p.var(0), [s2, s2], atol=0.12)
+        assert s.log_evidence == pytest.approx(logz, abs=0.15)
+
+    @pytest.mark.slow
+    def test_higher_dim_evidence(self):
+        dim = 16
+        lp, ll, ps, s2, logz = self._model(dim)
+        s = SMCSampler(lp, ll, ps, n_particles=4096, n_params=dim,
+                       n_mcmc=8, seed=1, mutation="mala")
+        s.run()
+        assert s.log_evidence == pytest.approx(logz, abs=0.6)
+        np.testing.assert_allclose(
+            s.particles.mean(0), np.full(dim, s2), atol=0.1)
+
+    def test_waste_free_mala(self):
+        lp, ll, ps, s2, logz = self._model(2)
+        s = SMCSampler(lp, ll, ps, n_particles=2048, n_params=2, seed=2,
+                       mutation="mala", waste_free_k=7)
+        s.run()
+        assert s.log_evidence == pytest.approx(logz, abs=0.2)
+        np.testing.assert_allclose(
+            s.particles.mean(0), [s2, s2], atol=0.1)
+
+    def test_unknown_mutation_rejected(self):
+        lp, ll, ps, _, _ = self._model(2)
+        with pytest.raises(ValueError, match="unknown mutation"):
+            SMCSampler(lp, ll, ps, n_particles=64, n_params=2,
+                       mutation="hmc")
