@@ -67,19 +67,20 @@ def sbc_uniformity(ranks, n_posterior_draws, n_bins=None):
     ranks = np.asarray(ranks)
     n_sims, n_q = ranks.shape
     levels = int(n_posterior_draws) + 1  # ranks live on {0..L}
-    if n_bins is None:
-        n_bins = min(levels, 20, max(2, n_sims // 5))
-    n_bins = int(n_bins)
-    if levels % n_bins:
-        # uneven bins would bias the test; shrink to a divisor
-        divisors = [b for b in range(n_bins, 0, -1) if levels % b == 0]
-        n_bins = divisors[0]
-    edges = np.arange(n_bins + 1) * (levels // n_bins)
-    expected = n_sims / n_bins
+    n_bins = int(min(levels, 20, max(2, n_sims // 5))
+                 if n_bins is None else n_bins)
+    n_bins = max(2, min(n_bins, levels))
+    # bins need not divide the level count (levels is often prime, e.g.
+    # L=100 → 101): integer edges give each bin a KNOWN number of rank
+    # values, and the per-bin expectation follows from that — the null
+    # stays exact for any levels/n_bins combination
+    edges = np.round(np.linspace(0, levels, n_bins + 1)).astype(int)
+    per_bin = np.diff(edges)  # integers per bin (differ by at most 1)
+    expected = n_sims * per_bin / levels
     stats = np.empty(n_q)
     for q in range(n_q):
         counts, _ = np.histogram(ranks[:, q], bins=edges)
-        stats[q] = np.sum((counts - expected) ** 2) / expected
+        stats[q] = np.sum((counts - expected) ** 2 / expected)
     df = n_bins - 1
     from jax.scipy.special import gammaincc
 

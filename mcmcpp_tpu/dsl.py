@@ -767,12 +767,24 @@ class Mixture(Distribution):
             raise ValueError("need >= 2 mixture components")
         if (weights is None) == (logits is None):
             raise ValueError("pass exactly one of weights= or logits=")
-        t0 = type(components[0].transform)
-        if any(type(c.transform) is not t0 for c in components[1:]):
+        def sig(c):
+            # type AND bound parameters: two LowerBound transforms with
+            # different cutoffs are different supports
+            t = c.transform
+            params = tuple(
+                sorted(
+                    (k, float(v)) for k, v in vars(t).items()
+                    if isinstance(v, (int, float))
+                )
+            )
+            return (type(t).__name__, params)
+
+        s0 = sig(components[0])
+        if any(sig(c) != s0 for c in components[1:]):
             raise ValueError(
                 "mixture components must share support (their sampler "
                 "transforms differ: "
-                f"{[type(c.transform).__name__ for c in components]})"
+                f"{[sig(c) for c in components]})"
             )
         self.components = list(components)
         raw = (jnp.asarray(logits) if logits is not None
@@ -899,8 +911,10 @@ class InverseGamma(Distribution):
 
     def logpdf(self, x):
         a, b = self.concentration, self.scale
-        return (a * jnp.log(b) - jax.scipy.special.gammaln(a)
-                - (a + 1.0) * jnp.log(x) - b / x)
+        xs = jnp.maximum(x, 1e-38)
+        lp = (a * jnp.log(b) - jax.scipy.special.gammaln(a)
+              - (a + 1.0) * jnp.log(xs) - b / xs)
+        return jnp.where(x > 0, lp, -jnp.inf)
 
     def cdf(self, x):
         return jax.scipy.special.gammaincc(
@@ -922,8 +936,9 @@ class Weibull(Distribution):
 
     def logpdf(self, x):
         k, lam = self.concentration, self.scale
-        z = x / lam
-        return jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
+        z = jnp.maximum(x, 1e-38) / lam
+        lp = jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
+        return jnp.where(x > 0, lp, -jnp.inf)
 
     def cdf(self, x):
         z = jnp.maximum(x, 0.0) / self.scale
@@ -962,8 +977,11 @@ class Pareto(Distribution):
 
     def logpdf(self, x):
         a = self.concentration
-        return (jnp.log(a) + a * jnp.log(self.scale)
-                - (a + 1.0) * jnp.log(x))
+        lp = (jnp.log(a) + a * jnp.log(self.scale)
+              - (a + 1.0) * jnp.log(jnp.maximum(x, 1e-38)))
+        # support indicator: a mixture/observe site evaluating below x_m
+        # must see zero density, not an extrapolated power law
+        return jnp.where(x >= self.scale, lp, -jnp.inf)
 
     def cdf(self, x):
         return -jnp.expm1(
@@ -1100,13 +1118,14 @@ class VonMises(Distribution):
                 - jnp.log(2.0 * jnp.pi) - log_i0)
 
     def sample(self, key, shape=()):
-        k = jnp.asarray(self.concentration, jnp.float32)
-        # Best & Fisher 1979 (as in Mardia & Jupp, Fisher 1993 §3.3.6)
-        tau = 1.0 + jnp.sqrt(1.0 + 4.0 * k * k)
-        rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * k)
-        r = (1.0 + rho * rho) / (2.0 * rho)
+        def draw_one(key, k):
+            # Best & Fisher 1979 (as in Mardia & Jupp, Fisher 1993
+            # §3.3.6); k is a per-draw scalar so array-valued
+            # concentrations broadcast through the vmap
+            tau = 1.0 + jnp.sqrt(1.0 + 4.0 * k * k)
+            rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * k)
+            r = (1.0 + rho * rho) / (2.0 * rho)
 
-        def draw_one(key):
             def cond(c):
                 done, *_ = c
                 return ~done
@@ -1134,9 +1153,16 @@ class VonMises(Distribution):
             )
             return theta
 
+        shape = tuple(shape)
         n = int(np.prod(shape)) if shape else 1
-        thetas = jax.vmap(draw_one)(jax.random.split(key, n))
-        out = jnp.mod(thetas + self.loc + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        conc = jnp.broadcast_to(
+            jnp.asarray(self.concentration, jnp.float32), shape or ()
+        ).reshape(n)
+        thetas = jax.vmap(draw_one)(jax.random.split(key, n), conc)
+        loc = jnp.broadcast_to(
+            jnp.asarray(self.loc, jnp.float32), shape or ()
+        ).reshape(n)
+        out = jnp.mod(thetas + loc + jnp.pi, 2.0 * jnp.pi) - jnp.pi
         return out.reshape(shape) if shape else out[0]
 
 

@@ -204,36 +204,30 @@ class EllipticalSliceSampler:
             raise RuntimeError("call init/init_prior first")
         thin = int(thin)
         n_store = int(n_steps) // thin
-        from mcmcpp_tpu.chain import default_chunk_steps
+        from mcmcpp_tpu.chain import default_chunk_steps, run_pipelined
 
         chunk = default_chunk_steps(self.n_chains, self.n_params, self.dtype)
-        done, ok, pending = 0, True, None
-        while done < n_store or pending is not None:
-            if done < n_store:
-                take = min(chunk, n_store - done)
-                fn = self._run_cache.get((take, thin))
-                if fn is None:
-                    fn = jax.jit(
-                        lambda st, k, t=take, th=thin: self._run_scan(
-                            st, k, t, th
-                        )
+
+        def launch(take):
+            fn = self._run_cache.get((take, thin))
+            if fn is None:
+                fn = jax.jit(
+                    lambda st, k, t=take, th=thin: self._run_scan(
+                        st, k, t, th
                     )
-                    self._run_cache[(take, thin)] = fn
-                self._key, run_key = jax.random.split(self._key)
-                self.state, pos, ll = fn(self.state, run_key)
-                done += take
-                launched = (pos, ll)
-            else:
-                launched = None
-            if pending is not None:
-                self.chain, appended = append_device_chunk(
-                    self.chain, pending[0], pending[1]
                 )
-                if not appended:
-                    ok = False
-                    break
-            pending = launched
-        return ok
+                self._run_cache[(take, thin)] = fn
+            self._key, run_key = jax.random.split(self._key)
+            self.state, pos, ll = fn(self.state, run_key)
+            return (pos, ll)
+
+        def fetch(futures):
+            self.chain, appended = append_device_chunk(
+                self.chain, futures[0], futures[1]
+            )
+            return appended
+
+        return run_pipelined(n_store, chunk, launch, fetch)
 
     def get_samples(self, burn_in=0, thin=1, flat=False):
         return self.chain.get(burn_in=burn_in, thin=thin, flat=flat)

@@ -176,7 +176,7 @@ def save_checkpoint(sampler, path):
                 ll_black=np.asarray(s.ll_black),
                 ll_mean=np.asarray(s.ll_mean), ll_m2=np.asarray(s.ll_m2),
                 ss_max=np.asarray(s.ss_max), ss_sum=np.asarray(s.ss_sum),
-                acc_n=np.asarray(s.acc_n),
+                acc_n=np.asarray(s.acc_n), ll_n=np.asarray(s.ll_n),
             )
     elif _is_smc(sampler):
         if sampler.state is None:
@@ -358,6 +358,7 @@ def load_checkpoint(sampler, path):
                 ss_max=jnp.asarray(arrays["ss_max"]),
                 ss_sum=jnp.asarray(arrays["ss_sum"]),
                 acc_n=jnp.asarray(arrays["acc_n"]),
+                ll_n=jnp.asarray(arrays["ll_n"]),
             )
         sampler.state = PTState(
             red=jnp.asarray(arrays["red"]),

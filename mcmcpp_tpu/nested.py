@@ -303,13 +303,14 @@ class NestedSampler:
             d_ll = np.asarray(d_ll, np.float64)
             dead_pos.append(np.asarray(dead))
             dead_ll_all.append(d_ll)
-            # shell weights: w_j = X_{j-1} - X_j at likelihood L_j
+            # shell weights in LOG space: log(X_{j-1} − X_j) =
+            # log X_{j-1} + log(−expm1(Δlog X)); linear-space subtraction
+            # underflows once log X < ~−745 (high-information runs) and
+            # would silently clamp every deep shell to the same width
             logx_new = logx - logx_steps  # (B,) volumes after each death
-            x_prev = np.exp(np.concatenate([[logx], logx_new[:-1]]))
-            x_new = np.exp(logx_new)
-            w = np.maximum(x_prev - x_new, 1e-300)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                logw = np.log(w) + d_ll
+            logx_prev = np.concatenate([[logx], logx_new[:-1]])
+            log_width = logx_prev + np.log(-np.expm1(logx_new - logx_prev))
+            logw = log_width + d_ll
             dead_logw.append(logw)
             logz = np.logaddexp(logz, _logsumexp(logw))
             logx = float(logx_new[-1])

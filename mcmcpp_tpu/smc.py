@@ -210,9 +210,14 @@ class SMCSampler:
         mover_state = self.mover.init_state(self.n_params, self.dtype)
 
         def make_mcmc_step(sd):
+            """Returns (step, init_carry): ``step(red, black, carry, key)
+            -> (red, black, carry)`` with a mode-specific carry (tempered
+            logps; MALA also carries gradients so each step costs ONE
+            value_and_grad sweep)."""
             if self.mutation == "ensemble":
 
-                def mcmc_step(red, black, lpr, lpb, key):
+                def mcmc_step(red, black, carry, key):
+                    lpr, lpb = carry
                     kr, kb = jax.random.split(key)
                     red, lpr, _ = self.mover.update_half(
                         kr, red, lpr, black, tempered_batch, mover_state
@@ -220,13 +225,15 @@ class SMCSampler:
                     black, lpb, _ = self.mover.update_half(
                         kb, black, lpb, red, tempered_batch, mover_state
                     )
-                    return red, black, lpr, lpb
+                    return red, black, (lpr, lpb)
 
-                return mcmc_step
+                return mcmc_step, lambda red, black, lpr, lpb: (lpr, lpb)
 
             # preconditioned MALA on the tempered target; proposal sd per
             # dim from the post-resampling spread (constant through the
-            # stage — a valid adaptive-SMC kernel, see class docstring)
+            # stage — a valid adaptive-SMC kernel, see class docstring).
+            # The (lp, grad) pair is CARRIED between steps, so each step
+            # costs one value_and_grad sweep (at the proposal), not two.
             s = (self.mala_scale * self.n_params ** (-1.0 / 6.0)
                  * jnp.maximum(sd, 1e-6))  # (P,)
 
@@ -236,9 +243,8 @@ class SMCSampler:
 
             vg = jax.vmap(jax.value_and_grad(tempered_one))
 
-            def half_update(key, x, lp):
+            def half_update(key, x, lp0, g0):
                 kp, ka = jax.random.split(key)
-                lp0, g0 = vg(x)
                 noise = jax.random.normal(kp, x.shape, x.dtype)
                 drift = 0.5 * (s**2)[None, :]
                 y = x + drift * g0 + s[None, :] * noise
@@ -253,35 +259,49 @@ class SMCSampler:
                 log_u = -jax.random.exponential(ka, lp0.shape, lp0.dtype)
                 acc = log_u < log_ratio
                 return (jnp.where(acc[:, None], y, x),
-                        jnp.where(acc, lp1, lp0))
+                        jnp.where(acc, lp1, lp0),
+                        jnp.where(acc[:, None], g1, g0))
 
-            def mcmc_step(red, black, lpr, lpb, key):
+            def mcmc_step(red, black, carry, key):
+                (lpr, gr), (lpb, gb) = carry
                 kr, kb = jax.random.split(key)
-                red, lpr = half_update(kr, red, lpr)
-                black, lpb = half_update(kb, black, lpb)
-                return red, black, lpr, lpb
+                red, lpr, gr = half_update(kr, red, lpr, gr)
+                black, lpb, gb = half_update(kb, black, lpb, gb)
+                return red, black, ((lpr, gr), (lpb, gb))
 
-            return mcmc_step
+            def init_carry(red, black, lpr, lpb):
+                # lpr/lpb hold the tempered logp already; only the
+                # gradients need one initial sweep
+                _, gr = vg(red)
+                _, gb = vg(black)
+                return ((lpr, gr), (lpb, gb))
+
+            return mcmc_step, init_carry
 
         if self.waste_free_k is None:
             idx = systematic_resample(k_rs, log_w, self.n)
             particles = jnp.take(state.particles, idx, axis=0)
             lp = jnp.take(state.log_prior, idx)
             ll = jnp.take(state.log_like, idx)
-            mcmc_step = make_mcmc_step(jnp.std(particles, axis=0))
+            mcmc_step, init_carry = make_mcmc_step(
+                jnp.std(particles, axis=0)
+            )
             half = self.n // 2
             logp_t = lp + beta_new * ll
+            carry0 = init_carry(
+                particles[:half], particles[half:], logp_t[:half],
+                logp_t[half:],
+            )
 
-            def mcmc_body(i, carry):
-                red, black, lpr, lpb, key = carry
+            def mcmc_body(i, c):
+                red, black, inner, key = c
                 key, ks = jax.random.split(key)
-                red, black, lpr, lpb = mcmc_step(red, black, lpr, lpb, ks)
-                return red, black, lpr, lpb, key
+                red, black, inner = mcmc_step(red, black, inner, ks)
+                return red, black, inner, key
 
-            red, black, lpr, lpb, _ = jax.lax.fori_loop(
+            red, black, _, _ = jax.lax.fori_loop(
                 0, self.n_mcmc, mcmc_body,
-                (particles[:half], particles[half:], logp_t[:half],
-                 logp_t[half:], k_mut),
+                (particles[:half], particles[half:], carry0, k_mut),
             )
             particles = jnp.concatenate([red, black], axis=0)
         else:
@@ -292,20 +312,24 @@ class SMCSampler:
             seeds = jnp.take(state.particles, idx, axis=0)
             lp_s = jnp.take(state.log_prior, idx)
             ll_s = jnp.take(state.log_like, idx)
-            mcmc_step = make_mcmc_step(jnp.std(seeds, axis=0))
+            mcmc_step, init_carry = make_mcmc_step(jnp.std(seeds, axis=0))
             half = m // 2
             logp_t = lp_s + beta_new * ll_s
+            carry0 = init_carry(
+                seeds[:half], seeds[half:], logp_t[:half], logp_t[half:]
+            )
 
             def scan_body(carry, key):
-                red, black, lpr, lpb = mcmc_step(*carry, key)
-                return (red, black, lpr, lpb), jnp.concatenate(
+                red, black, inner = carry
+                red, black, inner = mcmc_step(red, black, inner, key)
+                return (red, black, inner), jnp.concatenate(
                     [red, black], axis=0
                 )
 
             keys = jax.random.split(k_mut, self.waste_free_k)
             _, visited = jax.lax.scan(
                 scan_body,
-                (seeds[:half], seeds[half:], logp_t[:half], logp_t[half:]),
+                (seeds[:half], seeds[half:], carry0),
                 keys,
             )  # visited: (K, m, P)
             particles = jnp.concatenate(

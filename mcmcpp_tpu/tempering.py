@@ -40,6 +40,7 @@ class PTState(NamedTuple):
     ss_max: jax.Array = None  # (K-1,) streaming logsumexp max of dβ·ll
     ss_sum: jax.Array = None  # (K-1,) streaming logsumexp scaled sum
     acc_n: jax.Array = None  # () float32 number of accumulated steps
+    ll_n: jax.Array = None  # (K,) steps with a FINITE walker-mean log L
 
 
 def geometric_ladder(n_temps, beta_min=0.01):
@@ -306,6 +307,7 @@ class ParallelTemperingSampler:
             ss_max=jnp.full((k - 1,), -jnp.inf, self.dtype),
             ss_sum=jnp.zeros((k - 1,), self.dtype),
             acc_n=jnp.zeros((), self.dtype),
+            ll_n=jnp.zeros((k,), self.dtype),
         )
 
     def _constrain(self, state: PTState) -> PTState:
@@ -322,7 +324,7 @@ class ParallelTemperingSampler:
                 # swap counters: replicated so every host can read them
                 ll_mean=r(state.ll_mean), ll_m2=r(state.ll_m2),
                 ss_max=r(state.ss_max), ss_sum=r(state.ss_sum),
-                acc_n=r(state.acc_n),
+                acc_n=r(state.acc_n), ll_n=r(state.ll_n),
             )
         return state._replace(
             red=c(state.red), black=c(state.black),
@@ -437,12 +439,24 @@ class ParallelTemperingSampler:
         )
         # --- evidence accumulators (one observation = this step) ---------
         ll_all = jnp.concatenate([ll_red, ll_black], axis=1)  # (K, W)
-        # TI: Welford over per-step walker-means of log L (β descending)
+        # TI: Welford over per-step walker-means of log L (β descending),
+        # per-rung finite-masked — one -inf walker (hard-constraint
+        # likelihoods) must not poison the accumulator into NaN forever
         step_mean = jnp.mean(ll_all, axis=1)  # (K,)
+        finite = jnp.isfinite(step_mean)
+        safe_mean = jnp.where(finite, step_mean, 0.0)
         n_new = state.acc_n + 1.0
-        delta = step_mean - state.ll_mean
-        ll_mean = state.ll_mean + delta / n_new
-        ll_m2 = state.ll_m2 + delta * (step_mean - ll_mean)
+        ll_n = state.ll_n + finite.astype(self.dtype)
+        denom = jnp.maximum(ll_n, 1.0)
+        delta = safe_mean - state.ll_mean
+        ll_mean = jnp.where(
+            finite, state.ll_mean + delta / denom, state.ll_mean
+        )
+        ll_m2 = jnp.where(
+            finite,
+            state.ll_m2 + delta * (safe_mean - ll_mean),
+            state.ll_m2,
+        )
         # stepping stone: streaming logsumexp of dβ_k·ll over the β_{k+1}
         # (lower) rung's walkers, merged one per-step LSE at a time
         dbeta = self.betas[:-1] - self.betas[1:]  # (K-1,)
@@ -461,7 +475,8 @@ class ParallelTemperingSampler:
         return PTState(red, black, lp_red, lp_black, state.step + 1,
                        swaps_acc, swaps_prop, ll_red=ll_red,
                        ll_black=ll_black, ll_mean=ll_mean, ll_m2=ll_m2,
-                       ss_max=m_new, ss_sum=ss_sum, acc_n=n_new)
+                       ss_max=m_new, ss_sum=ss_sum, acc_n=n_new,
+                       ll_n=ll_n)
 
     def _scan_fn(self, n_store, thin):
         fn = self._run_cache.get((n_store, thin))
@@ -516,25 +531,19 @@ class ParallelTemperingSampler:
         leftover = int(n_steps) - n_store * thin
         # bound the scan's device output to ~64 MiB per chunk
         chunk = default_chunk_steps(self.n_walkers, self.n_params, self.dtype)
-        done = 0
-        ok = True
-        pending = None  # pipelined store: launch chunk k, fetch chunk k-1
-        while done < n_store or pending is not None:
-            if done < n_store:
-                take = min(chunk, n_store - done)
-                self.state, launched = self._scan_fn(take, thin)(self.state)
-                done += take
-            else:
-                launched = None
-            if pending is not None:
-                self.chain, appended = append_device_chunk(
-                    self.chain, pending[0], pending[1]
-                )
-                if not appended:
-                    ok = False
-                    pending = None
-                    break
-            pending = launched
+        from mcmcpp_tpu.chain import run_pipelined
+
+        def launch(take):
+            self.state, launched = self._scan_fn(take, thin)(self.state)
+            return launched
+
+        def fetch(futures):
+            self.chain, appended = append_device_chunk(
+                self.chain, futures[0], futures[1]
+            )
+            return appended
+
+        ok = run_pipelined(n_store, chunk, launch, fetch)
         if ok and leftover:
             fn = self._run_cache.get(("leftover", leftover))
             if fn is None:
@@ -564,7 +573,19 @@ class ParallelTemperingSampler:
         Vousden-et-al.-style scheme): pairs swapping too often move apart,
         pairs swapping too rarely move together; β[0] stays 1. Call before
         production sampling (the chain is cleared afterwards). Returns self.
+
+        Not available in power-posterior mode: the evidence estimators
+        REQUIRE the declared ladder (stepping stone bridges exactly the
+        declared Δβ gaps; TI needs the β=0 prior rung, whose log-gap is
+        infinite and would be destroyed by the multiplicative update).
+        Use ``power_ladder(K, exponent)`` to shape evidence ladders.
         """
+        if self._power:
+            raise RuntimeError(
+                "tune_ladder is not supported in power-posterior mode — "
+                "the β=0 rung is required and log-gap tuning would remove "
+                "it; shape the ladder with power_ladder(K, exponent)"
+            )
         if self.state is None:
             raise RuntimeError("call init_ball first")
         log_gaps = -np.diff(np.log(np.asarray(self.betas, np.float64)))
@@ -586,10 +607,6 @@ class ParallelTemperingSampler:
         self.chain.clear()
         self._swaps_acc_host[:] = 0
         self._swaps_prop_host[:] = 0
-        if self._power:
-            # the SS/TI accumulators are defined w.r.t. the ladder spacing;
-            # a new ladder invalidates them
-            self.reset_evidence()
         return self
 
     # -- evidence (power-posterior mode) ------------------------------------
@@ -633,12 +650,21 @@ class ParallelTemperingSampler:
             return float(np.sum(terms))
         if method == "ti":
             betas, means = self.ti_curve()
-            if betas[0] > 1e-6:
-                import warnings
+            import warnings
 
+            if betas[0] > 1e-6:
                 warnings.warn(
                     f"TI ladder starts at β={betas[0]:.4g}, not 0 — the "
                     "integral misses the prior end; use power_ladder",
+                    stacklevel=2,
+                )
+            ll_n = np.asarray(self.state.ll_n, np.float64)
+            if (ll_n < float(self.state.acc_n)).any():
+                warnings.warn(
+                    "some rungs had steps with non-finite mean log L "
+                    "(hard-constraint likelihood); the TI integrand is "
+                    "conditioned on finite steps and may be biased — "
+                    "prefer stepping_stone",
                     stacklevel=2,
                 )
             return float(np.trapezoid(means, betas))

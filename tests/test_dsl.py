@@ -1182,3 +1182,28 @@ def test_prior_predictive():
     _, _, _, constrain, _ = m.build_split()
     th = constrain(u)["theta"]
     assert th.std() == pytest.approx(tau, rel=0.02)
+
+
+def test_support_guards_round2_review():
+    """Code-review regressions: support indicators on the new positive
+    distributions; Mixture rejects same-type transforms with different
+    bounds; VonMises.sample takes array parameters."""
+    from mcmcpp_tpu.dsl import (
+        InverseGamma, Mixture, Pareto, VonMises, Weibull,
+    )
+
+    assert float(Pareto(2.0, 3.0).logpdf(1.5)) == -np.inf
+    assert np.isfinite(float(Pareto(2.0, 3.0).logpdf(2.5)))
+    assert float(Weibull(1.5, 2.0).logpdf(-0.5)) == -np.inf
+    assert float(InverseGamma(2.0, 1.0).logpdf(-1.0)) == -np.inf
+    with pytest.raises(ValueError, match="share support"):
+        Mixture([Pareto(1.0, 2.0), Pareto(2.0, 2.0)], weights=[0.5, 0.5])
+    x = VonMises(
+        loc=jnp.array([0.0, 1.0, -1.0]),
+        concentration=jnp.array([1.0, 2.0, 4.0]),
+    ).sample(jax.random.key(0), (2000, 3))
+    assert x.shape == (2000, 3)
+    c = np.exp(1j * np.asarray(x)).mean(0)
+    np.testing.assert_allclose(np.angle(c), [0.0, 1.0, -1.0], atol=0.1)
+    # higher concentration -> longer resultant
+    assert np.abs(c[2]) > np.abs(c[1]) > np.abs(c[0])

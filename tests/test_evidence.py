@@ -202,3 +202,39 @@ def test_zero_likelihood_region_recovers():
     assert ss == pytest.approx(truth, abs=0.25)
     # all cold-chain samples landed in the support
     assert (pt.get_samples(flat=True) >= 0).all()
+
+
+def test_tune_ladder_rejected_in_power_mode():
+    """Log-gap tuning would destroy the required β=0 rung and silently
+    invalidate the evidence contract — must raise."""
+    pt = ParallelTemperingSampler(
+        loglike_fn=loglike, logprior_fn=logprior, n_walkers=16,
+        n_params=1, betas=power_ladder(4), seed=0,
+    )
+    pt.init_ball(np.zeros(1), scale=1.0)
+    with pytest.raises(RuntimeError, match="power-posterior"):
+        pt.tune_ladder(n_blocks=1, block_steps=5)
+
+
+def test_ti_survives_hard_constraints():
+    """A -inf log-likelihood walker must not NaN-poison the TI Welford
+    accumulator (per-rung finite masking); TI warns and stays finite."""
+
+    def ll_gated(t):
+        return jnp.where(
+            t[0] < 0.0, -jnp.inf, -0.5 * jnp.sum((t - 1.0) ** 2)
+        )
+
+    pt = ParallelTemperingSampler(
+        loglike_fn=ll_gated, logprior_fn=logprior, n_walkers=64,
+        n_params=1, betas=power_ladder(6), seed=0,
+    )
+    pt.init_ball(np.full(1, -2.0), scale=0.3)  # all walkers start dead
+    pt.run_mcmc(200, thin=200)
+    pt.reset_evidence()
+    pt.run_mcmc(300, thin=5)
+    with pytest.warns(UserWarning, match="non-finite|conditioned"):
+        ti = pt.log_evidence("ti")
+    assert np.isfinite(ti)
+    betas, means = pt.ti_curve()
+    assert np.isfinite(means[1:]).all()  # all rungs above β=0 recovered

@@ -182,3 +182,20 @@ def test_ecdf_band_calibrated_passes_broken_fails():
         hits += int(sbc_ecdf_band(r, L_DRAWS, n_sim=1500,
                                   seed=4)["reject"][0])
     assert 1 <= hits <= 25, f"null rejection rate off: {hits}/200"
+
+
+def test_uniformity_prime_levels_regression():
+    """L=100 → 101 levels (prime): the old divisor-based binning collapsed
+    to one bin (df=0, p=NaN); integer-edge bins with per-bin expectations
+    keep the test exact for any L."""
+    L = 100
+    rng = np.random.default_rng(1)
+    ranks = rng.integers(0, L + 1, size=(400, 1))
+    stats, p = sbc_uniformity(ranks, L)
+    assert np.isfinite(stats).all() and np.isfinite(p).all()
+    assert p[0] > 0.01  # uniform ranks must pass
+    assert "calibrated" in sbc_summary(ranks, L)
+    # a broken pipeline at prime levels is still flagged
+    bad = np.clip(rng.integers(0, (L + 1) // 3, size=(400, 1)), 0, L)
+    stats_b, p_b = sbc_uniformity(bad, L)
+    assert p_b[0] < 1e-6
