@@ -455,6 +455,9 @@ class Exponential(Distribution):
     def cdf(self, x):
         return -jnp.expm1(-self.rate * jnp.maximum(x, 0.0))
 
+    def log_sf(self, x):
+        return -self.rate * jnp.maximum(x, 0.0)
+
     def sample(self, key, shape=()):
         return jax.random.exponential(key, shape) / self.rate
 
@@ -944,6 +947,10 @@ class Weibull(Distribution):
         z = jnp.maximum(x, 0.0) / self.scale
         return -jnp.expm1(-(z**self.concentration))
 
+    def log_sf(self, x):
+        z = jnp.maximum(x, 0.0) / self.scale
+        return -(z**self.concentration)
+
     def sample(self, key, shape=()):
         e = jax.random.exponential(key, shape)
         return self.scale * e ** (1.0 / self.concentration)
@@ -1072,6 +1079,55 @@ class Multinomial(Distribution):
             key, jnp.asarray(self.n, jnp.float32),
             jnp.exp(self.log_p), shape=tuple(shape) + (k,),
         ).astype(jnp.float32)
+
+
+class Censored(Distribution):
+    """Censored-observation wrapper for ``observe`` sites (survival
+    analysis, detection limits).
+
+    ``right``/``left`` (give at least one) are boolean masks
+    broadcastable to the data: True entries are censored, and their data
+    value is the CENSORING time/limit. The density is the base logpdf at
+    uncensored entries, ``log S(x) = log(1 - CDF(x))`` at right-censored
+    entries (event after x) and ``log CDF(x)`` at left-censored entries
+    (event before x). Bases with an exact ``log_sf`` (Exponential,
+    Weibull) use it; otherwise ``log1p(-cdf)`` with clipping.
+
+    ``sample`` draws from the UNCENSORED base — posterior-predictive
+    replication simulates latent event times (apply the censoring rule
+    downstream if you need observed-scale replicates).
+    """
+
+    def __init__(self, base, right=None, left=None):
+        if right is None and left is None:
+            raise ValueError("pass right= and/or left= censoring masks")
+        if not hasattr(base, "cdf") and not hasattr(base, "log_sf"):
+            raise ValueError(
+                f"{type(base).__name__} has no cdf/log_sf — cannot censor"
+            )
+        self.base = base
+        self.right = None if right is None else jnp.asarray(right, bool)
+        self.left = None if left is None else jnp.asarray(left, bool)
+        self.transform = base.transform
+
+    def _log_sf(self, x):
+        if hasattr(self.base, "log_sf"):
+            return self.base.log_sf(x)
+        return jnp.log1p(-jnp.clip(self.base.cdf(x), 0.0, 1.0 - 1e-7))
+
+    def _log_cdf(self, x):
+        return jnp.log(jnp.clip(self.base.cdf(x), 1e-38, 1.0))
+
+    def logpdf(self, x):
+        lp = self.base.logpdf(x)
+        if self.right is not None:
+            lp = jnp.where(self.right, self._log_sf(x), lp)
+        if self.left is not None:
+            lp = jnp.where(self.left, self._log_cdf(x), lp)
+        return lp
+
+    def sample(self, key, shape=()):
+        return self.base.sample(key, shape)
 
 
 class ZeroInflatedPoisson(Distribution):

@@ -1207,3 +1207,67 @@ def test_support_guards_round2_review():
     np.testing.assert_allclose(np.angle(c), [0.0, 1.0, -1.0], atol=0.1)
     # higher concentration -> longer resultant
     assert np.abs(c[2]) > np.abs(c[1]) > np.abs(c[0])
+
+
+class TestCensored:
+    def test_exponential_censoring_conjugate_oracle(self):
+        """Exponential survival with right censoring: the rate posterior
+        is EXACTLY Gamma(a0 + n_events, b0 + total_exposure) — censored
+        rows contribute exposure only."""
+        from mcmcpp_tpu import NUTSSampler
+        from mcmcpp_tpu.dsl import Censored, Exponential, Gamma, Model
+
+        rng = np.random.default_rng(0)
+        true_rate = 0.7
+        t_event = rng.exponential(1.0 / true_rate, 60)
+        c_time = rng.uniform(0.5, 3.0, 60)
+        observed = np.minimum(t_event, c_time).astype(np.float32)
+        censored = (t_event > c_time)
+        a0, b0 = 2.0, 1.0
+        m = (Model()
+             .param("rate", Gamma(a0, b0))
+             .observe("t", lambda p: Censored(
+                 Exponential(p["rate"]), right=censored), observed))
+        logp, dim, constrain = m.build()
+        s = NUTSSampler(logp, n_chains=16, n_params=dim, seed=0)
+        s.init_ball(np.zeros(dim), scale=0.3)
+        s.warmup(300)
+        s.run(600)
+        rate = constrain(s.get_samples(flat=True))["rate"]
+        a_post = a0 + float((~censored).sum())
+        b_post = b0 + float(observed.sum())
+        assert rate.mean() == pytest.approx(a_post / b_post, rel=0.03)
+        assert rate.std() == pytest.approx(
+            np.sqrt(a_post) / b_post, rel=0.1)
+
+    def test_weibull_exact_log_sf_and_left_censoring(self):
+        from scipy import stats as sps
+        from mcmcpp_tpu.dsl import Censored, Normal, Weibull
+
+        w = Weibull(1.7, 2.5)
+        x = np.linspace(0.2, 9.0, 11).astype(np.float32)
+        np.testing.assert_allclose(
+            w.log_sf(x), sps.weibull_min.logsf(x, 1.7, scale=2.5),
+            rtol=1e-5)
+        # right-censored entry scores log S, uncensored scores logpdf
+        mask = np.array([True, False])
+        c = Censored(w, right=mask)
+        vals = np.array([2.0, 2.0], np.float32)
+        got = np.asarray(c.logpdf(vals))
+        assert got[0] == pytest.approx(float(w.log_sf(2.0)), rel=1e-5)
+        assert got[1] == pytest.approx(float(w.logpdf(2.0)), rel=1e-5)
+        # left censoring via the generic cdf path (Normal base)
+        n = Normal(1.0, 2.0)
+        cl = Censored(n, left=np.array([True, False]))
+        got = np.asarray(cl.logpdf(vals))
+        assert got[0] == pytest.approx(
+            float(jnp.log(n.cdf(2.0))), rel=1e-5)
+        assert got[1] == pytest.approx(float(n.logpdf(2.0)), rel=1e-5)
+
+    def test_validation(self):
+        from mcmcpp_tpu.dsl import Censored, Exponential, Poisson
+
+        with pytest.raises(ValueError, match="right= and/or left="):
+            Censored(Exponential(1.0))
+        with pytest.raises(ValueError, match="no cdf"):
+            Censored(Poisson(2.0), right=np.array([True]))
