@@ -7,6 +7,7 @@ JAX-traceable, and carry their analytic ground truth for testing
 mixture, plus the reference's skewed Gaussian).
 """
 
+from mcmcpp_tpu.models import gp
 from mcmcpp_tpu.models.targets import (
     Target,
     bayesian_linear_regression,
@@ -19,6 +20,7 @@ from mcmcpp_tpu.models.targets import (
 )
 
 __all__ = [
+    "gp",
     "Target",
     "bayesian_linear_regression",
     "correlated_gaussian",

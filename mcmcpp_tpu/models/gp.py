@@ -1,0 +1,182 @@
+"""Gaussian-process kernel library: composable covariance functions.
+
+Building blocks for the latent-GP engines (``EllipticalSliceSampler``,
+``BlockedGibbsSampler`` + ``GaussianInterweaveKernel``) and for marginal-
+likelihood work (``gp_log_marginal``). Beyond-reference scope (the C++
+library has no prior-structure-aware machinery).
+
+Kernels are callables ``k(x1, x2) -> (N1, N2)`` over coordinate arrays of
+shape ``(N,)`` or ``(N, D)``; they compose with ``+`` and ``*`` and are
+JAX-traceable end to end, so hyperparameters can be live sampler values
+(gradients flow through ``gram_cholesky`` into HMC kernels).
+
+    k = RBF(lengthscale=l, variance=a) + WhiteNoise(1e-4)
+    L = gram_cholesky(k, xs)            # chol(K + jitter I)
+    logml = gp_log_marginal(k, xs, y, noise=0.1)
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _sqdist(x1, x2):
+    x1 = jnp.atleast_2d(jnp.asarray(x1).T).T  # (N, D)
+    x2 = jnp.atleast_2d(jnp.asarray(x2).T).T
+    d = x1[:, None, :] - x2[None, :, :]
+    return jnp.sum(d * d, axis=-1)
+
+
+class Kernel:
+    """Base: implements ``__call__(x1, x2) -> (N1, N2)``; composes with
+    ``+`` (sum) and ``*`` (product)."""
+
+    def __call__(self, x1, x2):
+        raise NotImplementedError
+
+    def __add__(self, other):
+        return _Sum(self, other)
+
+    def __mul__(self, other):
+        return _Product(self, other)
+
+
+class _Sum(Kernel):
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+
+    def __call__(self, x1, x2):
+        return self.a(x1, x2) + self.b(x1, x2)
+
+
+class _Product(Kernel):
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+
+    def __call__(self, x1, x2):
+        return self.a(x1, x2) * self.b(x1, x2)
+
+
+class RBF(Kernel):
+    """Squared-exponential: variance · exp(−r²/(2ℓ²))."""
+
+    def __init__(self, lengthscale=1.0, variance=1.0):
+        self.lengthscale, self.variance = lengthscale, variance
+
+    def __call__(self, x1, x2):
+        r2 = _sqdist(x1, x2)
+        return self.variance * jnp.exp(
+            -0.5 * r2 / self.lengthscale**2
+        )
+
+
+class Matern12(Kernel):
+    """Exponential (Ornstein-Uhlenbeck): variance · exp(−r/ℓ)."""
+
+    def __init__(self, lengthscale=1.0, variance=1.0):
+        self.lengthscale, self.variance = lengthscale, variance
+
+    def __call__(self, x1, x2):
+        r = jnp.sqrt(_sqdist(x1, x2) + 1e-36)
+        return self.variance * jnp.exp(-r / self.lengthscale)
+
+
+class Matern32(Kernel):
+    """Matérn ν=3/2 (once-differentiable sample paths)."""
+
+    def __init__(self, lengthscale=1.0, variance=1.0):
+        self.lengthscale, self.variance = lengthscale, variance
+
+    def __call__(self, x1, x2):
+        r = jnp.sqrt(_sqdist(x1, x2) + 1e-36)
+        z = math.sqrt(3.0) * r / self.lengthscale
+        return self.variance * (1.0 + z) * jnp.exp(-z)
+
+
+class Matern52(Kernel):
+    """Matérn ν=5/2 (twice-differentiable sample paths)."""
+
+    def __init__(self, lengthscale=1.0, variance=1.0):
+        self.lengthscale, self.variance = lengthscale, variance
+
+    def __call__(self, x1, x2):
+        r = jnp.sqrt(_sqdist(x1, x2) + 1e-36)
+        z = math.sqrt(5.0) * r / self.lengthscale
+        return self.variance * (1.0 + z + z * z / 3.0) * jnp.exp(-z)
+
+
+class Periodic(Kernel):
+    """Exp-sine-squared: variance · exp(−2 sin²(π r / period) / ℓ²)."""
+
+    def __init__(self, period=1.0, lengthscale=1.0, variance=1.0):
+        self.period = period
+        self.lengthscale, self.variance = lengthscale, variance
+
+    def __call__(self, x1, x2):
+        r = jnp.sqrt(_sqdist(x1, x2) + 1e-36)
+        s = jnp.sin(jnp.pi * r / self.period)
+        return self.variance * jnp.exp(
+            -2.0 * s * s / self.lengthscale**2
+        )
+
+
+class Linear(Kernel):
+    """Dot-product kernel: variance · ⟨x1, x2⟩ (Bayesian linear maps)."""
+
+    def __init__(self, variance=1.0):
+        self.variance = variance
+
+    def __call__(self, x1, x2):
+        x1 = jnp.atleast_2d(jnp.asarray(x1).T).T
+        x2 = jnp.atleast_2d(jnp.asarray(x2).T).T
+        return self.variance * (x1 @ x2.T)
+
+
+class WhiteNoise(Kernel):
+    """variance · I — only on the diagonal (x1 is x2 elementwise)."""
+
+    def __init__(self, variance=1e-6):
+        self.variance = variance
+
+    def __call__(self, x1, x2):
+        r2 = _sqdist(x1, x2)
+        return self.variance * (r2 < 1e-30).astype(r2.dtype)
+
+
+def gram_cholesky(kernel, xs, jitter=1e-6):
+    """Lower Cholesky of K(xs, xs) + jitter·I — the ``prior_chol`` input
+    for the elliptical-slice / interweave kernels."""
+    k = kernel(xs, xs)
+    n = k.shape[0]
+    return jnp.linalg.cholesky(k + jitter * jnp.eye(n, dtype=k.dtype))
+
+
+def gp_log_marginal(kernel, xs, y, noise, jitter=1e-6):
+    """Exact GP log marginal likelihood log N(y; 0, K + noise² I) — the
+    hyperparameter objective / oracle (Rasmussen & Williams 2006 eq 2.30).
+    """
+    y = jnp.asarray(y)
+    n = y.shape[0]
+    k = kernel(xs, xs) + (noise**2 + jitter) * jnp.eye(n)
+    chol = jnp.linalg.cholesky(k)
+    w = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+    return (-0.5 * jnp.sum(w * w)
+            - jnp.sum(jnp.log(jnp.diagonal(chol)))
+            - n / 2 * jnp.log(2.0 * jnp.pi))
+
+
+def gp_predict(kernel, xs, y, x_new, noise, jitter=1e-6):
+    """Exact GP posterior mean and variance at ``x_new`` given
+    observations ``(xs, y)`` with iid noise (R&W 2006 eqs 2.25-2.26)."""
+    y = jnp.asarray(y)
+    n = y.shape[0]
+    k = kernel(xs, xs) + (noise**2 + jitter) * jnp.eye(n)
+    chol = jnp.linalg.cholesky(k)
+    k_star = kernel(xs, x_new)  # (N, M)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+    mean = k_star.T @ alpha
+    v = jax.scipy.linalg.solve_triangular(chol, k_star, lower=True)
+    var = jnp.diagonal(kernel(x_new, x_new)) - jnp.sum(v * v, axis=0)
+    return mean, jnp.maximum(var, 0.0)
