@@ -55,6 +55,8 @@ from mcmcpp_tpu.pathfinder import multi_pathfinder, pathfinder
 from mcmcpp_tpu.elliptical import EllipticalSliceSampler
 from mcmcpp_tpu.gibbs import (
     BlockedGibbsSampler,
+    CategoricalGibbsKernel,
+    ExactGibbsKernel,
     EllipticalSliceKernel,
     GaussianInterweaveKernel,
     HMCKernel,
@@ -122,6 +124,8 @@ __all__ = [
     "multi_pathfinder",
     "EllipticalSliceSampler",
     "BlockedGibbsSampler",
+    "CategoricalGibbsKernel",
+    "ExactGibbsKernel",
     "EllipticalSliceKernel",
     "GaussianInterweaveKernel",
     "HMCKernel",

@@ -176,6 +176,48 @@ class RWMKernel:
         return jnp.where(log_u < log_ratio, prop, x)
 
 
+class CategoricalGibbsKernel:
+    """Exact Gibbs update for a block of DISCRETE sites that are
+    conditionally independent given the other blocks — the classic
+    data-augmentation move for mixture-model component assignments
+    (z_i | θ, y_i is categorical and independent across i).
+
+    logits_fn(others) -> (S, V) unnormalized log-probabilities for each
+    of the S sites over V categories. The whole block resamples in one
+    vectorized categorical draw (no Metropolis step: the conditional is
+    sampled exactly). Values are stored as floats in {0, …, V-1}.
+
+    No other engine here handles un-marginalized discrete latents (the
+    gradient family needs differentiability; the ensemble movers assume
+    continuous supports) — pair this block with continuous kernels for
+    the component parameters.
+    """
+
+    def __init__(self, logits_fn):
+        self._logits = logits_fn
+
+    def step(self, key, x, others):
+        logits = self._logits(others)
+        draws = jax.random.categorical(key, logits, axis=-1)  # (S,)
+        return draws.astype(x.dtype)
+
+
+class ExactGibbsKernel:
+    """A block whose full conditional can be sampled EXACTLY (conjugate
+    updates: Normal means, Gamma rates/precisions, Dirichlet weights…).
+
+    sample_fn(key, others) -> new block value (size,). No accept step —
+    this is textbook Gibbs, the highest-quality move available when
+    conjugacy holds.
+    """
+
+    def __init__(self, sample_fn):
+        self._sample = sample_fn
+
+    def step(self, key, x, others):
+        return jnp.asarray(self._sample(key, others), x.dtype)
+
+
 class GaussianInterweaveKernel:
     """Joint (hyper, latent) update by ancillarity-sufficiency
     interweaving (ASIS, Yu & Meng 2011) for Gaussian-latent models
