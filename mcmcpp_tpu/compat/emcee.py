@@ -44,6 +44,26 @@ class EnsembleSampler:
             a, kw = tuple(args or ()), dict(kwargs or {})
             fn = log_prob_fn
             log_prob_fn = lambda theta: fn(theta, *a, **kw)  # noqa: E731
+        # emcee blobs: log_prob_fn returning (lp, blob, ...) — detect by
+        # tracing the output structure. The posterior sees lp only; blobs
+        # are recomputed from stored positions in get_blobs (so they must
+        # be DETERMINISTIC functions of theta, emcee's standard use)
+        import jax
+        import jax.numpy as jnp
+
+        self._blobs_fn = None
+        out_struct = jax.eval_shape(
+            log_prob_fn, jnp.zeros((self.ndim,), jnp.float32)
+        )
+        if isinstance(out_struct, (tuple, list)):
+            if len(out_struct) < 2:
+                raise ValueError(
+                    "log_prob_fn returned a 1-tuple; return a scalar or "
+                    "(log_prob, blob, ...)"
+                )
+            full_fn = log_prob_fn
+            self._blobs_fn = full_fn
+            log_prob_fn = lambda theta: full_fn(theta)[0]  # noqa: E731
         mover = None
         if moves is not None:
             if isinstance(moves, Mover):
@@ -116,6 +136,28 @@ class EnsembleSampler:
                 "quiet=True"
             )
         return np.abs(tau) * thin
+
+    def get_blobs(self, discard=0, thin=1, flat=False):
+        """emcee-style per-sample metadata, recomputed from the stored
+        chain (None when ``log_prob_fn`` returns a bare scalar, as in
+        emcee). Single blob → array of shape (nsteps, nwalkers, …);
+        multiple blobs → tuple of such arrays. Blobs must be
+        deterministic functions of position — the JAX analogue of
+        emcee's metadata channel (recomputation ≡ storage for
+        deterministic blobs, and keeps the sampling hot loop free of
+        metadata traffic)."""
+        if self._blobs_fn is None:
+            return None
+        import jax
+
+        chain = self.get_chain(discard=discard, thin=thin, flat=flat)
+        rows = chain.reshape(-1, self.ndim)
+        out = jax.jit(jax.vmap(self._blobs_fn))(rows)
+        lead = chain.shape[:-1]
+        blobs = tuple(
+            np.asarray(b).reshape(lead + np.shape(b)[1:]) for b in out[1:]
+        )
+        return blobs[0] if len(blobs) == 1 else blobs
 
     @property
     def acceptance_fraction(self):

@@ -1,6 +1,7 @@
 """emcee-compat shim: surface parity and statistical correctness."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from mcmcpp_tpu.compat.emcee import EnsembleSampler, State
@@ -72,3 +73,36 @@ def test_thin_by_scales_tau_units():
     # 500 stored rows, each 4 raw steps apart
     assert s.get_chain().shape == (500, 64, 1)
     assert s.run_mcmc(None, 10) is not None
+
+
+def test_blobs_roundtrip():
+    """emcee blob channel: (lp, blob, ...) log_prob_fn; get_blobs
+    recomputes deterministically from the stored chain."""
+    from mcmcpp_tpu.compat.emcee import EnsembleSampler
+
+    def logp_with_blobs(t):
+        lp = -0.5 * jnp.sum(t * t)
+        return lp, jnp.sum(t), t * 2.0  # scalar blob + vector blob
+
+    s = EnsembleSampler(16, 2, logp_with_blobs, seed=0)
+    s.run_mcmc(np.random.default_rng(0).normal(size=(16, 2)), 30)
+    chain = s.get_chain()
+    b_sum, b_vec = s.get_blobs()
+    assert b_sum.shape == (30, 16)
+    assert b_vec.shape == (30, 16, 2)
+    np.testing.assert_allclose(b_sum, chain.sum(-1), rtol=1e-5)
+    np.testing.assert_allclose(b_vec, 2.0 * chain, rtol=1e-6)
+    # flat + discard/thin plumbing
+    bf = s.get_blobs(discard=10, thin=2, flat=True)
+    assert bf[0].shape == (10 * 16,)
+    # single blob returns a bare array; no blobs returns None
+    s1 = EnsembleSampler(
+        16, 2, lambda t: (-0.5 * jnp.sum(t * t), t[0]), seed=1)
+    s1.run_mcmc(np.zeros((16, 2)), 5)
+    assert s1.get_blobs().shape == (5, 16)
+    s0 = EnsembleSampler(16, 2, lambda t: -0.5 * jnp.sum(t * t), seed=2)
+    s0.run_mcmc(np.zeros((16, 2)), 5)
+    assert s0.get_blobs() is None
+    # sampling statistics unaffected by the blob channel
+    np.testing.assert_allclose(
+        s0.get_log_prob()[0], s1.get_log_prob()[0], atol=1e-6)
