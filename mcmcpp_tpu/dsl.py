@@ -1081,6 +1081,67 @@ class Multinomial(Distribution):
         ).astype(jnp.float32)
 
 
+class Logistic(Distribution):
+    """Logistic(loc, scale) on R — heavier tails than Normal, the latent
+    noise behind logit models."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc, self.scale = loc, scale
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return (-z - 2.0 * jax.nn.softplus(-z) - jnp.log(self.scale))
+
+    def cdf(self, x):
+        return jax.nn.sigmoid((x - self.loc) / self.scale)
+
+    def sample(self, key, shape=()):
+        return self.loc + self.scale * jax.random.logistic(key, shape)
+
+
+class SkewNormal(Distribution):
+    """SkewNormal(loc, scale, alpha) — Azzalini's skew-normal;
+    pdf 2·φ(z)·Φ(αz)/scale. alpha=0 recovers Normal."""
+
+    def __init__(self, loc=0.0, scale=1.0, alpha=0.0):
+        self.loc, self.scale, self.alpha = loc, scale, alpha
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return (jnp.log(2.0) + jstats.norm.logpdf(z)
+                + jstats.norm.logcdf(self.alpha * z)
+                - jnp.log(self.scale))
+
+    def sample(self, key, shape=()):
+        # Azzalini (1985) representation: with delta = alpha/sqrt(1+alpha^2),
+        # X = delta |U0| + sqrt(1-delta^2) U1 is standard skew-normal
+        k0, k1 = jax.random.split(key)
+        a = jnp.asarray(self.alpha, jnp.float32)
+        delta = a / jnp.sqrt(1.0 + a * a)
+        u0 = jnp.abs(jax.random.normal(k0, shape))
+        u1 = jax.random.normal(k1, shape)
+        z = delta * u0 + jnp.sqrt(1.0 - delta * delta) * u1
+        return self.loc + self.scale * z
+
+
+class HalfStudentT(Distribution):
+    """Half-Student-t on (0, inf) — the robust weakly-informative scale
+    prior between HalfNormal (df→inf) and HalfCauchy (df=1)."""
+
+    transform = Exp()
+
+    def __init__(self, df, scale=1.0):
+        self.df, self.scale = df, scale
+
+    def logpdf(self, x):
+        return jnp.log(2.0) + jstats.t.logpdf(x, self.df, 0.0, self.scale)
+
+    def sample(self, key, shape=()):
+        return jnp.abs(
+            self.scale * jax.random.t(key, self.df, shape)
+        )
+
+
 class Censored(Distribution):
     """Censored-observation wrapper for ``observe`` sites (survival
     analysis, detection limits).

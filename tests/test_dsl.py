@@ -1271,3 +1271,40 @@ class TestCensored:
             Censored(Exponential(1.0))
         with pytest.raises(ValueError, match="no cdf"):
             Censored(Poisson(2.0), right=np.array([True]))
+
+
+def test_logistic_skewnormal_halfstudentt():
+    from scipy import stats as sps
+    from mcmcpp_tpu.dsl import HalfStudentT, Logistic, SkewNormal
+
+    x = np.linspace(-6, 6, 25).astype(np.float32)
+    np.testing.assert_allclose(
+        Logistic(0.5, 1.3).logpdf(x),
+        sps.logistic.logpdf(x, 0.5, 1.3), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        Logistic(0.5, 1.3).cdf(x),
+        sps.logistic.cdf(x, 0.5, 1.3), atol=1e-6)
+    np.testing.assert_allclose(
+        SkewNormal(0.2, 1.1, 3.0).logpdf(x),
+        sps.skewnorm.logpdf(x, 3.0, 0.2, 1.1), rtol=1e-3, atol=2e-3)
+    xp = np.linspace(0.1, 8, 17).astype(np.float32)
+    np.testing.assert_allclose(
+        HalfStudentT(4.0, 1.5).logpdf(xp),
+        np.log(2) + sps.t.logpdf(xp, 4.0, 0.0, 1.5), rtol=1e-4)
+    # sample moments
+    key = jax.random.key(0)
+    n = 60_000
+    s = np.asarray(Logistic(0.5, 1.3).sample(key, (n,)))
+    assert s.mean() == pytest.approx(0.5, abs=0.03)
+    assert s.var() == pytest.approx(1.3**2 * np.pi**2 / 3, rel=0.03)
+    s = np.asarray(SkewNormal(0.0, 1.0, 3.0).sample(key, (n,)))
+    delta = 3.0 / np.sqrt(10.0)
+    assert s.mean() == pytest.approx(delta * np.sqrt(2 / np.pi), abs=0.01)
+    assert sps.skew(s) == pytest.approx(
+        sps.skewnorm.stats(3.0, moments="s"), abs=0.05)
+    s = np.asarray(HalfStudentT(4.0, 1.5).sample(key, (n,)))
+    assert s.min() > 0
+    # E|T| for t_4: scale * 2*sqrt(df)/((df-1)*Beta(df/2,1/2))
+    from scipy.special import beta as beta_fn
+    want = 1.5 * 2 * np.sqrt(4) / (3 * beta_fn(2.0, 0.5))
+    assert s.mean() == pytest.approx(want, rel=0.02)
