@@ -317,3 +317,71 @@ def test_mixture_assignments_data_augmentation():
     # posterior sd of each mean ~ sig/sqrt(n_k)
     assert mu[:, 0].std() == pytest.approx(sig / np.sqrt(n0), rel=0.35)
     assert mu[:, 1].std() == pytest.approx(sig / np.sqrt(n1), rel=0.35)
+
+
+def test_poisson_changepoint_exact_gibbs():
+    """Coal-mining-style changepoint: y_t ~ Poisson(l1) before k,
+    Poisson(l2) after; Gamma priors on rates. Fully conjugate Gibbs:
+    rates via ExactGibbsKernel, the changepoint as ONE categorical site
+    over n positions (its exact conditional). Oracle: the marginal
+    posterior of k by direct enumeration (rates integrate out
+    analytically under Gamma priors)."""
+    from scipy.special import gammaln
+    from mcmcpp_tpu.gibbs import CategoricalGibbsKernel, ExactGibbsKernel
+
+    rng = np.random.default_rng(0)
+    n, k_true = 60, 24
+    y = np.concatenate([
+        rng.poisson(4.0, k_true), rng.poisson(1.0, n - k_true)
+    ]).astype(np.float32)
+    yj = jnp.asarray(y)
+    a, b = 2.0, 0.5  # Gamma(shape, rate) prior on both rates
+    cumsum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(yj)])
+    total = float(y.sum())
+
+    def k_logits(others):
+        # p(k | l1, l2, y) ∝ exp(s_k log l1 + (S-s_k) log l2
+        #                        - k l1 - (n-k) l2), k = 1..n-1
+        l1, l2 = others["rates"]
+        ks = jnp.arange(1, n)  # changepoint AFTER position k
+        s_k = cumsum[ks]
+        lg = (s_k * jnp.log(l1) + (total - s_k) * jnp.log(l2)
+              - ks * l1 - (n - ks) * l2)
+        return lg[None, :]  # one site, n-1 categories
+
+    def sample_rates(key, others):
+        k = others["k"][0].astype(jnp.int32) + 1  # category c -> k=c+1
+        k1, k2 = jax.random.split(key)
+        s1 = cumsum[k]
+        l1 = jax.random.gamma(k1, a + s1) / (b + k)
+        l2 = jax.random.gamma(k2, a + (total - s1)) / (b + (n - k))
+        return jnp.stack([l1, l2])
+
+    s = BlockedGibbsSampler(
+        [
+            ("k", 1, CategoricalGibbsKernel(k_logits)),
+            ("rates", 2, ExactGibbsKernel(sample_rates)),
+        ],
+        n_chains=32, seed=1,
+    )
+    s.init({"k": np.full(1, float(n // 2 - 1)), "rates": np.array([2.0, 2.0])})
+    s.run(100, thin=100)  # burn
+    s.chain.clear()
+    s.run(600, thin=2)
+    k_draws = s.get_block("k", flat=True)[:, 0].astype(int) + 1
+
+    # enumeration oracle: p(k | y) ∝ B(k) with rates integrated out
+    ks = np.arange(1, n)
+    s_k = np.concatenate([[0.0], np.cumsum(y)])[ks]
+    lp = (gammaln(a + s_k) - (a + s_k) * np.log(b + ks)
+          + gammaln(a + total - s_k) - (a + total - s_k) * np.log(b + n - ks))
+    w = np.exp(lp - lp.max()); w /= w.sum()
+    mean_true = float((w * ks).sum())
+    sd_true = float(np.sqrt((w * (ks - mean_true) ** 2).sum()))
+    assert k_draws.mean() == pytest.approx(mean_true, abs=0.5 * max(sd_true, 0.5))
+    # the posterior mode matches enumeration
+    mode_true = int(ks[np.argmax(w)])
+    vals, counts = np.unique(k_draws, return_counts=True)
+    assert abs(int(vals[np.argmax(counts)]) - mode_true) <= 1
+    rates = s.get_block("rates", flat=True)
+    assert rates[:, 0].mean() > 2.5 > rates[:, 1].mean()
