@@ -108,3 +108,38 @@ class TestSamplerMechanics:
     def test_odd_walkers_rejected(self):
         with pytest.raises(ValueError):
             EnsembleSampler(skewed_gaussian_logp, 7, 2)
+
+
+def test_public_utility_exports():
+    """The small public utilities stay importable and behave: sample_ball
+    (emcee-style init), EnsembleState (the public state type),
+    ConvergenceReport (run_until_converged's return type), and to_arviz's
+    actionable error when arviz is absent."""
+    import jax
+    from mcmcpp_tpu import (
+        ConvergenceReport,
+        EnsembleSampler,
+        EnsembleState,
+        sample_ball,
+        to_arviz,
+    )
+
+    ball = np.asarray(sample_ball(
+        jax.random.key(0), np.array([1.0, -2.0]), 0.1, 64))
+    assert ball.shape == (64, 2)
+    np.testing.assert_allclose(ball.mean(0), [1.0, -2.0], atol=0.06)
+    np.testing.assert_allclose(ball.std(0), 0.1, atol=0.03)
+
+    s = EnsembleSampler(skewed_gaussian_logp, n_walkers=16, n_params=2,
+                        seed=0)
+    s.init_ball(np.zeros(2), scale=0.3)
+    assert isinstance(s.state, EnsembleState)
+
+    rep = ConvergenceReport(True, 10, 5, np.ones(2), np.ones(2), 1, "ok")
+    assert rep.converged and rep.reason == "ok"
+
+    try:
+        import arviz  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="to_inference_dict"):
+            to_arviz(s)
