@@ -1308,3 +1308,31 @@ def test_logistic_skewnormal_halfstudentt():
     from scipy.special import beta as beta_fn
     want = 1.5 * 2 * np.sqrt(4) / (3 * beta_fn(2.0, 0.5))
     assert s.mean() == pytest.approx(want, rel=0.02)
+
+
+def test_circular_mixture_composes():
+    """Mixture of VonMises components (same Circular support) composes:
+    correct density vs manual logaddexp, NUTS samples both modes through
+    the unit-vector embedding."""
+    from scipy import stats as sps
+    from mcmcpp_tpu import NUTSSampler
+    from mcmcpp_tpu.dsl import Mixture, Model, VonMises
+
+    m = Mixture([VonMises(-1.5, 6.0), VonMises(1.5, 6.0)],
+                weights=[0.4, 0.6])
+    x = np.linspace(-np.pi, np.pi, 21).astype(np.float32)
+    want = np.logaddexp(
+        np.log(0.4) + sps.vonmises.logpdf(x, 6.0, loc=-1.5),
+        np.log(0.6) + sps.vonmises.logpdf(x, 6.0, loc=1.5),
+    )
+    np.testing.assert_allclose(m.logpdf(x), want, rtol=1e-3, atol=1e-4)
+
+    model = Model().param("phi", m)
+    logp, dim, constrain = model.build()
+    s = NUTSSampler(logp, n_chains=32, n_params=dim, seed=0)
+    s.init_ball(np.zeros(dim), scale=1.0)
+    s.warmup(300)
+    s.run(600)
+    phi = constrain(s.get_samples(flat=True))["phi"]
+    frac_pos = float((phi > 0).mean())
+    assert 0.45 < frac_pos < 0.75, f"mode weights off: {frac_pos:.3f}"
