@@ -18,8 +18,10 @@ from mcmcpp_tpu.analysis.model_compare import (
     waic,
 )
 from mcmcpp_tpu.analysis.diagnostics import (
-    potential_scale_reduction,
+    hdi,
     mcse_mean,
+    potential_scale_reduction,
+    ppc_pvalue,
     summary,
 )
 from mcmcpp_tpu.analysis.bridge import BridgeResult, bridge_log_evidence
@@ -37,6 +39,8 @@ __all__ = [
     "ess_tail",
     "potential_scale_reduction",
     "mcse_mean",
+    "hdi",
+    "ppc_pvalue",
     "summary",
     "autocorr_time",
     "autocorr_time_streaming",

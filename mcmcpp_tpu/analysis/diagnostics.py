@@ -88,3 +88,43 @@ def summary(samples, prob=0.9):
         "rhat": potential_scale_reduction(arr),
         "mcse": mcse_mean(arr, ess=ess),
     }
+
+
+def hdi(samples, prob=0.94):
+    """Highest-density interval per parameter (shortest interval holding
+    ``prob`` posterior mass — narrower than the central interval for
+    skewed marginals; equal for symmetric ones).
+
+    samples: (S, P), (S, W, P) chain layout, or (N,) draws. Returns
+    (lo, hi) arrays of shape (P,) (scalars for 1-D input).
+    """
+    x = np.asarray(samples, np.float64)
+    scalar = x.ndim == 1
+    if x.ndim == 3:
+        x = x.reshape(-1, x.shape[-1])
+    x = np.atleast_2d(x.T).T if x.ndim == 1 else x
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    keep = max(1, int(np.floor(prob * n)))
+    if keep >= n:
+        raise ValueError(f"prob={prob} needs more than {n} draws")
+    xs = np.sort(x, axis=0)
+    widths = xs[keep:] - xs[: n - keep]  # candidate interval widths
+    start = np.argmin(widths, axis=0)
+    cols = np.arange(x.shape[1])
+    lo, hi = xs[start, cols], xs[start + keep, cols]
+    return (float(lo[0]), float(hi[0])) if scalar else (lo, hi)
+
+
+def ppc_pvalue(stat_fn, observed, replicated):
+    """Posterior-predictive p-value: P(T(y_rep) >= T(y_obs)).
+
+    stat_fn: dataset -> scalar test quantity; ``replicated``: (N, *shape)
+    simulated datasets from :meth:`~mcmcpp_tpu.dsl.Model
+    .posterior_predictive`. Values near 0 or 1 flag the aspect of the
+    data the model cannot reproduce (Gelman et al., BDA3 ch. 6).
+    """
+    t_obs = float(stat_fn(np.asarray(observed)))
+    t_rep = np.asarray([float(stat_fn(r)) for r in np.asarray(replicated)])
+    return float(np.mean(t_rep >= t_obs))

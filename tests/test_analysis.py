@@ -307,3 +307,42 @@ class TestBulkTailESS:
         eb, et = ess_bulk(x)[0], ess_tail(x)[0]
         assert n / 40 < eb < n / 10, eb  # ~n/19
         assert et < n / 5, et
+
+
+def test_hdi_matches_analytic_normal_and_skew():
+    from mcmcpp_tpu.analysis import hdi
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(2.0, 1.5, 200_000)
+    lo, hi = hdi(x, prob=0.94)
+    # symmetric: HDI == central interval == mean ± 1.8808σ
+    from scipy import stats as sps
+
+    z = sps.norm.ppf(0.97)
+    assert lo == pytest.approx(2.0 - z * 1.5, abs=0.03)
+    assert hi == pytest.approx(2.0 + z * 1.5, abs=0.03)
+    # skewed: HDI must be SHORTER than the central interval
+    y = rng.gamma(2.0, 1.0, 200_000)
+    lo_h, hi_h = hdi(y, prob=0.9)
+    lo_c, hi_c = np.quantile(y, [0.05, 0.95])
+    assert (hi_h - lo_h) < (hi_c - lo_c)
+    assert lo_h < lo_c  # mass near zero pulls the HDI left
+    # chain-layout and multi-parameter shapes
+    chain = rng.normal(size=(100, 8, 3))
+    lo3, hi3 = hdi(chain)
+    assert lo3.shape == hi3.shape == (3,)
+    with pytest.raises(ValueError, match="prob"):
+        hdi(np.arange(5.0), prob=1.0)
+
+
+def test_ppc_pvalue_flags_misfit():
+    from mcmcpp_tpu.analysis import ppc_pvalue
+
+    rng = np.random.default_rng(1)
+    obs = rng.normal(0, 1, 1000)  # large n: T(y_obs) near its expectation
+    rep_good = rng.normal(0, 1, (500, 1000))
+    rep_bad = rng.normal(0, 0.3, (500, 1000))  # model too narrow
+    p_good = ppc_pvalue(np.var, obs, rep_good)
+    p_bad = ppc_pvalue(np.var, obs, rep_bad)
+    assert 0.05 < p_good < 0.95
+    assert p_bad < 0.01
