@@ -102,7 +102,6 @@ def hdi(samples, prob=0.94):
     scalar = x.ndim == 1
     if x.ndim == 3:
         x = x.reshape(-1, x.shape[-1])
-    x = np.atleast_2d(x.T).T if x.ndim == 1 else x
     if x.ndim == 1:
         x = x[:, None]
     n = x.shape[0]

@@ -63,6 +63,9 @@ class EnsembleSampler:
                 )
             full_fn = log_prob_fn
             self._blobs_fn = full_fn
+            # cache the jitted batch evaluator ONCE — a fresh
+            # jit(vmap(...)) per get_blobs call would recompile every time
+            self._blobs_jit = jax.jit(jax.vmap(full_fn))
             log_prob_fn = lambda theta: full_fn(theta)[0]  # noqa: E731
         mover = None
         if moves is not None:
@@ -148,11 +151,9 @@ class EnsembleSampler:
         metadata traffic)."""
         if self._blobs_fn is None:
             return None
-        import jax
-
         chain = self.get_chain(discard=discard, thin=thin, flat=flat)
         rows = chain.reshape(-1, self.ndim)
-        out = jax.jit(jax.vmap(self._blobs_fn))(rows)
+        out = self._blobs_jit(rows)
         lead = chain.shape[:-1]
         blobs = tuple(
             np.asarray(b).reshape(lead + np.shape(b)[1:]) for b in out[1:]

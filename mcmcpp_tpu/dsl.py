@@ -340,6 +340,14 @@ class Normal(Distribution):
     def cdf(self, x):
         return jstats.norm.cdf(x, self.loc, self.scale)
 
+    def log_cdf(self, x):
+        return jstats.norm.logcdf(x, self.loc, self.scale)
+
+    def log_sf(self, x):
+        # symmetry: P(X > x) = Phi(-(x - loc)/scale), exact in the tail
+        # where float32 cdf rounds to 1
+        return jstats.norm.logcdf(-(x - self.loc) / self.scale)
+
     def sample(self, key, shape=()):
         return self.loc + self.scale * jax.random.normal(key, shape)
 
@@ -1095,6 +1103,12 @@ class Logistic(Distribution):
     def cdf(self, x):
         return jax.nn.sigmoid((x - self.loc) / self.scale)
 
+    def log_cdf(self, x):
+        return jax.nn.log_sigmoid((x - self.loc) / self.scale)
+
+    def log_sf(self, x):
+        return jax.nn.log_sigmoid(-(x - self.loc) / self.scale)
+
     def sample(self, key, shape=()):
         return self.loc + self.scale * jax.random.logistic(key, shape)
 
@@ -1151,8 +1165,12 @@ class Censored(Distribution):
     value is the CENSORING time/limit. The density is the base logpdf at
     uncensored entries, ``log S(x) = log(1 - CDF(x))`` at right-censored
     entries (event after x) and ``log CDF(x)`` at left-censored entries
-    (event before x). Bases with an exact ``log_sf`` (Exponential,
-    Weibull) use it; otherwise ``log1p(-cdf)`` with clipping.
+    (event before x). Bases with exact ``log_sf`` / ``log_cdf``
+    (Exponential, Weibull, Normal, Logistic) use them — exact
+    arbitrarily far into the tail; others fall back to ``log1p(-cdf)``
+    / ``log(cdf)`` with clipping, which saturates near ±16 nats in
+    float32 (fine for censoring within ~5σ; add log_sf to the base
+    beyond that).
 
     ``sample`` draws from the UNCENSORED base — posterior-predictive
     replication simulates latent event times (apply the censoring rule
@@ -1162,9 +1180,18 @@ class Censored(Distribution):
     def __init__(self, base, right=None, left=None):
         if right is None and left is None:
             raise ValueError("pass right= and/or left= censoring masks")
-        if not hasattr(base, "cdf") and not hasattr(base, "log_sf"):
+        name = type(base).__name__
+        if right is not None and not (
+            hasattr(base, "log_sf") or hasattr(base, "cdf")
+        ):
             raise ValueError(
-                f"{type(base).__name__} has no cdf/log_sf — cannot censor"
+                f"{name} has no log_sf/cdf — cannot right-censor"
+            )
+        if left is not None and not (
+            hasattr(base, "log_cdf") or hasattr(base, "cdf")
+        ):
+            raise ValueError(
+                f"{name} has no log_cdf/cdf — cannot left-censor"
             )
         self.base = base
         self.right = None if right is None else jnp.asarray(right, bool)
@@ -1177,6 +1204,8 @@ class Censored(Distribution):
         return jnp.log1p(-jnp.clip(self.base.cdf(x), 0.0, 1.0 - 1e-7))
 
     def _log_cdf(self, x):
+        if hasattr(self.base, "log_cdf"):
+            return self.base.log_cdf(x)
         return jnp.log(jnp.clip(self.base.cdf(x), 1e-38, 1.0))
 
     def logpdf(self, x):

@@ -30,11 +30,23 @@ def _sqdist(x1, x2):
 
 
 class Kernel:
-    """Base: implements ``__call__(x1, x2) -> (N1, N2)``; composes with
-    ``+`` (sum) and ``*`` (product)."""
+    """Base: implements ``__call__(x1, x2) -> (N1, N2)`` (CROSS
+    covariance — white noise is zero here), ``gram(x)`` (the training
+    Gram, where white noise lives on the diagonal) and ``diag(x)``
+    (prior variances without materializing an (M, M) matrix). Composes
+    with ``+`` (sum) and ``*`` (product)."""
 
     def __call__(self, x1, x2):
         raise NotImplementedError
+
+    def gram(self, x):
+        return self(x, x)
+
+    def diag(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x).T).T
+        return jnp.broadcast_to(
+            jnp.asarray(self.variance, x.dtype), (x.shape[0],)
+        )
 
     def __add__(self, other):
         return _Sum(self, other)
@@ -50,6 +62,12 @@ class _Sum(Kernel):
     def __call__(self, x1, x2):
         return self.a(x1, x2) + self.b(x1, x2)
 
+    def gram(self, x):
+        return self.a.gram(x) + self.b.gram(x)
+
+    def diag(self, x):
+        return self.a.diag(x) + self.b.diag(x)
+
 
 class _Product(Kernel):
     def __init__(self, a, b):
@@ -57,6 +75,12 @@ class _Product(Kernel):
 
     def __call__(self, x1, x2):
         return self.a(x1, x2) * self.b(x1, x2)
+
+    def gram(self, x):
+        return self.a.gram(x) * self.b.gram(x)
+
+    def diag(self, x):
+        return self.a.diag(x) * self.b.diag(x)
 
 
 class RBF(Kernel):
@@ -133,22 +157,34 @@ class Linear(Kernel):
         x2 = jnp.atleast_2d(jnp.asarray(x2).T).T
         return self.variance * (x1 @ x2.T)
 
+    def diag(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x).T).T
+        return self.variance * jnp.sum(x * x, axis=-1)
+
 
 class WhiteNoise(Kernel):
-    """variance · I — only on the diagonal (x1 is x2 elementwise)."""
+    """iid noise: variance · I on the GRAM diagonal (same observation),
+    ZERO cross-covariance — including between distinct observations that
+    share a coordinate (repeated-measurement designs) and between
+    training and prediction points. Triggering on coincident coordinates
+    instead would make predictions interpolate the noise."""
 
     def __init__(self, variance=1e-6):
         self.variance = variance
 
     def __call__(self, x1, x2):
         r2 = _sqdist(x1, x2)
-        return self.variance * (r2 < 1e-30).astype(r2.dtype)
+        return jnp.zeros_like(r2)
+
+    def gram(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x).T).T
+        return self.variance * jnp.eye(x.shape[0])
 
 
 def gram_cholesky(kernel, xs, jitter=1e-6):
-    """Lower Cholesky of K(xs, xs) + jitter·I — the ``prior_chol`` input
+    """Lower Cholesky of gram(xs) + jitter·I — the ``prior_chol`` input
     for the elliptical-slice / interweave kernels."""
-    k = kernel(xs, xs)
+    k = kernel.gram(xs)
     n = k.shape[0]
     return jnp.linalg.cholesky(k + jitter * jnp.eye(n, dtype=k.dtype))
 
@@ -159,7 +195,7 @@ def gp_log_marginal(kernel, xs, y, noise, jitter=1e-6):
     """
     y = jnp.asarray(y)
     n = y.shape[0]
-    k = kernel(xs, xs) + (noise**2 + jitter) * jnp.eye(n)
+    k = kernel.gram(xs) + (noise**2 + jitter) * jnp.eye(n)
     chol = jnp.linalg.cholesky(k)
     w = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
     return (-0.5 * jnp.sum(w * w)
@@ -169,14 +205,17 @@ def gp_log_marginal(kernel, xs, y, noise, jitter=1e-6):
 
 def gp_predict(kernel, xs, y, x_new, noise, jitter=1e-6):
     """Exact GP posterior mean and variance at ``x_new`` given
-    observations ``(xs, y)`` with iid noise (R&W 2006 eqs 2.25-2.26)."""
+    observations ``(xs, y)`` with iid noise (R&W 2006 eqs 2.25-2.26).
+    Cross-covariances use the noise-free ``kernel(xs, x_new)``; prior
+    variances at ``x_new`` come from ``kernel.diag`` (O(M), no (M, M)
+    temporary)."""
     y = jnp.asarray(y)
     n = y.shape[0]
-    k = kernel(xs, xs) + (noise**2 + jitter) * jnp.eye(n)
+    k = kernel.gram(xs) + (noise**2 + jitter) * jnp.eye(n)
     chol = jnp.linalg.cholesky(k)
     k_star = kernel(xs, x_new)  # (N, M)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
     mean = k_star.T @ alpha
     v = jax.scipy.linalg.solve_triangular(chol, k_star, lower=True)
-    var = jnp.diagonal(kernel(x_new, x_new)) - jnp.sum(v * v, axis=0)
+    var = kernel.diag(x_new) - jnp.sum(v * v, axis=0)
     return mean, jnp.maximum(var, 0.0)

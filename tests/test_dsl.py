@@ -523,7 +523,7 @@ class TestTruncated:
             Truncated(Normal())
         with pytest.raises(ValueError, match="low < high"):
             Truncated(Normal(), low=2.0, high=1.0)
-        with pytest.raises(ValueError, match="no cdf"):
+        with pytest.raises(ValueError, match="cannot right-censor"):
             Truncated(Bernoulli(probs=0.5), low=0.0, high=1.0)
 
     @pytest.mark.slow
@@ -1269,7 +1269,7 @@ class TestCensored:
 
         with pytest.raises(ValueError, match="right= and/or left="):
             Censored(Exponential(1.0))
-        with pytest.raises(ValueError, match="no cdf"):
+        with pytest.raises(ValueError, match="cannot right-censor"):
             Censored(Poisson(2.0), right=np.array([True]))
 
 
@@ -1336,3 +1336,20 @@ def test_circular_mixture_composes():
     phi = constrain(s.get_samples(flat=True))["phi"]
     frac_pos = float((phi > 0).mean())
     assert 0.45 < frac_pos < 0.75, f"mode weights off: {frac_pos:.3f}"
+
+
+def test_censored_exact_tails():
+    """Review regression: Normal/Logistic censoring uses exact
+    log_sf/log_cdf — no float32 cdf saturation in the tail."""
+    from scipy import stats as sps
+    from mcmcpp_tpu.dsl import Censored, Logistic, Normal
+
+    c = Censored(Normal(0.0, 1.0), right=np.array([True]))
+    got = float(c.logpdf(np.array([6.0], np.float32))[0])
+    assert got == pytest.approx(sps.norm.logsf(6.0), rel=1e-3)  # ~-20.74
+    cl = Censored(Normal(0.0, 1.0), left=np.array([True]))
+    got = float(cl.logpdf(np.array([-6.0], np.float32))[0])
+    assert got == pytest.approx(sps.norm.logcdf(-6.0), rel=1e-3)
+    c2 = Censored(Logistic(0.0, 1.0), right=np.array([True]))
+    got = float(c2.logpdf(np.array([20.0], np.float32))[0])
+    assert got == pytest.approx(sps.logistic.logsf(20.0), rel=1e-4)

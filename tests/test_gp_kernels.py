@@ -24,9 +24,11 @@ def test_psd_and_symmetry(kernel):
     np.testing.assert_allclose(k, k.T, atol=1e-6)
     evals = np.linalg.eigvalsh(k + 1e-6 * np.eye(k.shape[0]))
     assert evals.min() > 0
-    # cholesky path works and round-trips
+    # cholesky path works and round-trips against the GRAM (where white
+    # noise lives; __call__ is the noise-free cross covariance)
     chol = np.asarray(gram_cholesky(kernel, XS))
-    np.testing.assert_allclose(chol @ chol.T, k + 1e-6 * np.eye(16),
+    g = np.asarray(kernel.gram(XS))
+    np.testing.assert_allclose(chol @ chol.T, g + 1e-6 * np.eye(16),
                                atol=1e-5)
 
 
@@ -38,8 +40,9 @@ def test_closed_forms():
     assert float(Matern32(0.7, 1.0)(x, x)[0, 1]) == pytest.approx(
         (1 + np.sqrt(3) * r / 0.7) * np.exp(-np.sqrt(3) * r / 0.7),
         rel=1e-4)
-    w = WhiteNoise(0.5)(x, x)
+    w = WhiteNoise(0.5).gram(x)
     np.testing.assert_allclose(w, 0.5 * np.eye(2), atol=1e-6)
+    assert float(np.abs(np.asarray(WhiteNoise(0.5)(x, x))).max()) == 0.0
 
 
 def test_log_marginal_matches_mvn_algebra():
@@ -84,3 +87,28 @@ def test_multidim_inputs():
     k = np.asarray(Matern52(1.2, 0.9)(x2, x2))
     assert k.shape == (10, 10)
     np.testing.assert_allclose(np.diag(k), 0.9, atol=1e-5)
+
+
+def test_white_noise_is_gram_only():
+    """Review regression: white noise lives on the GRAM diagonal only —
+    zero cross-covariance (predictions must NOT interpolate the noise)
+    and zero between distinct observations sharing a coordinate."""
+    k = RBF(0.5, 1.0) + WhiteNoise(0.09)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(np.sin(np.asarray(XS))
+                    + 0.3 * rng.standard_normal(16))
+    mean, var = gp_predict(k, XS, y, XS, noise=0.0)
+    resid = float(np.sqrt(np.mean((np.asarray(mean) - np.asarray(y)) ** 2)))
+    assert resid > 0.05, "prediction interpolated the white noise"
+    # duplicate coordinates: gram has the noise only on the diagonal
+    xdup = jnp.array([0.0, 0.0, 1.0])
+    g = np.asarray(WhiteNoise(0.5).gram(xdup))
+    np.testing.assert_allclose(g, 0.5 * np.eye(3), atol=1e-7)
+    assert float(np.abs(np.asarray(WhiteNoise(0.5)(xdup, xdup))).max()) == 0
+    # diag avoids the (M, M) temporary and matches the gram diagonal
+    np.testing.assert_allclose(
+        np.asarray(k.diag(XS)), np.diagonal(np.asarray(k.gram(XS))),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(Linear(0.5).diag(XS)),
+        np.diagonal(np.asarray(Linear(0.5)(XS, XS))), atol=1e-6)
