@@ -523,7 +523,7 @@ class TestTruncated:
             Truncated(Normal())
         with pytest.raises(ValueError, match="low < high"):
             Truncated(Normal(), low=2.0, high=1.0)
-        with pytest.raises(ValueError, match="cannot right-censor"):
+        with pytest.raises(ValueError, match="truncation needs"):
             Truncated(Bernoulli(probs=0.5), low=0.0, high=1.0)
 
     @pytest.mark.slow
