@@ -66,9 +66,10 @@ def mcse_mean(samples, ess=None, **ess_kw):
 def summary(samples, prob=0.9):
     """Per-parameter posterior summary dict.
 
-    samples: (S, C, P). Returns dict of arrays: mean, sd, median, credible
-    interval bounds, ess (+ rank-normalized ess_bulk and ess_tail,
-    Vehtari et al. 2021), rhat, mcse.
+    samples: (S, C, P). Returns dict of arrays: mean, sd, median, central
+    credible interval bounds, HDI bounds (shortest interval at the same
+    prob), ess (+ rank-normalized ess_bulk and ess_tail, Vehtari et al.
+    2021), rhat, mcse.
     """
     from mcmcpp_tpu.analysis.ess import ess_bulk, ess_tail
 
@@ -82,6 +83,8 @@ def summary(samples, prob=0.9):
         "median": np.median(flat, axis=0),
         f"q{round(lo_q * 100, 6):g}": np.quantile(flat, lo_q, axis=0),
         f"q{round(hi_q * 100, 6):g}": np.quantile(flat, hi_q, axis=0),
+        "hdi_lo": hdi(flat, prob=prob)[0],
+        "hdi_hi": hdi(flat, prob=prob)[1],
         "ess": ess,
         "ess_bulk": np.atleast_1d(ess_bulk(arr)),
         "ess_tail": np.atleast_1d(ess_tail(arr)),
