@@ -138,3 +138,41 @@ def test_streaming_act_consume_disk_chain(tmp_path):
     tau_online = act.autocorr_time()
     tau_batch = autocorr_time(d.get())
     np.testing.assert_allclose(tau_online[0], tau_batch, rtol=0.02)
+
+
+def test_disk_chain_injects_into_gibbs_and_elliptical(tmp_path):
+    """The spool composes with the round-2 engines: identical samples to
+    the in-RAM chain for the same seeds."""
+    import jax.numpy as jnp
+    from mcmcpp_tpu import (
+        BlockedGibbsSampler,
+        EllipticalSliceSampler,
+        MALAKernel,
+    )
+
+    def run_gibbs(chain):
+        s = BlockedGibbsSampler(
+            [("x", 3, MALAKernel(lambda x, o: -0.5 * jnp.sum(x * x), 0.6))],
+            n_chains=8, seed=3, chain=chain,
+        )
+        s.init({"x": np.zeros(3)})
+        s.run(40, thin=2)
+        return s.get_samples()
+
+    a = run_gibbs(None)
+    b = run_gibbs(DiskChain(tmp_path / "g", 8, 3))
+    np.testing.assert_array_equal(a, b)
+
+    def run_ess(chain):
+        s = EllipticalSliceSampler(
+            lambda f: -0.5 * jnp.sum((f - 1.0) ** 2),
+            prior_mean=np.zeros(3), prior_scale=np.ones(3),
+            n_chains=8, seed=4, chain=chain,
+        )
+        s.init_prior(seed=5)
+        s.run(40, thin=2)
+        return s.get_samples()
+
+    a = run_ess(None)
+    b = run_ess(DiskChain(tmp_path / "e", 8, 3))
+    np.testing.assert_array_equal(a, b)
