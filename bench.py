@@ -6,12 +6,31 @@ ESS/s (chain-store traffic included) rides along as extra keys.
 The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
 against the driver's north-star target of 1e8 walker-updates/s/chip
 (BASELINE.json). Runs whatever backend JAX selects (TPU on the driver box).
+
+Outage resilience (round-2 verdict item 1): the tunneled axon backend has
+documented multi-minute init hangs and full outages (CLAUDE.md). A bare run
+during one of those produced a failed driver artifact and silently lost the
+round's perf evidence. So ``python bench.py`` is now an orchestrator: each
+measurement attempt runs in a fresh subprocess (backend-init failures are
+cached per-process by JAX, so in-process retry is useless) under a bounded
+timeout, retried with sleeps until an overall deadline. Exactly one JSON line
+goes to stdout on success; all diagnostics are timestamped on stderr.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+# Per-attempt / overall budgets. A clean run is ~5 min incl. compile; init
+# hangs of 2-4 min are documented, so give each attempt 16 min and keep
+# retrying (sleeping between failures) until ~55 min have elapsed.
+ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", 960))
+OVERALL_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 3300))
+RETRY_SLEEP_S = int(os.environ.get("BENCH_RETRY_SLEEP_S", 120))
 
 
 NORTH_STAR = 1.0e8  # walker-updates/s per chip (BASELINE.md north-star)
@@ -145,13 +164,35 @@ def ess_per_s_device_resident(jax, jnp):
     return float(np.nanmin(ess) / dt)
 
 
-def main():
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
+
+
+def run_attempt():
+    """One measurement attempt (runs in a fresh subprocess).
+
+    Timestamps on stderr bracket backend init so a tunnel init-hang is
+    distinguishable from a compute hang in the driver tail (CLAUDE.md).
+    """
+    _log("importing jax")
     import jax
     import jax.numpy as jnp
 
+    _log("import done; initializing backend (jax.devices())")
+    devs = jax.devices()
+    _log(f"backend up: {devs}")
+
+    _log("headline walker-updates/s (compile + 3 chained launches)")
     updates_per_s = headline_updates_per_s(jax, jnp)
+    _log(f"headline done: {updates_per_s:.3e}")
     ess_rate, ess_window_updates = ess_per_s(jax, jnp)
+    _log(f"store-inclusive ESS/s done: {ess_rate:.3e}")
     ess_device = ess_per_s_device_resident(jax, jnp)
+    _log(f"device-resident ESS/s done: {ess_device:.3e}")
     print(
         json.dumps(
             {
@@ -165,9 +206,57 @@ def main():
                 "ess_per_s_device_resident": ess_device,
                 "ess_device_unit": "ESS/s (worst parameter, samples+ACT in HBM)",
             }
-        )
+        ),
+        flush=True,
     )
 
 
+def main():
+    """Orchestrator: retry subprocess attempts until one lands or the
+    deadline expires. Emits the child's single JSON line on stdout."""
+    deadline = _T0 + OVERALL_DEADLINE_S
+    attempt = 0
+    last_tail = ""
+    while True:
+        attempt += 1
+        budget = min(ATTEMPT_TIMEOUT_S, max(60, int(deadline - time.time())))
+        _log(f"attempt {attempt} (timeout {budget}s)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--attempt"],
+                capture_output=True, text=True, timeout=budget,
+            )
+        except subprocess.TimeoutExpired as e:
+            _log(f"attempt {attempt} timed out after {budget}s")
+            last_tail = (e.stderr or b"")[-2000:] if isinstance(
+                e.stderr, bytes) else str(e.stderr or "")[-2000:]
+        else:
+            sys.stderr.write(proc.stderr[-4000:])
+            line = next(
+                (ln for ln in reversed(proc.stdout.splitlines())
+                 if ln.startswith("{")), None)
+            if proc.returncode == 0 and line is not None:
+                try:
+                    json.loads(line)  # validate before relaying
+                except ValueError:
+                    line = None
+            if proc.returncode == 0 and line is not None:
+                print(line, flush=True)
+                _log(f"attempt {attempt} succeeded")
+                return 0
+            _log(f"attempt {attempt} failed rc={proc.returncode}")
+            last_tail = proc.stderr[-2000:]
+        if time.time() + RETRY_SLEEP_S + 60 > deadline:
+            _log(f"deadline exhausted after {attempt} attempts; last tail:\n"
+                 f"{last_tail}")
+            return 1
+        _log(f"sleeping {RETRY_SLEEP_S}s before retry (tunnel outages are "
+             "transient per CLAUDE.md)")
+        time.sleep(RETRY_SLEEP_S)
+
+
 if __name__ == "__main__":
-    main()
+    if "--attempt" in sys.argv:
+        run_attempt()
+    else:
+        sys.exit(main())

@@ -116,7 +116,12 @@ class UpperBound:
 class Ordered:
     """u -> strictly increasing vector over the LAST axis:
     ``x_1 = u_1, x_k = x_{k-1} + exp(u_k)`` (Stan's ordered type — the
-    standard identifiability constraint for mixture locations)."""
+    standard identifiability constraint for mixture locations).
+
+    The implied prior is the declared iid prior RESTRICTED to the ordered
+    region; ``log_norm`` supplies its normalizer log K! so evidence
+    engines see a proper density, and ``inverse_sample`` draws from it
+    exactly by sorting iid base draws (order statistics)."""
 
     def forward(self, u):
         inc = jnp.concatenate([u[..., :1], jnp.exp(u[..., 1:])], axis=-1)
@@ -127,10 +132,34 @@ class Ordered:
             [x[..., :1], jnp.log(jnp.diff(x, axis=-1))], axis=-1
         )
 
+    def inverse_sample(self, key, x):
+        """Unsorted iid base draws -> exact restricted-prior draws: the
+        order statistics of K iid draws ARE a draw from the base density
+        restricted (and renormalized) to the ordered region. Applying
+        ``inverse`` to unsorted draws instead yields NaN columns
+        (log of negative differences)."""
+        del key  # deterministic given the base draws
+        return self.inverse(jnp.sort(x, axis=-1))
+
     def log_det(self, u):
         return jnp.concatenate(
             [jnp.zeros_like(u[..., :1]), u[..., 1:]], axis=-1
         )
+
+    def log_norm(self, u):
+        """log K! per ordered vector: the restricted prior's normalizer
+        (the ordered region has base-measure 1/K!). Without it, evidence
+        engines fed an ordered prior return log Z biased by -log K!."""
+        k = u.shape[-1]
+        return jax.scipy.special.gammaln(k + 1.0) * jnp.ones(u.shape[:-1])
+
+    def unconstrained_shape(self, shape):
+        if not shape:
+            raise ValueError(
+                "ordered() requires a vector-shaped parameter "
+                "(shape with at least one axis)"
+            )
+        return tuple(shape)
 
 
 def ordered(dist):
@@ -1452,6 +1481,9 @@ class Model:
                 t = dist.transform
                 out[name] = t.forward(u)
                 logdet = logdet + jnp.sum(t.log_det(u))
+                norm = getattr(t, "log_norm", None)
+                if norm is not None:  # e.g. Ordered's log K!
+                    logdet = logdet + jnp.sum(norm(u))
                 i += u_size
             for name, fn in deterministics:
                 out[name] = fn(out)
@@ -1522,6 +1554,9 @@ class Model:
                 t = dist.transform
                 out[name] = t.forward(u)
                 logdet = logdet + jnp.sum(t.log_det(u))
+                norm = getattr(t, "log_norm", None)
+                if norm is not None:  # e.g. Ordered's log K!
+                    logdet = logdet + jnp.sum(norm(u))
                 i += u_size
             for name, fn in deterministics:
                 out[name] = fn(out)
@@ -1691,12 +1726,23 @@ class Model:
         return {k: np.asarray(v) for k, v in out.items()}
 
     def prior_sample(self, key, n):
-        """(n, D) UNCONSTRAINED draws from the priors (SMC-ready)."""
+        """(n, D) UNCONSTRAINED draws from the priors (SMC-ready).
+
+        Transforms with auxiliary coordinates or restricted supports
+        (Circular's radius, Ordered's sort) provide ``inverse_sample``
+        so the u-space draws are exact — same hook as
+        ``build_split().prior_sample``."""
         cols = []
         for j, (name, dist, shape, u_shape, u_size) in enumerate(
                 self._params):
             k = jax.random.fold_in(key, j)
             x = dist.sample(k, (n,) + shape if shape else (n,))
-            u = dist.transform.inverse(x)
+            t = dist.transform
+            inv_s = getattr(t, "inverse_sample", None)
+            if inv_s is not None:
+                keys = jax.random.split(jax.random.fold_in(k, 0x1A7), n)
+                u = jax.vmap(inv_s)(keys, x)
+            else:
+                u = t.inverse(x)
             cols.append(u.reshape(n, u_size))
         return jnp.concatenate(cols, axis=1)

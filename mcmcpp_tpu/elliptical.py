@@ -199,11 +199,14 @@ class EllipticalSliceSampler:
     def run(self, n_steps, thin=1):
         """Store every thin-th state; the stored "logp" column is the
         LOG-LIKELIHOOD (the prior factor is implicit in the kernel).
+        ``n_steps % thin`` leftover transitions still advance the state
+        (unstored), matching every other chunked driver.
         Returns False on chain byte-cap (EndOfChain)."""
         if self.state is None:
             raise RuntimeError("call init/init_prior first")
         thin = int(thin)
         n_store = int(n_steps) // thin
+        leftover = int(n_steps) - n_store * thin
         from mcmcpp_tpu.chain import default_chunk_steps, run_pipelined
 
         chunk = default_chunk_steps(self.n_chains, self.n_params, self.dtype)
@@ -227,7 +230,17 @@ class EllipticalSliceSampler:
             )
             return appended
 
-        return run_pipelined(n_store, chunk, launch, fetch)
+        ok = run_pipelined(n_store, chunk, launch, fetch)
+        if ok and leftover:
+            fn = self._run_cache.get((1, leftover))
+            if fn is None:
+                fn = jax.jit(
+                    lambda st, k, lo=leftover: self._run_scan(st, k, 1, lo)
+                )
+                self._run_cache[(1, leftover)] = fn
+            self._key, run_key = jax.random.split(self._key)
+            self.state, _, _ = fn(self.state, run_key)
+        return ok
 
     def get_samples(self, burn_in=0, thin=1, flat=False):
         return self.chain.get(burn_in=burn_in, thin=thin, flat=flat)

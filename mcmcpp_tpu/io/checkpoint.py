@@ -240,6 +240,16 @@ def load_checkpoint(sampler, path):
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    version = meta.get("format", 0)
+    if version != _FORMAT_VERSION:
+        # v3 renamed ensemble keys (accepted -> accepted_red/black etc.),
+        # so older archives would die with an opaque KeyError below —
+        # fail actionably instead (round-2 advisor finding)
+        raise ValueError(
+            f"incompatible checkpoint format v{version} (this build reads "
+            f"v{_FORMAT_VERSION}); re-save the checkpoint with the version "
+            "that wrote it, or resume from raw samples"
+        )
     if meta["n_params"] != sampler.n_params:
         raise ValueError(
             f"checkpoint has n_params={meta['n_params']}, "

@@ -164,7 +164,7 @@ class NestedSampler:
                 def slice_one(key, x, x_ll, x_lpp):
                     def direction_step(i, c):
                         x, x_ll, x_lpp, key, evals = c
-                        key, kd, kh, kb, ks = jax.random.split(key, 5)
+                        key, kd, kh, kb, kj, ks = jax.random.split(key, 6)
                         z = jax.random.normal(kd, (self.n_params,), x.dtype)
                         d = chol @ (z / jnp.linalg.norm(z))
                         # slice height under the constrained prior
@@ -180,19 +180,30 @@ class NestedSampler:
                                 -jnp.inf,
                             ), p)
 
-                        # stepping out: unit whitened width, randomly
-                        # placed, doubled up to max_slice_expand times
+                        # fixed-width stepping-out (Neal 2003, Fig. 3):
+                        # unit whitened width, randomly placed, each end
+                        # extended by one width while inside the slice.
+                        # Doubling without Neal's acceptance back-test
+                        # (the round-2 version) does not leave the
+                        # constrained prior exactly invariant; fixed-width
+                        # stepping-out needs no back-test. The expansion
+                        # cap is split randomly between the two ends
+                        # (J ~ Unif{0..m}, Neal's scheme) so even a
+                        # binding cap preserves reversibility.
                         u0 = jax.random.uniform(kb, (), x.dtype)
                         lo0, hi0 = -u0, 1.0 - u0
+                        m_cap = jnp.int32(self.max_slice_expand)
+                        j_lo = jax.random.randint(kj, (), 0, m_cap + 1)
+                        j_hi = m_cap - j_lo
 
-                        def expand(t0):
+                        def expand(t0, delta, cap):
                             def cond(c):
                                 i, t, open_ = c
-                                return open_ & (i < self.max_slice_expand)
+                                return open_ & (i < cap)
 
                             def body(c):
                                 i, t, _ = c
-                                t2 = t * 2.0
+                                t2 = t + delta
                                 val, _ = g(t2)
                                 return (i + 1, t2, val > log_y)
 
@@ -202,8 +213,9 @@ class NestedSampler:
                             )
                             return t, i + 1  # +1: the t0 evaluation
 
-                        lo, e_lo = expand(lo0)
-                        hi, e_hi = expand(hi0)
+                        one = jnp.asarray(1.0, x.dtype)
+                        lo, e_lo = expand(lo0, -one, j_lo)
+                        hi, e_hi = expand(hi0, one, j_hi)
 
                         def shrink_cond(c):
                             i, lo, hi, t, val, p, key = c

@@ -763,6 +763,46 @@ class TestOrderedTransform:
         got = float(jnp.sum(t.log_det(u)))
         assert got == pytest.approx(float(want), rel=1e-5)
 
+    def test_prior_sample_exact_order_statistics(self):
+        """Round-2 advisor (medium): ordered() prior draws were NaN
+        (inverse of unsorted iid draws). inverse_sample sorts first —
+        the order statistics ARE exact restricted-prior draws."""
+        from scipy import stats as sps
+
+        from mcmcpp_tpu.dsl import ordered
+
+        model = Model().param("locs", ordered(Normal(0.0, 1.0)), shape=(3,))
+        _, _, _, constrain, prior_sample = model.build_split()
+        u = np.asarray(prior_sample(jax.random.key(0), 4000))
+        assert np.all(np.isfinite(u))
+        x = constrain(u)["locs"]
+        assert np.all(np.diff(x, axis=-1) > 0)
+        # max of 3 iid N(0,1) has CDF Phi(x)^3
+        ks = sps.kstest(x[:, -1], lambda v: sps.norm.cdf(v) ** 3)
+        assert ks.pvalue > 1e-3
+        # Model.prior_sample (the standalone method) uses the same hook
+        u2 = np.asarray(model.prior_sample(jax.random.key(1), 256))
+        assert np.all(np.isfinite(u2))
+
+    def test_logprior_is_normalized(self):
+        """The restricted ordered prior carries its log K! normalizer
+        (without it every evidence engine is biased by -log K!):
+        numerically integrate exp(logprior) over u-space for K=2."""
+        from mcmcpp_tpu.dsl import ordered
+
+        model = Model().param("locs", ordered(Normal(0.0, 1.0)), shape=(2,))
+        logprior, _, dim, _, _ = model.build_split()
+        assert dim == 2
+        u1 = np.linspace(-7.0, 7.0, 281)
+        u2 = np.linspace(-14.0, 3.0, 341)
+        g1, g2 = np.meshgrid(u1, u2, indexing="ij")
+        pts = jnp.asarray(np.stack([g1.ravel(), g2.ravel()], axis=1))
+        vals = np.asarray(jax.vmap(logprior)(pts)).reshape(g1.shape)
+        total = np.trapezoid(
+            np.trapezoid(np.exp(vals), u2, axis=1), u1
+        )
+        assert total == pytest.approx(1.0, abs=5e-3)
+
     @pytest.mark.slow
     def test_mixture_locations_identifiable(self):
         """2-component Gaussian mixture with ordered locs: NUTS recovers

@@ -91,6 +91,22 @@ class TestEllipticalSlice:
 
         np.testing.assert_array_equal(go(), go())
 
+    def test_leftover_transitions_advance_state(self, gp_problem):
+        """Round-2 advisor: run() silently discarded the n_steps % thin
+        leftover transitions; it must advance the state like every other
+        chunked driver (gibbs/sgmcmc/hmc)."""
+        loglike, chol, _, _ = gp_problem
+        s = EllipticalSliceSampler(
+            loglike, prior_mean=np.zeros(DIM), prior_chol=chol,
+            n_chains=8, seed=21,
+        )
+        s.init_prior(seed=22)
+        before = np.asarray(s.state.position).copy()
+        ok = s.run(1, thin=2)  # n_store = 0, leftover = 1
+        assert ok
+        assert s.get_samples().shape[0] == 0
+        assert not np.array_equal(np.asarray(s.state.position), before)
+
     def test_validation(self, gp_problem):
         loglike, chol, _, _ = gp_problem
         with pytest.raises(ValueError, match="exactly one"):

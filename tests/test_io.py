@@ -82,6 +82,26 @@ def test_checkpoint_resume_ensemble_bitwise(tmp_path):
     assert a.total_steps == b.total_steps
 
 
+def test_checkpoint_version_mismatch_is_actionable(tmp_path):
+    """Round-2 advisor: a v1/v2 archive died with an opaque KeyError
+    (v3 renamed the ensemble keys); loading must fail with a clear
+    incompatible-version error instead."""
+    import json
+
+    s = _sampled(tmp_path, n_steps=10)
+    ckpt = save_checkpoint(s, tmp_path / "old.npz")
+    with np.load(ckpt, allow_pickle=False) as z:
+        payload = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(payload["__meta__"]).decode())
+    meta["format"] = 2
+    payload["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(ckpt, **payload)
+    with pytest.raises(ValueError, match="incompatible checkpoint format"):
+        load_checkpoint(s, ckpt)
+
+
 def test_checkpoint_resume_gradient_bitwise(tmp_path):
     def logp(t):
         return -0.5 * jnp.sum(t * t)
