@@ -83,14 +83,16 @@ def headline_updates_per_s(jax, jnp):
     return best
 
 
-def ess_per_s(jax, jnp):
+def ess_per_s(jax, jnp, store_dtype=None):
     """ESS/s on the same 10-D target, chain-store traffic INCLUDED
     (BASELINE.md: "ESS/s tracked alongside walker-updates/s").
 
     The measured window covers sampling + the pipelined device->host chain
     offload; under the tunneled dev box the offload link (~18 MB/s) is 2-3
     orders of magnitude below co-located PCIe, so treat the absolute number
-    as a hard lower bound for production hardware.
+    as a hard lower bound for production hardware. ``store_dtype=bfloat16``
+    measures the reduced-precision store path (half the offload bytes on
+    any link).
     """
     from mcmcpp_tpu import EnsembleSampler
     from mcmcpp_tpu.utils import ThroughputMonitor
@@ -100,7 +102,7 @@ def ess_per_s(jax, jnp):
     steps, thin, chunk = 3000, 6, 250
     s = EnsembleSampler(
         logp_batched, n_walkers=n_walkers, n_params=dim, seed=0, batched=True,
-        prng_impl="rbg", store_chunk_steps=chunk,
+        prng_impl="rbg", store_chunk_steps=chunk, store_dtype=store_dtype,
     )
     s.init_ball(np.zeros(dim), scale=0.5, seed=1)
     s.run_mcmc(300, store=False)  # burn-in + nostore compile warm
@@ -191,6 +193,8 @@ def run_attempt():
     _log(f"headline done: {updates_per_s:.3e}")
     ess_rate, ess_window_updates = ess_per_s(jax, jnp)
     _log(f"store-inclusive ESS/s done: {ess_rate:.3e}")
+    ess_bf16, _ = ess_per_s(jax, jnp, store_dtype=jnp.bfloat16)
+    _log(f"store-inclusive ESS/s (bf16 store) done: {ess_bf16:.3e}")
     ess_device = ess_per_s_device_resident(jax, jnp)
     _log(f"device-resident ESS/s done: {ess_device:.3e}")
     print(
@@ -201,6 +205,7 @@ def run_attempt():
                 "unit": "walker-updates/s/chip",
                 "vs_baseline": updates_per_s / NORTH_STAR,
                 "ess_per_s_10d_gaussian": ess_rate,
+                "ess_per_s_10d_gaussian_bf16store": ess_bf16,
                 "ess_unit": "ESS/s (worst parameter, chain store included)",
                 "ess_window_updates_per_s": ess_window_updates,
                 "ess_per_s_device_resident": ess_device,

@@ -62,6 +62,7 @@ def append_device_chunk(chain, pos, logp):
             n_params=chain.n_params,
             max_bytes=chain.max_bytes,
             dtype=chain.dtype,
+            read_dtype=chain.read_dtype,
         )
     return chain, chain.append(pos_np, logp_np)
 
@@ -129,11 +130,16 @@ class Chain:
     """
 
     def __init__(self, n_walkers, n_params, max_bytes=2 << 30, dtype=np.float32,
-                 backend="auto"):
+                 backend="auto", read_dtype=None):
         self.n_walkers = int(n_walkers)
         self.n_params = int(n_params)
         self.max_bytes = int(max_bytes)
         self.dtype = np.dtype(dtype)
+        # reduced-precision store support: rows are HELD at ``dtype`` (e.g.
+        # bfloat16, halving the offload payload) but handed to analysis
+        # cast up to ``read_dtype`` (numpy FFT/cov paths don't accept
+        # ml_dtypes customs)
+        self.read_dtype = None if read_dtype is None else np.dtype(read_dtype)
         self._blocks = []  # list of (S_i, W, P)
         self._logp_blocks = []  # list of (S_i, W)
         self._bytes = 0
@@ -254,12 +260,16 @@ class Chain:
         """Samples as (S, W, P); ``flat`` flattens steps×walkers to rows
         (pset-iterator order: step-major, walker-minor)."""
         arr = self._materialize()[burn_in::thin]
+        if self.read_dtype is not None and arr.dtype != self.read_dtype:
+            arr = arr.astype(self.read_dtype)
         if flat:
             return arr.reshape(-1, self.n_params)
         return arr
 
     def get_logp(self, burn_in=0, thin=1, flat=False):
         arr = self._materialize_logp()[burn_in::thin]
+        if self.read_dtype is not None and arr.dtype != self.read_dtype:
+            arr = arr.astype(self.read_dtype)
         if flat:
             return arr.reshape(-1)
         return arr

@@ -103,9 +103,10 @@ def make_step_fn(batched_logp, mover: Mover, mover_state: Any, base_key):
     return step
 
 
-@partial(jax.jit, static_argnames=("step_fn", "n_store", "thin", "step_action"))
+@partial(jax.jit, static_argnames=("step_fn", "n_store", "thin", "step_action",
+                                   "store_dtype"))
 def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int,
-             step_action=None):
+             step_action=None, store_dtype=None):
     """Run ``n_store·thin`` steps, emitting every ``thin``-th ensemble.
 
     Returns (final_state, positions (n_store, W, P), logps (n_store, W),
@@ -117,6 +118,11 @@ def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int,
     completed stored step, ≙ EnsembleSampler.h:356-359); its outputs are
     stacked along the leading axis and returned as ``metrics`` (None if no
     action given).
+
+    ``store_dtype`` (e.g. ``jnp.bfloat16``) down-casts the emitted chunk
+    INSIDE the scan body — the compute path stays full precision while the
+    stored rows cost half the HBM scan-output footprint and half the
+    device->host offload bytes (step_action still sees full precision).
     """
 
     def body(carry, _):
@@ -124,6 +130,9 @@ def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int,
         pos = jnp.concatenate([carry.red, carry.black], axis=0)
         logp = jnp.concatenate([carry.logp_red, carry.logp_black], axis=0)
         metrics = step_action(pos, logp) if step_action is not None else 0
+        if store_dtype is not None:
+            pos = pos.astype(store_dtype)
+            logp = logp.astype(store_dtype)
         return carry, (pos, logp, metrics)
 
     final, (positions, logps, metrics) = jax.lax.scan(body, state, length=n_store)
@@ -170,6 +179,14 @@ class EnsembleSampler:
     prng_impl : "threefry2x32" (default; bitwise reproducible at any device
         count) or "rbg" (XLA hardware RngBitGenerator — measured ~16% faster
         steps on v5e, reproducible per fixed backend/topology only).
+    store_dtype : optional reduced-precision dtype for STORED rows only
+        (e.g. ``jnp.bfloat16``): the sampling compute path stays ``dtype``,
+        but chunks are down-cast on device before the device->host offload
+        — halving both the chain's scan-output HBM footprint and the
+        offload bytes. ``get_samples``/``get_log_probs`` cast back up to
+        float32 for analysis (bf16 keeps float32's full exponent range;
+        the ~3-decimal-digit mantissa shifts moments/ACT well within Monte
+        Carlo error — see tests/test_store_dtype.py).
     """
 
     def __init__(
@@ -185,6 +202,7 @@ class EnsembleSampler:
         store_chunk_steps=None,
         prng_impl="threefry2x32",
         chain=None,
+        store_dtype=None,
     ):
         if n_walkers % 2 != 0:
             raise ValueError("n_walkers must be even")
@@ -206,6 +224,10 @@ class EnsembleSampler:
         # a new epoch) once it crosses 2^30, so multi-week runs never wrap
         self._step_epoch = 0
         self._epoch_base_steps = 0
+        self._store_dtype = (
+            None if store_dtype is None
+            else jax.dtypes.canonicalize_dtype(store_dtype)
+        )
         if chain is not None:
             # injected store (e.g. chain_disk.DiskChain for histories larger
             # than host RAM); must match the ensemble geometry
@@ -218,11 +240,17 @@ class EnsembleSampler:
                 )
             self.chain = chain
         else:
+            row_dtype = np.dtype(jax.dtypes.canonicalize_dtype(
+                dtype if self._store_dtype is None else self._store_dtype
+            ))
             self.chain = Chain(
                 n_walkers=self.n_walkers,
                 n_params=self.n_params,
                 max_bytes=max_chain_bytes,
-                dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
+                dtype=row_dtype,
+                # sub-fp32 rows are cast up on read: numpy's FFT/cov
+                # analysis paths reject ml_dtypes customs
+                read_dtype=(np.float32 if row_dtype.itemsize < 4 else None),
             )
         self.state = None
         # host-side accumulators: PER-WALKER int64 accept counts in chain
@@ -236,9 +264,10 @@ class EnsembleSampler:
         self._steps_host = 0
         self._rebuild_step_fn()
         if store_chunk_steps is None:
-            # bound device-side scan output to ~64 MiB per chunk
+            # bound device-side scan output to ~64 MiB per chunk (sized at
+            # the STORED row dtype, so bf16 stores fit 2x the steps)
             store_chunk_steps = default_chunk_steps(
-                self.n_walkers, self.n_params, dtype
+                self.n_walkers, self.n_params, self.chain.dtype
             )
         self._chunk = int(store_chunk_steps)
 
@@ -442,17 +471,27 @@ class EnsembleSampler:
             if leftover:
                 self.run_mcmc(leftover, store=False)
             return ok
+        # shared pipelined store loop (chain.run_pipelined) — ONE copy of
+        # the launch/fetch/on_drop/checkpoint-drain machine for every
+        # chunked driver (the reference's analogous duplicated controller
+        # code is where its sub-sampling resume bug lived,
+        # RedBlkCtrlerSpinLock.h:297-300 vs EnsembleSampler.h:296-308)
+        from mcmcpp_tpu.chain import run_pipelined
+
         chunk = min(self._chunk, max(1, max_micro // thin))
-        done = 0
-        fetched = 0
-        hit_capacity = False
         metric_chunks = []
-        ckpt_every = max(1, int(checkpoint_every))
-        pending = None  # chunk k-1's device futures
+
+        def launch(take):
+            # JAX dispatch is async: chunk k's device compute overlaps
+            # chunk k-1's device->host copy
+            self.state, pos, logp, metrics, acc = run_scan(
+                self.state, self._step_fn, take, thin, step_action,
+                store_dtype=self._store_dtype,
+            )
+            return (pos, logp, metrics, acc)
 
         def fetch(chunk_data):
             """Append one chunk's futures to the chain; returns append ok."""
-            nonlocal fetched
             p_pos, p_logp, p_metrics, p_acc = chunk_data
             ok = self._append_chain(p_pos, p_logp)
             self._accum_accept(*p_acc)
@@ -460,50 +499,29 @@ class EnsembleSampler:
                 metric_chunks.append(jax.tree.map(np.asarray, p_metrics))
             if chunk_action is not None:
                 chunk_action(self.chain)
-            fetched += 1
             return ok
 
-        while done < n_store or pending is not None:
-            if done < n_store:
-                take = min(chunk, n_store - done)
-                # JAX dispatch is async: launch chunk k before fetching
-                # chunk k-1, overlapping device compute with the D2H copy
-                self.state, pos, logp, metrics, acc = run_scan(
-                    self.state, self._step_fn, take, thin, step_action
-                )
-                done += take
-                launched = (pos, logp, metrics, acc)
-            else:
-                launched = None
-            if pending is not None:
-                ok = fetch(pending)
-                if not ok:
-                    hit_capacity = True
-                    pending = None
-                    # the already-launched chunk still advanced the state;
-                    # fold its accept counts in before bailing
-                    if launched is not None:
-                        self._accum_accept(*launched[3])
-                    break
-                if (checkpoint_path is not None
-                        and fetched % ckpt_every == 0):
-                    # drain the in-flight chunk so the snapshot is exactly
-                    # consistent (chain == state == counters), then save
-                    if launched is not None:
-                        ok = fetch(launched)
-                        launched = None
-                        if not ok:
-                            hit_capacity = True
-                            break
-                    from mcmcpp_tpu.io.checkpoint import save_checkpoint
+        def on_drop(chunk_data):
+            # the launched-but-unstorable chunk still advanced the state;
+            # fold its accept counts in before bailing
+            self._accum_accept(*chunk_data[3])
 
-                    save_checkpoint(self, checkpoint_path)
-            pending = launched
+        ckpt_save = None
+        if checkpoint_path is not None:
+            from mcmcpp_tpu.io.checkpoint import save_checkpoint
+
+            def ckpt_save():
+                save_checkpoint(self, checkpoint_path)
+
+        ok = run_pipelined(
+            n_store, chunk, launch, fetch, on_drop=on_drop,
+            checkpoint_save=ckpt_save, checkpoint_every=checkpoint_every,
+        )
         if metric_chunks:
             self.step_metrics = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=0), *metric_chunks
             )
-        if hit_capacity:
+        if not ok:
             return False
         if leftover:
             self.state = run_nostore(self.state, self._step_fn, leftover)
