@@ -72,12 +72,22 @@ class NestedSampler:
         — rejection-free along each direction, more robust in higher
         dimensions where stretch acceptance collapses).
     a: stretch scale (g(z) support [1/a, a], cf. ops/gw.py).
+    mesh: optional ``jax.sharding.Mesh`` — shards the ``(N, P)`` live set
+        and the ``(B, P)`` regrowth walkers over the mesh. Cross-device
+        design decision for the B-worst selection: the rank sort runs as
+        XLA's GLOBAL sort over the sharded live axis, which GSPMD lowers
+        to an all-gather + local sort. That is deliberate — live sets are
+        small (≤ a few thousand (P+2)-float rows, tens of KB to gather)
+        while the dominant cost, the B regrowth chains' ``n_mcmc``
+        likelihood sweeps, partitions over the mesh with no communication.
+        A distributed multi-device sort would save a tiny gather and
+        complicate the shrinkage accounting for nothing.
     """
 
     def __init__(self, logprior_fn, loglike_fn, prior_sample, n_params,
                  n_live=500, batch=None, n_mcmc=30, a=2.0, seed=0,
                  dtype=jnp.float32, kernel="stretch", max_slice_expand=8,
-                 max_slice_shrink=32):
+                 max_slice_shrink=32, mesh=None):
         if kernel not in ("stretch", "slice"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.kernel = kernel
@@ -99,8 +109,29 @@ class NestedSampler:
         self._logprior = jax.vmap(logprior_fn)
         self._loglike = jax.vmap(loglike_fn)
         self._key = jax.random.key(seed)
+        self.mesh = mesh
+        self._row_sharding = self._vec_sharding = None
+        if mesh is not None:
+            from mcmcpp_tpu.parallel.mesh import (
+                vector_sharding,
+                walker_sharding,
+            )
+
+            self._row_sharding = walker_sharding(mesh)
+            self._vec_sharding = vector_sharding(self._row_sharding)
         self._iterate = jax.jit(self._build_iterate())
         self.result = None
+
+    def _constrain_rows(self, pos, *vecs):
+        """Pin (n, P) rows + (n,) stats to the live-set sharding."""
+        if self._row_sharding is None:
+            return (pos,) + vecs
+        pos = jax.lax.with_sharding_constraint(pos, self._row_sharding)
+        vecs = tuple(
+            jax.lax.with_sharding_constraint(v, self._vec_sharding)
+            for v in vecs
+        )
+        return (pos,) + vecs
 
     # -- device kernels ------------------------------------------------------
 
@@ -113,6 +144,9 @@ class NestedSampler:
 
             Returns (new_live, new_ll, new_lpp, dead, dead_ll, n_accept).
             """
+            live, ll, lpp = self._constrain_rows(live, ll, lpp)
+            # global rank sort over the (possibly sharded) live axis — see
+            # the class docstring for the cross-device design decision
             order = jnp.argsort(ll)  # ascending: worst first
             live, ll, lpp = live[order], ll[order], lpp[order]
             dead, dead_ll = live[:b], ll[:b]
@@ -123,6 +157,9 @@ class NestedSampler:
             pos = surv[seed_idx]
             pos_ll = surv_ll[seed_idx]
             pos_lpp = surv_lpp[seed_idx]
+            # the regrowth walkers carry the dominant cost (n_mcmc
+            # likelihood sweeps) — shard them over the mesh
+            pos, pos_ll, pos_lpp = self._constrain_rows(pos, pos_ll, pos_lpp)
 
             def step(i, carry):
                 pos, pos_ll, pos_lpp, acc = carry
@@ -273,6 +310,9 @@ class NestedSampler:
             new_live = jnp.concatenate([surv, pos], 0)
             new_ll = jnp.concatenate([surv_ll, pos_ll], 0)
             new_lpp = jnp.concatenate([surv_lpp, pos_lpp], 0)
+            new_live, new_ll, new_lpp = self._constrain_rows(
+                new_live, new_ll, new_lpp
+            )
             return new_live, new_ll, new_lpp, dead, dead_ll, acc
 
         return iterate
@@ -295,6 +335,8 @@ class NestedSampler:
                 f"prior_sample returned {live.shape}, expected "
                 f"{(n, self.n_params)}"
             )
+        if self._row_sharding is not None:
+            live = jax.device_put(live, self._row_sharding)
         ll = self._loglike(live)
         lpp = self._logprior(live)
         n_calls = n

@@ -383,12 +383,24 @@ class NeuTra:
         x = nt.transform(s.get_samples(flat=True))   # posterior draws
     """
 
-    def __init__(self, logp_fn, dim, flow=None, seed=0, dtype=jnp.float32):
+    def __init__(self, logp_fn, dim, flow=None, seed=0, dtype=jnp.float32,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh``. Shards the flow-
+        training ELBO/MLE batch axis over the mesh (flow params + Adam
+        state replicated; the batch-mean gradient reduction lowers to a
+        psum) and is forwarded to :meth:`make_sampler` so the warped
+        chains shard the same way."""
         self.logp_fn = logp_fn
         self.dim = int(dim)
         self.flow = flow if flow is not None else RealNVP(self.dim,
                                                           dtype=dtype)
         self.dtype = dtype
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from mcmcpp_tpu.parallel.mesh import walker_sharding
+
+            self._batch_sharding = walker_sharding(mesh)
         self._key = jax.random.key(seed)
         self._key, init_key = jax.random.split(self._key)
         self.params = self.flow.init(init_key)
@@ -397,6 +409,8 @@ class NeuTra:
 
     def _elbo(self, params, key, batch):
         z = jax.random.normal(key, (batch, self.dim), self.dtype)
+        if self._batch_sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, self._batch_sharding)
 
         def one(zi):
             x, logdet = self.flow.forward(params, zi)
@@ -469,8 +483,13 @@ class NeuTra:
         def step(carry, key):
             params, opt_state = carry
             idx = jax.random.randint(key, (batch,), 0, n)
+            xb = x[idx]
+            if self._batch_sharding is not None:
+                xb = jax.lax.with_sharding_constraint(
+                    xb, self._batch_sharding
+                )
             obj, grads = jax.value_and_grad(
-                lambda p: jnp.mean(jax.vmap(lambda xi: logq(p, xi))(x[idx]))
+                lambda p: jnp.mean(jax.vmap(lambda xi: logq(p, xi))(xb))
             )(params)
             updates, opt_state = opt.update(jax.tree.map(lambda g: -g, grads),
                                             opt_state)
@@ -504,7 +523,11 @@ class NeuTra:
 
     def make_sampler(self, sampler_cls, n_chains, seed=1, **kw):
         """Build ``sampler_cls`` on the warped target, initialized from
-        base noise (the flow's own approximate posterior)."""
+        base noise (the flow's own approximate posterior). A ``mesh``
+        given at construction is forwarded so the warped chain batch
+        shards over it (override by passing ``mesh=`` explicitly)."""
+        if self.mesh is not None:
+            kw.setdefault("mesh", self.mesh)
         s = sampler_cls(self.warped_logp(), n_chains=n_chains,
                         n_params=self.dim, seed=seed, **kw)
         self._key, k = jax.random.split(self._key)

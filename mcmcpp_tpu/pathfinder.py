@@ -222,7 +222,7 @@ def _hill_khat(logw, frac=0.2):
 
 def multi_pathfinder(logp_fn, n_paths, init, init_scale=2.0, n_draws=1000,
                      seed=0, maxiter=60, history=6, n_elbo_draws=30,
-                     draws_per_path=400, dtype=jnp.float32):
+                     draws_per_path=400, dtype=jnp.float32, mesh=None):
     """M Pathfinder paths from dispersed starts, pooled by truncated
     importance resampling (Ionides 2008: cap at mean * sqrt(n)).
 
@@ -230,6 +230,12 @@ def multi_pathfinder(logp_fn, n_paths, init, init_scale=2.0, n_draws=1000,
     or (M, P) explicit starts. Returns MultiPathfinderResult whose
     ``draws`` initialize MCMC chains (or stand alone as a crude
     posterior approximation); check ``pareto_k``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the path axis shards over
+    the mesh (paths are fully independent: the whole vmapped L-BFGS+ELBO
+    program partitions with ZERO collectives in the hot loop; only the
+    host-side pooling sees all paths). Use ``n_paths`` a multiple of the
+    mesh size.
     """
     init = jnp.asarray(init, dtype)
     key = jax.random.key(seed)
@@ -242,11 +248,20 @@ def multi_pathfinder(logp_fn, n_paths, init, init_scale=2.0, n_draws=1000,
             raise ValueError("explicit starts must be (n_paths, P)")
         starts = init
 
-    paths = jax.vmap(lambda s, i: pathfinder(
+    run_paths = jax.vmap(lambda s, i: pathfinder(
         logp_fn, s, maxiter=maxiter, history=history,
         n_elbo_draws=n_elbo_draws, n_draws=draws_per_path, seed=seed,
         dtype=dtype, fold=i,
-    ))(starts, jnp.arange(int(n_paths), dtype=jnp.int32))
+    ))
+    folds = jnp.arange(int(n_paths), dtype=jnp.int32)
+    if mesh is not None:
+        from mcmcpp_tpu.parallel.mesh import vector_sharding, walker_sharding
+
+        path_sharding = walker_sharding(mesh)
+        starts = jax.device_put(starts, path_sharding)
+        folds = jax.device_put(folds, vector_sharding(path_sharding))
+        run_paths = jax.jit(run_paths)  # let GSPMD partition the path axis
+    paths = run_paths(starts, folds)
 
     pooled = paths.draws.reshape(-1, starts.shape[1])
     logw = np.asarray(paths.logw.reshape(-1), np.float64)

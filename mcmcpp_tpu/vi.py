@@ -64,15 +64,26 @@ class ADVI:
     n_params : dimension P.
     full_rank : fit a dense covariance (default False = mean-field).
     n_mc : Monte-Carlo samples per ELBO gradient (default 16).
+    mesh : optional ``jax.sharding.Mesh`` — shards the Monte-Carlo sample
+        axis over the mesh (the variational params and their Adam state
+        stay replicated; per-sample logp evaluations partition, and the
+        ELBO mean / gradient reductions become psums over the mesh). Use
+        ``n_mc`` a multiple of the mesh size.
     """
 
     def __init__(self, logp_fn, n_params, full_rank=False, n_mc=16,
-                 learning_rate=1e-2, seed=0, dtype=jnp.float32):
+                 learning_rate=1e-2, seed=0, dtype=jnp.float32, mesh=None):
         self.logp_fn = logp_fn
         self.n_params = int(n_params)
         self.full_rank = bool(full_rank)
         self.n_mc = int(n_mc)
         self.dtype = dtype
+        self.mesh = mesh
+        self._mc_sharding = None
+        if mesh is not None:
+            from mcmcpp_tpu.parallel.mesh import walker_sharding
+
+            self._mc_sharding = walker_sharding(mesh)
         self._key = jax.random.key(seed)
         self.opt = optax.adam(learning_rate)
         p = self.n_params
@@ -93,6 +104,10 @@ class ADVI:
 
     def _neg_elbo(self, params, key):
         eps = jax.random.normal(key, (self.n_mc, self.n_params), self.dtype)
+        if self._mc_sharding is not None:
+            # shard the MC-sample axis: per-sample logp partitions over the
+            # mesh; the mean below lowers to a psum
+            eps = jax.lax.with_sharding_constraint(eps, self._mc_sharding)
         thetas = jax.vmap(lambda e: self._sample(params, e))(eps)
         e_logp = jnp.mean(jax.vmap(self.logp_fn)(thetas))
         return -(e_logp + self._entropy(params))

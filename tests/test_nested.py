@@ -102,6 +102,34 @@ def test_hard_constraint_halfspace():
     assert (post[:, 0] >= 0).all()
 
 
+def test_mesh_sharded_matches_unsharded():
+    """Live set sharded over the 8-device CPU mesh: the iterate kernel's
+    math has no cross-walker float reductions (the sort is a permutation,
+    accept counts are exact int sums), so the mesh run must reproduce the
+    unsharded run's dead points and ledger to float tolerance."""
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    kw = dict(n_params=DIM, n_live=64, batch=16, n_mcmc=10, seed=3)
+    ra = NestedSampler(log_prior, log_like, prior_sample, **kw).run(dlogz=0.05)
+    ns = NestedSampler(log_prior, log_like, prior_sample,
+                       mesh=make_walker_mesh(), **kw)
+    rb = ns.run(dlogz=0.05)
+    assert rb.n_iters == ra.n_iters
+    assert rb.logz == pytest.approx(ra.logz, abs=1e-5)
+    np.testing.assert_allclose(rb.samples, ra.samples, rtol=2e-6, atol=2e-6)
+
+
+def test_mesh_sharded_slice_kernel_runs():
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    ns = NestedSampler(log_prior, log_like, prior_sample, n_params=DIM,
+                       n_live=64, batch=16, n_mcmc=4, seed=4,
+                       kernel="slice", mesh=make_walker_mesh())
+    r = ns.run(dlogz=0.05, max_iters=300)
+    assert np.isfinite(r.logz)
+    assert r.logz == pytest.approx(LOGZ_TRUE, abs=max(3 * r.logz_err, 0.4))
+
+
 def test_validation():
     with pytest.raises(ValueError, match="batch"):
         NestedSampler(log_prior, log_like, prior_sample, n_params=DIM,

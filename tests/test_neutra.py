@@ -357,3 +357,53 @@ class TestForwardKLRefit:
         v = np.asarray(x)[:, 0]
         assert abs(v.mean()) < 0.8
         assert 1.8 < v.std() < 4.2
+
+
+class TestMeshSharded:
+    def test_training_batch_sharded_matches_unsharded(self):
+        """Flow-training batch axis sharded over the 8-device CPU mesh:
+        params/Adam state stay replicated, only the batch-mean reduction
+        order changes — the fitted params must match to float tolerance."""
+        from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+        def logp(t):
+            return -0.5 * jnp.sum(t * t)
+
+        flow = RealNVP(3, n_layers=2, hidden=8)
+        a = NeuTra(logp, 3, flow=flow, seed=2).fit(200, batch=64)
+        b = NeuTra(logp, 3, flow=flow, seed=2,
+                   mesh=make_walker_mesh()).fit(200, batch=64)
+        for la, lb in zip(jax.tree.leaves(a.params),
+                          jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                       rtol=2e-3, atol=2e-3)
+        assert b.fit_result.final_elbo == pytest.approx(
+            a.fit_result.final_elbo, abs=0.05
+        )
+
+    def test_mesh_forwarded_to_warped_sampler(self):
+        from mcmcpp_tpu import HMCSampler
+        from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+        mesh = make_walker_mesh()
+        nt = NeuTra(lambda t: -0.5 * jnp.sum(t * t), 3,
+                    flow=RealNVP(3, n_layers=2, hidden=8), seed=3,
+                    mesh=mesh)
+        nt.fit(100, batch=64)
+        s = nt.make_sampler(HMCSampler, n_chains=16, n_leapfrog=3)
+        assert s.mesh is mesh
+        s.warmup(5)
+        s.run(5)
+        x = nt.transform(s.get_samples(flat=True))
+        assert x.shape == (5 * 16, 3) and np.isfinite(x).all()
+
+    def test_refit_batch_sharded(self):
+        from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+        nt = NeuTra(lambda t: -0.5 * jnp.sum(t * t), 2,
+                    flow=RealNVP(2, n_layers=2, hidden=8), seed=4,
+                    mesh=make_walker_mesh())
+        draws = np.random.default_rng(0).standard_normal(
+            (512, 2)).astype(np.float32)
+        nt.refit_forward_kl(draws, n_steps=100, batch=64)
+        assert np.isfinite(nt.refit_result.final_elbo)

@@ -88,6 +88,25 @@ class TestMultiPath:
         np.testing.assert_allclose(np.cov(r.draws.T), cov, atol=0.3)
         assert r.pareto_k < 0.7  # exact family: well-behaved weights
 
+    def test_mesh_sharded_paths(self, gauss):
+        """Path axis sharded over the 8-device CPU mesh: paths are fully
+        independent, so the sharded run must recover the same posterior
+        (statistical check) and be deterministic across mesh runs."""
+        from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+        logp, cov = gauss
+        mesh = make_walker_mesh()
+        kw = dict(n_paths=8, init=np.zeros(DIM), init_scale=2.0,
+                  n_draws=3000, seed=0)
+        a = multi_pathfinder(logp, mesh=mesh, **kw)
+        b = multi_pathfinder(logp, mesh=mesh, **kw)
+        np.testing.assert_array_equal(a.draws, b.draws)  # deterministic
+        assert a.draws.shape == (3000, DIM)
+        np.testing.assert_allclose(a.draws.mean(axis=0), np.zeros(DIM),
+                                   atol=0.1)
+        np.testing.assert_allclose(np.cov(a.draws.T), cov, atol=0.3)
+        assert a.pareto_k < 0.7
+
     def test_initializes_nuts_chains(self, gauss):
         """The advertised use: Pathfinder draws as MCMC inits."""
         from mcmcpp_tpu import NUTSSampler

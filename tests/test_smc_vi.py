@@ -83,6 +83,30 @@ def test_advi_recovers_gaussian(full_rank):
     assert np.mean(t[-100:]) > np.mean(t[:100])
 
 
+def test_advi_mesh_sharded_matches_unsharded():
+    """MC-sample axis sharded over the 8-device CPU mesh: params stay
+    replicated and only the ELBO mean's reduction order changes, so the
+    fitted variational params must match the unsharded fit to float
+    tolerance (and the analytic posterior within it)."""
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    cov = np.array([[1.0, 0.6], [0.6, 1.0]], np.float32)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mean = jnp.asarray([1.0, -2.0])
+
+    def logp(t):
+        d = t - mean
+        return -0.5 * d @ (prec @ d)
+
+    kw = dict(n_params=2, full_rank=True, n_mc=32, learning_rate=0.05,
+              seed=0)
+    a = ADVI(logp, **kw).fit(800)
+    b = ADVI(logp, mesh=make_walker_mesh(), **kw).fit(800)
+    np.testing.assert_allclose(b.mean, a.mean, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(b.cov, a.cov, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(b.mean, [1.0, -2.0], atol=0.1)
+
+
 def test_advi_sample_shape():
     vi = ADVI(lambda t: -0.5 * jnp.sum(t**2), n_params=3, seed=1)
     vi.fit(200)
