@@ -25,6 +25,12 @@ from mcmcpp_tpu.analysis.diagnostics import (
     summary,
 )
 from mcmcpp_tpu.analysis.bridge import BridgeResult, bridge_log_evidence
+from mcmcpp_tpu.analysis.global_stats import (
+    global_autocorr_time,
+    global_correlation_matrix,
+    global_covariance_matrix,
+    global_split_rhat,
+)
 from mcmcpp_tpu.analysis.sbc import (
     sbc_ecdf_band,
     sbc_model,
@@ -57,6 +63,10 @@ __all__ = [
     "waic",
     "BridgeResult",
     "bridge_log_evidence",
+    "global_autocorr_time",
+    "global_correlation_matrix",
+    "global_covariance_matrix",
+    "global_split_rhat",
     "sbc_ecdf_band",
     "sbc_model",
     "sbc_ranks",
