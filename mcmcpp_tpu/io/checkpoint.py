@@ -197,6 +197,16 @@ def save_checkpoint(sampler, path):
             log_evidence=np.asarray(s.log_evidence),
             key=_key_data(sampler._key),
         )
+        if sampler._flow is not None:
+            # flow-mutation proposal state (flow params + Adam moments):
+            # flattened leaves; structure is rebuilt at load from the
+            # sampler's own flow config, so only arrays hit the archive
+            leaves = jax.tree_util.tree_leaves(sampler._flow_carry)
+            meta.update(n_flow_leaves=len(leaves))
+            arrays.update({
+                f"flow_leaf_{i}": np.asarray(leaf)
+                for i, leaf in enumerate(leaves)
+            })
     elif _is_sgmcmc(sampler):
         if sampler.state is None:
             raise RuntimeError("cannot checkpoint an uninitialized sampler")
@@ -411,6 +421,25 @@ def load_checkpoint(sampler, path):
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.n_stages = int(meta["n_stages"])
         sampler.beta_ladder = list(meta["beta_ladder"])
+        n_flow = int(meta.get("n_flow_leaves", 0))
+        if (n_flow > 0) != (sampler._flow is not None):
+            raise ValueError(
+                "flow-mutation mismatch: checkpoint "
+                f"{'has' if n_flow else 'lacks'} flow state but the sampler "
+                f"was built with mutation="
+                f"{sampler.mutation!r}"
+            )
+        if n_flow:
+            # template carry gives the treedef (key value is irrelevant —
+            # only the pytree structure and leaf shapes are used)
+            fp = sampler._flow.init(jax.random.key(0))
+            tmpl = (fp, sampler._flow_opt.init(fp))
+            treedef = jax.tree_util.tree_structure(tmpl)
+            sampler._flow_carry = jax.tree_util.tree_unflatten(
+                treedef,
+                [jnp.asarray(arrays[f"flow_leaf_{i}"])
+                 for i in range(n_flow)],
+            )
     elif meta["kind"] == "sgmcmc":
         from mcmcpp_tpu.gradient.sgmcmc import SGState
 

@@ -103,16 +103,38 @@ class SMCSampler:
         pre-mutation state, so π_β-invariance per particle is preserved;
         cf. Chopin & Papaspiliopoulos 2020 §17.2). The gradient kernel
         is the choice in higher dimensions, where stretch acceptance
-        collapses.
+        collapses. Or ``"flow"`` — normalizing-flow-preconditioned
+        mutation: each stage refits a flow to the post-resampling
+        particle cloud by forward-KL maximum likelihood (one jitted Adam
+        scan, warm-started across stages), then runs ``n_mcmc``
+        independence-Metropolis steps proposing from the flow. Because
+        proposals are GLOBAL draws from a fit of p_β itself, the kernel
+        hops between modes local kernels cannot connect — the choice for
+        multimodal targets (cf. Arbel, Matthews & Doucet 2021, "Annealed
+        Flow Transport Monte Carlo", which anneals flows along the same
+        tempered path). Validity is the same measurability argument as
+        the MALA scale: the flow is a function of the pre-mutation
+        state, so each of the K MH steps leaves p_β invariant exactly —
+        the flow fit quality affects mixing only, never correctness.
     mala_scale : step multiplier; the proposal sd per dim is
         ``mala_scale · P^{-1/6} · std_d`` (MALA optimal scaling).
+    flow : flow object for ``mutation="flow"`` (``RealNVP`` /
+        ``SplineCoupling`` / ``IAF`` from :mod:`mcmcpp_tpu.neutra`;
+        default ``RealNVP(n_params)``). Needs a cheap exact ``inverse``
+        for the proposal-density carry — RealNVP and SplineCoupling are
+        one parallel pass; IAF's inverse is sequential (slow, avoid).
+    flow_fit_steps, flow_batch, flow_lr : per-stage forward-KL Adam
+        schedule. The fit is warm-started from the previous stage's
+        params (the annealing path moves slowly, so late stages converge
+        in a few dozen steps).
     """
 
     def __init__(self, log_prior_fn, log_like_fn, prior_sample_fn, n_particles,
                  n_params, n_mcmc=5, target_ess=0.5, seed=0, dtype=jnp.float32,
                  mover=None, mesh=None, waste_free_k=None,
-                 mutation="ensemble", mala_scale=1.0):
-        if mutation not in ("ensemble", "mala"):
+                 mutation="ensemble", mala_scale=1.0, flow=None,
+                 flow_fit_steps=150, flow_batch=256, flow_lr=1e-3):
+        if mutation not in ("ensemble", "mala", "flow"):
             raise ValueError(f"unknown mutation {mutation!r}")
         self.mutation = mutation
         self.mala_scale = float(mala_scale)
@@ -140,6 +162,18 @@ class SMCSampler:
                 )
         self.dtype = dtype
         self.mover = mover if mover is not None else StretchMove()
+        self._flow = None
+        if mutation == "flow":
+            import optax
+
+            if flow is None:
+                from mcmcpp_tpu.neutra import RealNVP
+
+                flow = RealNVP(self.n_params, dtype=dtype)
+            self._flow = flow
+            self._flow_fit_steps = int(flow_fit_steps)
+            self._flow_batch = int(flow_batch)
+            self._flow_opt = optax.adam(float(flow_lr))
         self._key = jax.random.key(seed)
         # optional particle-axis sharding: ESS/logsumexp reduce over the
         # mesh, resampling's cumsum/searchsorted/gather become collectives
@@ -154,10 +188,15 @@ class SMCSampler:
             self._particle_sharding = walker_sharding(mesh)
         self._stage = jax.jit(self._stage_impl)
         self.state = None
+        self._flow_carry = None
         self.n_stages = 0
         self.beta_ladder = []
 
     def init(self):
+        if self._flow is not None:
+            self._key, fk = jax.random.split(self._key)
+            fp = self._flow.init(fk)
+            self._flow_carry = (fp, self._flow_opt.init(fp))
         self._key, k = jax.random.split(self._key)
         particles = jnp.asarray(self.prior_sample_fn(k, self.n), self.dtype)
         if self._particle_sharding is not None:
@@ -189,7 +228,39 @@ class SMCSampler:
             log_like=v(state.log_like),
         )
 
-    def _stage_impl(self, key, state: SMCState):
+    def _fit_flow(self, key, particles, flow_carry):
+        """Per-stage forward-KL (MLE) refit of the proposal flow on the
+        post-resampling particle cloud — one ``lax.scan`` of Adam steps,
+        warm-started from the previous stage (runs inside the stage jit)."""
+        import optax
+
+        n = particles.shape[0]
+        batch = min(self._flow_batch, n)
+        const = -0.5 * self.n_params * np.log(2.0 * np.pi)
+        flow = self._flow
+
+        def logq(params, xi):
+            z, ld = flow.inverse(params, xi)
+            return const - 0.5 * jnp.sum(z * z) + ld
+
+        def step(carry, k):
+            params, opt_state = carry
+            idx = jax.random.randint(k, (batch,), 0, n)
+            xb = jnp.take(particles, idx, axis=0)
+            obj, grads = jax.value_and_grad(
+                lambda p: jnp.mean(jax.vmap(lambda xi: logq(p, xi))(xb))
+            )(params)
+            updates, opt_state = self._flow_opt.update(
+                jax.tree.map(lambda g: -g, grads), opt_state
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), obj
+
+        keys = jax.random.split(key, self._flow_fit_steps)
+        flow_carry, _ = jax.lax.scan(step, flow_carry, keys)
+        return flow_carry
+
+    def _stage_impl(self, key, state: SMCState, flow_carry=None):
         state = self._constrain(state)
         beta_new = _find_next_beta(
             state.log_like, state.beta, self.target_ess, self.n
@@ -199,7 +270,7 @@ class SMCSampler:
         log_evidence = state.log_evidence + (
             jax.scipy.special.logsumexp(log_w) - jnp.log(float(self.n))
         )
-        k_rs, k_mut = jax.random.split(key)
+        k_rs, k_mut, k_fit = jax.random.split(key, 3)
 
         # tempered target for mutation
         def tempered_batch(x):
@@ -209,11 +280,15 @@ class SMCSampler:
 
         mover_state = self.mover.init_state(self.n_params, self.dtype)
 
-        def make_mcmc_step(sd):
-            """Returns (step, init_carry): ``step(red, black, carry, key)
-            -> (red, black, carry)`` with a mode-specific carry (tempered
-            logps; MALA also carries gradients so each step costs ONE
-            value_and_grad sweep)."""
+        def make_mcmc_step(resampled):
+            """Returns (step, init_carry, flow_carry'): ``step(red, black,
+            carry, key) -> (red, black, carry)`` with a mode-specific carry
+            (tempered logps; MALA also carries gradients so each step costs
+            ONE value_and_grad sweep; flow also carries the proposal
+            density log q so each step costs one flow forward + one
+            tempered sweep). ``resampled`` is the post-resampling particle
+            set the kernel parameters adapt to (measurable wrt the
+            pre-mutation state — valid adaptive SMC)."""
             if self.mutation == "ensemble":
 
                 def mcmc_step(red, black, carry, key):
@@ -227,8 +302,52 @@ class SMCSampler:
                     )
                     return red, black, (lpr, lpb)
 
-                return mcmc_step, lambda red, black, lpr, lpb: (lpr, lpb)
+                return (mcmc_step,
+                        lambda red, black, lpr, lpb: (lpr, lpb),
+                        flow_carry)
 
+            if self.mutation == "flow":
+                # refit the flow to this stage's cloud, then K
+                # independence-MH steps proposing x' = f(z), z ~ N(0, I):
+                # global moves whose acceptance uses the exact proposal
+                # density log q(x) = log N(f⁻¹(x)) + log|det df⁻¹/dx|
+                new_carry = self._fit_flow(k_fit, resampled, flow_carry)
+                params = new_carry[0]
+                flow = self._flow
+                const = -0.5 * self.n_params * np.log(2.0 * np.pi)
+                fwd = jax.vmap(lambda zi: flow.forward(params, zi))
+                inv = jax.vmap(lambda xi: flow.inverse(params, xi))
+
+                def half_update(key, x, lp0, lq0):
+                    kz, ka = jax.random.split(key)
+                    z = jax.random.normal(kz, x.shape, x.dtype)
+                    y, logdet = fwd(z)
+                    lq1 = const - 0.5 * jnp.sum(z * z, axis=1) - logdet
+                    lp1 = tempered_batch(y)
+                    log_ratio = lp1 - lp0 + lq0 - lq1
+                    log_u = -jax.random.exponential(ka, lp0.shape, lp0.dtype)
+                    acc = log_u < log_ratio
+                    return (jnp.where(acc[:, None], y, x),
+                            jnp.where(acc, lp1, lp0),
+                            jnp.where(acc, lq1, lq0))
+
+                def mcmc_step(red, black, carry, key):
+                    (lpr, lqr), (lpb, lqb) = carry
+                    kr, kb = jax.random.split(key)
+                    red, lpr, lqr = half_update(kr, red, lpr, lqr)
+                    black, lpb, lqb = half_update(kb, black, lpb, lqb)
+                    return red, black, ((lpr, lqr), (lpb, lqb))
+
+                def init_carry(red, black, lpr, lpb):
+                    zr, ldr = inv(red)
+                    zb, ldb = inv(black)
+                    lqr = const - 0.5 * jnp.sum(zr * zr, axis=1) + ldr
+                    lqb = const - 0.5 * jnp.sum(zb * zb, axis=1) + ldb
+                    return ((lpr, lqr), (lpb, lqb))
+
+                return mcmc_step, init_carry, new_carry
+
+            sd = jnp.std(resampled, axis=0)
             # preconditioned MALA on the tempered target; proposal sd per
             # dim from the post-resampling spread (constant through the
             # stage — a valid adaptive-SMC kernel, see class docstring).
@@ -276,16 +395,14 @@ class SMCSampler:
                 _, gb = vg(black)
                 return ((lpr, gr), (lpb, gb))
 
-            return mcmc_step, init_carry
+            return mcmc_step, init_carry, flow_carry
 
         if self.waste_free_k is None:
             idx = systematic_resample(k_rs, log_w, self.n)
             particles = jnp.take(state.particles, idx, axis=0)
             lp = jnp.take(state.log_prior, idx)
             ll = jnp.take(state.log_like, idx)
-            mcmc_step, init_carry = make_mcmc_step(
-                jnp.std(particles, axis=0)
-            )
+            mcmc_step, init_carry, flow_carry = make_mcmc_step(particles)
             half = self.n // 2
             logp_t = lp + beta_new * ll
             carry0 = init_carry(
@@ -312,7 +429,7 @@ class SMCSampler:
             seeds = jnp.take(state.particles, idx, axis=0)
             lp_s = jnp.take(state.log_prior, idx)
             ll_s = jnp.take(state.log_like, idx)
-            mcmc_step, init_carry = make_mcmc_step(jnp.std(seeds, axis=0))
+            mcmc_step, init_carry, flow_carry = make_mcmc_step(seeds)
             half = m // 2
             logp_t = lp_s + beta_new * ll_s
             carry0 = init_carry(
@@ -341,7 +458,7 @@ class SMCSampler:
         # stages (multi-host processes then fetch only their local shard)
         return self._constrain(
             SMCState(particles, lp, ll, beta_new, log_evidence)
-        )
+        ), flow_carry
 
     def run(self, max_stages=100):
         """Anneal β: 0 → 1. Returns self; particles then target the posterior.
@@ -359,7 +476,9 @@ class SMCSampler:
                 break
             beta_before = float(self.state.beta)
             self._key, k = jax.random.split(self._key)
-            self.state = self._stage(k, self.state)
+            self.state, self._flow_carry = self._stage(
+                k, self.state, self._flow_carry
+            )
             self.n_stages += 1
             beta_now = float(self.state.beta)
             self.beta_ladder.append(beta_now)

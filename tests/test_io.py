@@ -414,7 +414,7 @@ def test_checkpoint_resume_smc_bitwise(tmp_path):
     a.init()
     # advance ONE stage exactly as run() does, then checkpoint mid-anneal
     a._key, k = jax.random.split(a._key)
-    a.state = a._stage(k, a.state)
+    a.state, a._flow_carry = a._stage(k, a.state, a._flow_carry)
     a.n_stages += 1
     a.beta_ladder.append(float(a.state.beta))
     assert float(a.state.beta) < 1.0, "oracle needs a multi-stage anneal"
@@ -427,6 +427,51 @@ def test_checkpoint_resume_smc_bitwise(tmp_path):
     assert a.log_evidence == b.log_evidence
     assert a.n_stages == b.n_stages
     assert a.beta_ladder == b.beta_ladder
+
+
+def test_checkpoint_resume_smc_flow_bitwise(tmp_path):
+    """Flow-mutation SMC carries flow params + Adam moments across the
+    checkpoint: resume must be bitwise (the warm-started per-stage refit
+    continues from the saved optimizer state, not from scratch)."""
+    from mcmcpp_tpu.smc import SMCSampler
+    from mcmcpp_tpu.neutra import RealNVP
+
+    def lp(t):
+        return -0.5 * jnp.sum(t**2) / 4.0
+
+    def ll(t):
+        return -40.0 * 0.5 * jnp.sum((t - 1.0) ** 2)
+
+    def ps(key, n):
+        return 2.0 * jax.random.normal(key, (n, 2))
+
+    def make():
+        return SMCSampler(lp, ll, ps, n_particles=256, n_params=2,
+                          n_mcmc=3, seed=6, mutation="flow",
+                          flow=RealNVP(2, n_layers=2, hidden=16),
+                          flow_fit_steps=20)
+
+    a = make()
+    a.init()
+    a._key, k = jax.random.split(a._key)
+    a.state, a._flow_carry = a._stage(k, a.state, a._flow_carry)
+    a.n_stages += 1
+    a.beta_ladder.append(float(a.state.beta))
+    assert float(a.state.beta) < 1.0, "oracle needs a multi-stage anneal"
+    ckpt = save_checkpoint(a, tmp_path / "smc_flow.npz")
+    b = make()
+    load_checkpoint(b, ckpt)
+    a.run()
+    b.run()
+    np.testing.assert_array_equal(a.particles, b.particles)
+    assert a.log_evidence == b.log_evidence
+
+    # loading a flow checkpoint into a non-flow sampler is an actionable
+    # error, not a silent refit-from-scratch
+    c = SMCSampler(lp, ll, ps, n_particles=256, n_params=2, n_mcmc=3,
+                   seed=6)
+    with pytest.raises(ValueError, match="flow-mutation mismatch"):
+        load_checkpoint(c, ckpt)
 
 
 def test_checkpoint_resume_sgld_bitwise(tmp_path):

@@ -243,3 +243,108 @@ class TestMalaMutation:
         with pytest.raises(ValueError, match="unknown mutation"):
             SMCSampler(lp, ll, ps, n_particles=64, n_params=2,
                        mutation="hmc")
+
+
+class TestFlowMutation:
+    """Normalizing-flow-preconditioned mutation (ROADMAP round-3 item):
+    per-stage forward-KL flow refit + independence-MH proposals from the
+    flow. Same conjugate oracles as the other kernels, plus the capability
+    the mode exists for — mode-hopping on a well-separated bimodal target
+    where local kernels cannot move mass between modes."""
+
+    @staticmethod
+    def _flow(dim):
+        from mcmcpp_tpu.neutra import RealNVP
+
+        return RealNVP(dim, n_layers=4, hidden=32)
+
+    def _conjugate(self, dim):
+        s2 = 1.0 / (1.0 / 4.0 + 1.0)
+        logz = dim * (-0.5 * np.log(2 * np.pi * 5.0) - 0.5 / 5.0)
+
+        def lp(t):
+            return (-0.5 * jnp.sum(t**2) / 4.0
+                    - dim / 2 * jnp.log(2 * jnp.pi * 4.0))
+
+        def ll(t):
+            return (-0.5 * jnp.sum((t - 1.0) ** 2)
+                    - dim / 2 * jnp.log(2 * jnp.pi))
+
+        def ps(key, n):
+            return 2.0 * jax.random.normal(key, (n, dim))
+
+        return lp, ll, ps, s2, logz
+
+    def test_evidence_and_moments(self):
+        lp, ll, ps, s2, logz = self._conjugate(2)
+        s = SMCSampler(lp, ll, ps, n_particles=2048, n_params=2,
+                       n_mcmc=5, seed=0, mutation="flow",
+                       flow=self._flow(2))
+        s.run()
+        assert float(s.state.beta) == 1.0
+        p = s.particles
+        np.testing.assert_allclose(p.mean(0), [s2, s2], atol=0.08)
+        np.testing.assert_allclose(p.var(0), [s2, s2], atol=0.12)
+        assert s.log_evidence == pytest.approx(logz, abs=0.2)
+
+    @staticmethod
+    def _bimodal(tau=3.0, sep=3.0, sigma=0.6):
+        """Prior N(0, tau²I); likelihood an equal two-Gaussian mixture at
+        ±(sep, 0). Analytic evidence: Z = N((sep,0); 0, (tau²+sigma²)I)
+        (the two symmetric convolution terms are equal)."""
+        dim = 2
+        m = np.array([sep, 0.0], np.float32)
+        v = tau**2 + sigma**2
+        logz = -np.log(2 * np.pi * v) - (sep**2) / (2 * v)
+
+        def lp(t):
+            return (-0.5 * jnp.sum(t**2) / tau**2
+                    - dim / 2 * jnp.log(2 * jnp.pi * tau**2))
+
+        def ll(t):
+            d = dim / 2 * jnp.log(2 * jnp.pi * sigma**2)
+            a = -0.5 * jnp.sum((t - m) ** 2) / sigma**2 - d
+            b = -0.5 * jnp.sum((t + m) ** 2) / sigma**2 - d
+            return jnp.logaddexp(a, b) - jnp.log(2.0)
+
+        def ps(key, n):
+            return tau * jax.random.normal(key, (n, dim))
+
+        return dim, logz, lp, ll, ps
+
+    def test_bimodal_mass_and_evidence(self):
+        """Both modes populated with ~equal mass and the analytic log Z
+        recovered — the global-move property local mutation kernels lack
+        once the tempered modes separate."""
+        dim, logz, lp, ll, ps = self._bimodal()
+        s = SMCSampler(lp, ll, ps, n_particles=2048, n_params=dim,
+                       n_mcmc=5, seed=3, mutation="flow",
+                       flow=self._flow(dim), flow_fit_steps=200)
+        s.run()
+        assert float(s.state.beta) == 1.0
+        p = s.particles
+        right = float(np.mean(p[:, 0] > 0))
+        assert 0.3 < right < 0.7, f"mode mass collapsed: right={right}"
+        # particles sit in the modes, not between them
+        assert np.mean(np.abs(np.abs(p[:, 0]) - 3.0) < 1.5) > 0.9
+        assert s.log_evidence == pytest.approx(logz, abs=0.3)
+
+    def test_waste_free_flow(self):
+        lp, ll, ps, s2, logz = self._conjugate(2)
+        s = SMCSampler(lp, ll, ps, n_particles=2048, n_params=2, seed=2,
+                       mutation="flow", flow=self._flow(2),
+                       waste_free_k=7)
+        s.run()
+        assert s.log_evidence == pytest.approx(logz, abs=0.2)
+        np.testing.assert_allclose(s.particles.mean(0), [s2, s2], atol=0.1)
+
+    def test_mesh_sharded_executes(self):
+        from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+        lp, ll, ps, s2, _ = self._conjugate(2)
+        s = SMCSampler(lp, ll, ps, n_particles=1024, n_params=2,
+                       n_mcmc=4, seed=4, mutation="flow",
+                       flow=self._flow(2), mesh=make_walker_mesh())
+        s.run()
+        assert float(s.state.beta) == 1.0
+        np.testing.assert_allclose(s.particles.mean(0), [s2, s2], atol=0.12)
