@@ -10,7 +10,7 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 
-def _run(script, *args, timeout=420):
+def _run(script, *args, timeout=900):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -101,7 +101,7 @@ def test_evidence_example():
 
 @pytest.mark.slow
 def test_gp_hyperparams_example():
-    r = _run("gp_hyperparams.py", "--quick", timeout=420)
+    r = _run("gp_hyperparams.py", "--quick", timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
     assert "lengthscale" in r.stdout
