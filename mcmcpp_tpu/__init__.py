@@ -59,6 +59,7 @@ from mcmcpp_tpu.gibbs import (
     ExactGibbsKernel,
     EllipticalSliceKernel,
     GaussianInterweaveKernel,
+    InterweaveKernel,
     HMCKernel,
     MALAKernel,
     RWMKernel,
@@ -128,6 +129,7 @@ __all__ = [
     "ExactGibbsKernel",
     "EllipticalSliceKernel",
     "GaussianInterweaveKernel",
+    "InterweaveKernel",
     "HMCKernel",
     "MALAKernel",
     "RWMKernel",

@@ -243,6 +243,102 @@ def test_interweave_matches_exact_marginal():
     assert h.std() == pytest.approx(sd, rel=0.25)
 
 
+def test_general_interweave_nonlinear_coupling():
+    """General ASIS contract on a NON-linear, non-Gaussian coupling
+    (beyond GaussianInterweaveKernel's f = chol(h) @ e):
+    h ~ N(0,1), e ~ N(0, I_2), f = exp(h)·sinh(e), y = f + noise.
+    The hyper marginal has a 2-D quadrature oracle (coordinates of e are
+    independent given h, so p(y|h) factorizes into 1-D integrals)."""
+    from mcmcpp_tpu.gibbs import InterweaveKernel
+
+    sig = 0.3
+    y = jnp.asarray(np.array([1.1, -0.7], np.float32))
+
+    def forward(h, e):
+        return jnp.exp(h[0]) * jnp.sinh(e)
+
+    def inverse(h, f):
+        return jnp.arcsinh(f * jnp.exp(-h[0]))
+
+    def log_det_inverse(h, f):
+        # d/df asinh(f·c) = c/sqrt(1+(f·c)^2), c = e^{-h}
+        c2 = (f * jnp.exp(-h[0])) ** 2
+        return jnp.sum(-h[0] - 0.5 * jnp.log1p(c2))
+
+    def loglike(f):
+        return -0.5 * jnp.sum((y - f) ** 2) / sig**2
+
+    ik = InterweaveKernel(
+        forward, inverse,
+        anc_logpdf=lambda e: -0.5 * jnp.sum(e * e),
+        loglike=loglike,
+        hyper_logprior=lambda h: -0.5 * jnp.sum(h * h),
+        make_hyper_kernel=lambda logp: RWMKernel(logp, 0.4),
+        log_det_inverse=log_det_inverse,
+    )
+    s = BlockedGibbsSampler([(("h", "e"), (1, 2), ik)], n_chains=64,
+                            seed=0)
+    s.init({"h": np.zeros(1), "e": np.zeros(2)})
+    s.run(300, thin=300)
+    s.chain.clear()
+    s.run(2000, thin=4)
+    h = s.get_block("h", flat=True)[:, 0]
+    # quadrature oracle: p(y_i|h) = ∫ N(y_i; e^h sinh(e), sig²) φ(e) de
+    hg = np.linspace(-4.0, 4.0, 1601)
+    eg = np.linspace(-7.0, 7.0, 2801)
+    de = eg[1] - eg[0]
+    phi_e = np.exp(-0.5 * eg**2) / np.sqrt(2 * np.pi)
+    lp = -0.5 * hg**2
+    for yi in np.asarray(y):
+        fz = np.exp(hg)[:, None] * np.sinh(eg)[None, :]
+        like = np.exp(-0.5 * (yi - fz) ** 2 / sig**2)
+        lp += np.log((like * phi_e[None, :]).sum(axis=1) * de + 1e-300)
+    w = np.exp(lp - lp.max()); w /= w.sum()
+    m = float((w * hg).sum())
+    sd = float(np.sqrt((w * (hg - m) ** 2).sum()))
+    assert h.mean() == pytest.approx(m, abs=0.4 * sd)
+    assert h.std() == pytest.approx(sd, rel=0.25)
+
+
+def test_interweave_autodiff_jacobian_fallback():
+    """log_det_inverse=None must reproduce the analytic-Jacobian kernel
+    bitwise (same keys → same trajectory) via jacfwd + slogdet."""
+    from mcmcpp_tpu.gibbs import InterweaveKernel
+
+    y = jnp.asarray(np.array([0.4, -1.2, 0.9], np.float32))
+
+    def forward(h, e):
+        return jnp.exp(h[0]) * jnp.sinh(e)
+
+    def inverse(h, f):
+        return jnp.arcsinh(f * jnp.exp(-h[0]))
+
+    def log_det_inverse(h, f):
+        c2 = (f * jnp.exp(-h[0])) ** 2
+        return jnp.sum(-h[0] - 0.5 * jnp.log1p(c2))
+
+    common = dict(
+        anc_logpdf=lambda e: -0.5 * jnp.sum(e * e),
+        loglike=lambda f: -0.5 * jnp.sum((y - f) ** 2),
+        hyper_logprior=lambda h: -0.5 * jnp.sum(h * h),
+        make_hyper_kernel=lambda logp: RWMKernel(logp, 0.3),
+    )
+    ka = InterweaveKernel(forward, inverse,
+                          log_det_inverse=log_det_inverse, **common)
+    kb = InterweaveKernel(forward, inverse, **common)
+    key = jax.random.PRNGKey(7)
+    va = (jnp.asarray([0.2]), jnp.asarray([0.1, -0.3, 0.5]))
+    for i in range(5):
+        k = jax.random.fold_in(key, i)
+        va_a = jax.jit(ka.step)(k, va, {})
+        va_b = jax.jit(kb.step)(k, va, {})
+        np.testing.assert_allclose(np.asarray(va_a[0]),
+                                   np.asarray(va_b[0]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(va_a[1]),
+                                   np.asarray(va_b[1]), rtol=1e-5)
+        va = va_a
+
+
 def test_exact_gibbs_kernel_conjugate_block():
     """ExactGibbsKernel sampling the conjugate Normal-mean conditional:
     the chain IS the posterior from step one."""
