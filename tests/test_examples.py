@@ -9,11 +9,18 @@ import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
+# One xdist group: at most ONE example subprocess alive at a time (needs
+# --dist loadgroup, set in pyproject addopts). Each subprocess spins an
+# 8-virtual-device XLA pool whose collectives busy-spin; two of those on
+# a saturated 4-core box starve each other past any reasonable timeout.
+pytestmark = pytest.mark.xdist_group("example_subprocess")
 
-def _run(script, *args, timeout=900):
+
+def _run(script, *args, timeout=900, devices=8):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={devices}"
     ).strip()
     env["JAX_PLATFORMS"] = "cpu"  # stripped by the site plugin, but harmless
     # force cpu the reliable way: sitecustomize-level config via -c wrapper
@@ -101,7 +108,9 @@ def test_evidence_example():
 
 @pytest.mark.slow
 def test_gp_hyperparams_example():
-    r = _run("gp_hyperparams.py", "--quick", timeout=900)
+    # single-device: the example has no mesh axis, and 16-chain HMC-in-
+    # Gibbs under an 8-virtual-device pool just adds spin-wait overhead
+    r = _run("gp_hyperparams.py", "--quick", timeout=900, devices=1)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
     assert "lengthscale" in r.stdout
