@@ -107,10 +107,18 @@ def test_evidence_example():
 
 
 @pytest.mark.slow
-def test_gp_hyperparams_example():
-    # single-device: the example has no mesh axis, and 16-chain HMC-in-
-    # Gibbs under an 8-virtual-device pool just adds spin-wait overhead
-    r = _run("gp_hyperparams.py", "--quick", timeout=900, devices=1)
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "OK" in r.stdout
-    assert "lengthscale" in r.stdout
+def test_gp_hyperparams_example(monkeypatch, capsys):
+    # In-process, not subprocess: this is the heaviest example smoke
+    # (~60 s solo), and a 5th process under 4 xdist workers gets a CFS
+    # share proportional to its few runnable threads while the workers'
+    # multi-device pools spin — measured starvation blew a 900 s cap on
+    # a ~60 s run twice. Executing the real script file inside the
+    # worker keeps scheduling fair and still runs it top-to-bottom,
+    # asserts included.
+    path = str(REPO / "examples" / "gp_hyperparams.py")
+    monkeypatch.setattr(sys, "argv", [path, "--quick"])
+    exec(compile(open(path).read(), path, "exec"),
+         {"__file__": path, "__name__": "__main__"})
+    out = capsys.readouterr().out
+    assert "OK" in out
+    assert "lengthscale" in out
