@@ -8,6 +8,7 @@ mixture, plus the reference's skewed Gaussian).
 """
 
 from mcmcpp_tpu.models import gp
+from mcmcpp_tpu.models import lgss
 from mcmcpp_tpu.models.targets import (
     Target,
     bayesian_linear_regression,
@@ -21,6 +22,7 @@ from mcmcpp_tpu.models.targets import (
 
 __all__ = [
     "gp",
+    "lgss",
     "Target",
     "bayesian_linear_regression",
     "correlated_gaussian",

@@ -1,0 +1,391 @@
+"""Linear-Gaussian state space: parallel-in-time Kalman filter, RTS
+smoother, exact forward-filter backward-sampling (FFBS), and a blocked-
+Gibbs kernel for latent state trajectories.
+
+No reference counterpart (jmatta1/MCMCpp has no time-series layer at all
+— its model surface is the user-supplied ``calcLogPostProb`` scalar,
+``MCMCpp/EnsembleSampler.h:80-96``); north-star scope, alongside the GP
+library in :mod:`mcmcpp_tpu.models.gp`.
+
+TPU-native design
+-----------------
+A Kalman filter is textbook-sequential: T tiny (D, D) solves chained by a
+data dependence, the worst possible shape for a TPU (the MXU idles while
+``lax.scan`` serializes T steps). Both hot paths here are therefore
+reformulated as **associative scans** so XLA compiles them to O(log T)
+depth of *batched* matmuls:
+
+- the forward filter uses the associative filtering elements of Särkkä &
+  García-Fernández (2021), "Temporal Parallelization of Bayesian
+  Smoothers" (IEEE TAC 66(1), §III): each step is summarized as a
+  five-tuple ``(A, b, C, eta, J)`` and combined with
+  ``jax.lax.associative_scan``; the prefix-combined ``(b, C)`` ARE the
+  filtered mean/covariance.
+- the backward **sampling** pass exploits that, once the per-step
+  Gaussian noises are drawn up front, the FFBS recursion
+  ``x_t = G_t x_{t+1} + d_t + L_t z_t`` is an affine recurrence — the
+  composition of affine maps is associative, so the entire joint draw is
+  one reverse ``associative_scan`` over ``(G, d + L z)`` pairs.
+
+Both have sequential ``lax.scan`` twins (``method="sequential"``) used as
+the correctness anchor in ``tests/test_lgss.py`` (the parallel paths must
+match them to float tolerance) and as the cheaper choice for very small T
+or very large D.
+
+Model (time-invariant):
+
+    x_1 ~ N(m1, P1)                       [or x_1 = A x_0 + b + w with
+                                           x_0 ~ N(m0, P0): set
+                                           ``initial="prior"``]
+    x_t = A x_{t-1} + b + w_t,   w_t ~ N(0, Q)     t = 2..T
+    y_t = H x_t + c + v_t,       v_t ~ N(0, R)     t = 1..T
+
+``initial="state"`` (default) places the Gaussian directly on the first
+*state* — the Durbin & Koopman a1/P1 convention — which keeps the
+variance conditionals conjugate in Gibbs schemes (the x_1 factor carries
+no Q dependence). ``initial="prior"`` is the Särkkä convention with a
+latent pre-sample state x_0.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+
+class LGSSParams(NamedTuple):
+    """Time-invariant model matrices (shapes: D latent, E observed)."""
+
+    A: jnp.ndarray   # (D, D) transition
+    b: jnp.ndarray   # (D,)   transition offset
+    Q: jnp.ndarray   # (D, D) transition noise covariance
+    H: jnp.ndarray   # (E, D) observation
+    c: jnp.ndarray   # (E,)   observation offset
+    R: jnp.ndarray   # (E, E) observation noise covariance
+    m0: jnp.ndarray  # (D,)   initial mean (of x_1 or x_0 — see `initial`)
+    P0: jnp.ndarray  # (D, D) initial covariance
+
+
+def lgss_params(A, b, Q, H, c, R, m0, P0, dtype=jnp.float32):
+    """Build :class:`LGSSParams`, promoting scalars/1-D shorthands."""
+    A = jnp.atleast_2d(jnp.asarray(A, dtype))
+    d = A.shape[0]
+    Q = jnp.asarray(Q, dtype)
+    Q = Q * jnp.eye(d, dtype=dtype) if Q.ndim == 0 else jnp.atleast_2d(Q)
+    H = jnp.atleast_2d(jnp.asarray(H, dtype))
+    e = H.shape[0]
+    R = jnp.asarray(R, dtype)
+    R = R * jnp.eye(e, dtype=dtype) if R.ndim == 0 else jnp.atleast_2d(R)
+    P0 = jnp.asarray(P0, dtype)
+    P0 = P0 * jnp.eye(d, dtype=dtype) if P0.ndim == 0 else jnp.atleast_2d(P0)
+    return LGSSParams(
+        A=A,
+        b=jnp.broadcast_to(jnp.asarray(b, dtype), (d,)),
+        Q=Q,
+        H=H,
+        c=jnp.broadcast_to(jnp.asarray(c, dtype), (e,)),
+        R=R,
+        m0=jnp.broadcast_to(jnp.asarray(m0, dtype), (d,)),
+        P0=P0,
+    )
+
+
+class FilterResult(NamedTuple):
+    means: jnp.ndarray   # (T, D) filtered E[x_t | y_{1:t}]
+    covs: jnp.ndarray    # (T, D, D)
+    loglik: jnp.ndarray  # scalar log p(y_{1:T})
+
+
+def _first_pred(p: LGSSParams, initial: str):
+    """Predictive mean/cov of x_1 before seeing y_1."""
+    if initial == "state":
+        return p.m0, p.P0
+    if initial == "prior":
+        return p.A @ p.m0 + p.b, p.A @ p.P0 @ p.A.T + p.Q
+    raise ValueError(f"initial must be 'state' or 'prior', got {initial!r}")
+
+
+def _seq_filter(p: LGSSParams, ys, initial):
+    m1p, P1p = _first_pred(p, initial)
+    e = p.H.shape[0]
+    cst = e * np.log(2.0 * np.pi)
+
+    def measure(mp, Pp, y):
+        S = p.H @ Pp @ p.H.T + p.R
+        cf = cho_factor(S, lower=True)
+        innov = y - p.H @ mp - p.c
+        # K = Pp Hᵀ S⁻¹, built as (S⁻¹ H Pp)ᵀ through the Cholesky solve
+        K = cho_solve(cf, p.H @ Pp).T
+        m = mp + K @ innov
+        P = Pp - K @ (p.H @ Pp)
+        ll = -0.5 * (
+            cst
+            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(cf[0])))
+            + innov @ cho_solve(cf, innov)
+        )
+        return m, P, ll
+
+    m1, P1, ll1 = measure(m1p, P1p, ys[0])
+
+    def step(carry, y):
+        m, P = carry
+        mp = p.A @ m + p.b
+        Pp = p.A @ P @ p.A.T + p.Q
+        m, P, ll = measure(mp, Pp, y)
+        return (m, P), (m, P, ll)
+
+    (_, _), (ms, Ps, lls) = jax.lax.scan(step, (m1, P1), ys[1:])
+    means = jnp.concatenate([m1[None], ms], axis=0)
+    covs = jnp.concatenate([P1[None], Ps], axis=0)
+    return FilterResult(means, covs, ll1 + jnp.sum(lls))
+
+
+class _FilterElem(NamedTuple):
+    """Särkkä & García-Fernández (2021) associative filtering element:
+    the step-k message p(x_k | y_k, x_{k-1}) parametrized as
+    N(x_k; A x_{k-1} + b, C) x exp(x_{k-1}ᵀ η − ½ x_{k-1}ᵀ J x_{k-1})."""
+
+    A: jnp.ndarray
+    b: jnp.ndarray
+    C: jnp.ndarray
+    eta: jnp.ndarray
+    J: jnp.ndarray
+
+
+def _combine_filter(e1: _FilterElem, e2: _FilterElem):
+    """Associative combination (ibid., Lemma 8) — all inverses realized
+    as solves against I + C₁J₂ / I + J₂C₁ (products of PSD matrices, so
+    well-conditioned)."""
+    d = e1.A.shape[-1]
+    eye = jnp.eye(d, dtype=e1.A.dtype)
+
+    def one(a1, a2):
+        IpCJ = eye + a1.C @ a2.J
+        IpJC = eye + a2.J @ a1.C
+        A2s = jnp.linalg.solve(IpCJ.T, a2.A.T).T  # A₂ (I + C₁J₂)⁻¹
+        A = A2s @ a1.A
+        b = A2s @ (a1.b + a1.C @ a2.eta) + a2.b
+        C = A2s @ a1.C @ a2.A.T + a2.C
+        A1s = jnp.linalg.solve(IpJC.T, a1.A).T    # A₁ᵀ (I + J₂C₁)⁻¹
+        eta = A1s @ (a2.eta - a2.J @ a1.b) + a1.eta
+        J = A1s @ a2.J @ a1.A + a1.J
+        return _FilterElem(A, b, C, eta, J)
+
+    # leading time axis is batched by associative_scan
+    return jax.vmap(one)(e1, e2)
+
+
+def _parallel_filter(p: LGSSParams, ys, initial):
+    t_n, e = ys.shape[0], p.H.shape[0]
+    d = p.A.shape[0]
+    dt = ys.dtype
+
+    # generic element (k >= 2): prediction covariance is Q
+    S = p.H @ p.Q @ p.H.T + p.R
+    cf = cho_factor(S, lower=True)
+    K = cho_solve(cf, p.H @ p.Q).T            # Q Hᵀ S⁻¹
+    ImKH = jnp.eye(d, dtype=dt) - K @ p.H
+    HtSinv = cho_solve(cf, p.H).T             # Hᵀ S⁻¹
+    resid = ys - p.H @ p.b - p.c              # (T, E): y_k − H b − c
+    A_g = jnp.broadcast_to(ImKH @ p.A, (t_n, d, d))
+    b_g = p.b + resid @ K.T                   # (T, D)
+    C_g = jnp.broadcast_to(ImKH @ p.Q, (t_n, d, d))
+    eta_g = resid @ (p.A.T @ HtSinv).T        # (T, D)
+    J_g = jnp.broadcast_to(p.A.T @ HtSinv @ p.H @ p.A, (t_n, d, d))
+
+    # element 1 conditions on the initial distribution, not on x_0
+    m1p, P1p = _first_pred(p, initial)
+    S1 = p.H @ P1p @ p.H.T + p.R
+    cf1 = cho_factor(S1, lower=True)
+    K1 = cho_solve(cf1, p.H @ P1p).T
+    b_1 = m1p + K1 @ (ys[0] - p.H @ m1p - p.c)
+    C_1 = P1p - K1 @ (p.H @ P1p)
+    zero_d = jnp.zeros((d, d), dt)
+
+    elems = _FilterElem(
+        A=A_g.at[0].set(zero_d),
+        b=b_g.at[0].set(b_1),
+        C=C_g.at[0].set(C_1),
+        eta=eta_g.at[0].set(jnp.zeros(d, dt)),
+        J=J_g.at[0].set(zero_d),
+    )
+    pref = jax.lax.associative_scan(_combine_filter, elems)
+    means, covs = pref.b, pref.C
+
+    # log-likelihood from the one-step predictives, batched over T (the
+    # filtered m_{k-1}, P_{k-1} are already available from the scan)
+    m_prev = jnp.concatenate([jnp.zeros((1, d), dt), means[:-1]], axis=0)
+    P_prev = jnp.concatenate([jnp.zeros((1, d, d), dt), covs[:-1]], axis=0)
+    m_pred = m_prev @ p.A.T + p.b
+    P_pred = jnp.einsum("ij,tjk,lk->til", p.A, P_prev, p.A) + p.Q
+    m_pred = m_pred.at[0].set(m1p)
+    P_pred = P_pred.at[0].set(P1p)
+    S_all = jnp.einsum("ij,tjk,lk->til", p.H, P_pred, p.H) + p.R
+    innov = ys - m_pred @ p.H.T - p.c
+
+    def one_ll(Sk, ik):
+        cfk = cho_factor(Sk, lower=True)
+        return -0.5 * (
+            e * np.log(2.0 * np.pi)
+            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(cfk[0])))
+            + ik @ cho_solve(cfk, ik)
+        )
+
+    loglik = jnp.sum(jax.vmap(one_ll)(S_all, innov))
+    return FilterResult(means, covs, loglik)
+
+
+def kalman_filter(params: LGSSParams, ys, method="parallel",
+                  initial="state"):
+    """Filtered means/covariances and the marginal log-likelihood.
+
+    ys: (T, E) observations. ``method="parallel"`` is the
+    associative-scan path (O(log T) depth); ``"sequential"`` the classic
+    ``lax.scan`` (the two agree to float tolerance — tested)."""
+    ys = jnp.asarray(ys, params.A.dtype)
+    if ys.ndim == 1:
+        ys = ys[:, None]
+    if method == "parallel":
+        return _parallel_filter(params, ys, initial)
+    if method == "sequential":
+        return _seq_filter(params, ys, initial)
+    raise ValueError(f"method must be 'parallel'|'sequential', got {method!r}")
+
+
+def lgss_loglik(params: LGSSParams, ys, method="parallel",
+                initial="state"):
+    """Marginal log p(y_{1:T}) with the states integrated out — the
+    collapsed target for sampling hyperparameters WITHOUT a latent block
+    (pair with any gradient engine; this whole module is differentiable)."""
+    return kalman_filter(params, ys, method=method, initial=initial).loglik
+
+
+def rts_smoother(params: LGSSParams, ys=None, filtered: FilterResult = None,
+                 method="parallel", initial="state"):
+    """Rauch–Tung–Striebel smoothed means/covs (T, D) / (T, D, D).
+
+    The backward pass is a short sequential scan (the FFBS draw below is
+    the parallel-in-time path; the smoother is kept simple as the
+    diagnostic/oracle tool)."""
+    if filtered is None:
+        filtered = kalman_filter(params, ys, method=method, initial=initial)
+    p = params
+    ms, Ps = filtered.means, filtered.covs
+
+    def step(carry, mP):
+        ms_next, Ps_next = carry
+        m, P = mP
+        Pp = p.A @ P @ p.A.T + p.Q
+        G = jnp.linalg.solve(Pp, p.A @ P).T  # P Aᵀ Pp⁻¹
+        m_s = m + G @ (ms_next - p.A @ m - p.b)
+        P_s = P + G @ (Ps_next - Pp) @ G.T
+        return (m_s, P_s), (m_s, P_s)
+
+    (_, _), (ms_s, Ps_s) = jax.lax.scan(
+        step, (ms[-1], Ps[-1]), (ms[:-1], Ps[:-1]), reverse=True
+    )
+    means = jnp.concatenate([ms_s, ms[-1][None]], axis=0)
+    covs = jnp.concatenate([Ps_s, Ps[-1][None]], axis=0)
+    return means, covs
+
+
+def ffbs_sample(key, params: LGSSParams, ys=None,
+                filtered: FilterResult = None, method="parallel",
+                initial="state", jitter=0.0):
+    """One EXACT joint draw x_{1:T} ~ p(x | y) (Carter & Kohn 1994 /
+    Frühwirth-Schnatter 1994), shape (T, D).
+
+    Parallel-in-time: with the noises z_t drawn up front, the backward
+    recursion ``x_t = G_t x_{t+1} + d_t + L_t z_t`` is an affine
+    recurrence, and affine-map composition is associative — so the draw
+    is one reverse ``associative_scan`` over (G, d + L z) pairs: O(log T)
+    depth of batched (D, D) matmuls instead of a T-step chain.
+    ``method="sequential"`` runs the textbook reverse scan instead.
+
+    ``jitter`` adds a diagonal nugget before the conditional Choleskys
+    (needed only for exactly-singular Q directions).
+    """
+    if filtered is None:
+        filtered = kalman_filter(params, ys, method=method, initial=initial)
+    p = params
+    ms, Ps = filtered.means, filtered.covs
+    t_n, d = ms.shape
+    dt = ms.dtype
+    eye_j = jitter * jnp.eye(d, dtype=dt)
+
+    # per-step conditional x_t | x_{t+1}, y_{1:t} = N(G x_{t+1} + d_t, Σ_t)
+    def gains(m, P):
+        Pp = p.A @ P @ p.A.T + p.Q
+        G = jnp.linalg.solve(Pp, p.A @ P).T
+        cond_cov = P - G @ (p.A @ P)
+        dvec = m - G @ (p.A @ m + p.b)
+        L = jnp.linalg.cholesky(cond_cov + eye_j)
+        return G, dvec, L
+
+    Gs, dvecs, Ls = jax.vmap(gains)(ms[:-1], Ps[:-1])  # (T-1, ...)
+    z = jax.random.normal(key, (t_n, d), dt)
+    L_T = jnp.linalg.cholesky(Ps[-1] + eye_j)
+    x_T = ms[-1] + L_T @ z[-1]
+    u = dvecs + jnp.einsum("tij,tj->ti", Ls, z[:-1])   # (T-1, D)
+
+    if method == "sequential":
+        def step(x_next, Gu):
+            G, ut = Gu
+            x = G @ x_next + ut
+            return x, x
+
+        _, xs = jax.lax.scan(step, x_T, (Gs, u), reverse=True)
+        return jnp.concatenate([xs, x_T[None]], axis=0)
+
+    # associative scan over affine maps f_t(x) = G_t x + u_t: state t is
+    # f_t ∘ f_{t+1} ∘ … ∘ f_{T-1} applied to x_T. Flip to prefix order
+    # (g_j = f_{T-1-j}, innermost first) so the combine's argument
+    # convention is unambiguous: combine(a, b) = b ∘ a (a is the
+    # already-accumulated inner composition, b the newly-added outer map).
+    def combine(a, bb):
+        Fa, ua = a
+        Fb, ub = bb
+        return (jnp.einsum("tij,tjk->tik", Fb, Fa),
+                jnp.einsum("tij,tj->ti", Fb, ua) + ub)
+
+    F_c, u_c = jax.lax.associative_scan(combine, (Gs[::-1], u[::-1]))
+    xs = (jnp.einsum("tij,j->ti", F_c, x_T) + u_c)[::-1]
+    return jnp.concatenate([xs, x_T[None]], axis=0)
+
+
+class LGSSKernel:
+    """Blocked-Gibbs kernel drawing a latent state trajectory EXACTLY
+    from its full conditional via FFBS (an :class:`ExactGibbsKernel` in
+    spirit, with the sample built by filter + backward draw).
+
+    Declare the trajectory as a flat ``(T*D,)`` block::
+
+        BlockedGibbsSampler([
+            ("x", T * D, LGSSKernel(ys, params_fn)),
+            ("log_sigma", 1, <any kernel>),   # hypers see x via `others`
+        ], ...)
+
+    ys: (T, E) observations (fixed data).
+    params_fn: :class:`LGSSParams`, or a callable ``others -> LGSSParams``
+        so the model matrices track live hyperparameter blocks.
+    """
+
+    def __init__(self, ys, params_fn, method="parallel", initial="state",
+                 jitter=0.0):
+        self.ys = jnp.atleast_2d(jnp.asarray(ys))
+        if self.ys.shape[0] == 1 and np.asarray(ys).ndim == 1:
+            self.ys = self.ys.T
+        self._params = params_fn
+        self.method = method
+        self.initial = initial
+        self.jitter = float(jitter)
+
+    def step(self, key, x, others):
+        p = self._params(others) if callable(self._params) else self._params
+        draw = ffbs_sample(
+            key, p, self.ys, method=self.method, initial=self.initial,
+            jitter=self.jitter,
+        )
+        return draw.reshape(-1).astype(x.dtype)

@@ -1,0 +1,249 @@
+"""Linear-Gaussian state-space oracles.
+
+Strategy (SURVEY.md §4 pattern): the parallel associative-scan paths must
+match their sequential ``lax.scan`` twins to float tolerance, and BOTH
+must match a dense joint-Gaussian brute force computed with numpy in
+float64 (for small T the whole (x_{1:T}, y_{1:T}) joint is one Gaussian,
+so filtering/smoothing/likelihood have closed forms by conditioning).
+FFBS draws are validated against the smoother moments, and the Gibbs
+kernel end-to-end on a conjugate local-level model.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu.models.lgss import (
+    LGSSKernel,
+    ffbs_sample,
+    kalman_filter,
+    lgss_loglik,
+    lgss_params,
+    rts_smoother,
+)
+
+D, E, T = 2, 1, 7
+
+
+def _params():
+    rng = np.random.default_rng(3)
+    A = np.array([[0.9, 0.2], [-0.1, 0.7]])
+    b = np.array([0.1, -0.2])
+    q = rng.standard_normal((D, D)) * 0.3
+    Q = q @ q.T + 0.05 * np.eye(D)
+    H = np.array([[1.0, 0.5]])
+    c = np.array([0.3])
+    R = np.array([[0.4]])
+    m0 = np.array([0.5, -0.5])
+    P0 = np.array([[0.8, 0.1], [0.1, 0.6]])
+    return lgss_params(A, b, Q, H, c, R, m0, P0), (A, b, Q, H, c, R, m0, P0)
+
+
+def _ys():
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((T, E)).astype(np.float32)
+
+
+def _dense_joint(A, b, Q, H, c, R, m0, P0, initial="state"):
+    """float64 mean/cov of the stacked (x_{1:T}, y_{1:T}) joint."""
+    mx = np.zeros((T, D))
+    # cross-covariances via the linear map x = F eps + const with
+    # eps = (x1-noise-chain); easier: build recursively
+    cov = np.zeros((T * D, T * D))
+    if initial == "state":
+        mx[0] = m0
+        cov[:D, :D] = P0
+    else:
+        mx[0] = A @ m0 + b
+        cov[:D, :D] = A @ P0 @ A.T + Q
+    for t in range(1, T):
+        mx[t] = A @ mx[t - 1] + b
+        # Cov(x_t, x_s) = A Cov(x_{t-1}, x_s) for s < t
+        for s in range(t):
+            blk = A @ cov[(t - 1) * D:t * D, s * D:(s + 1) * D]
+            cov[t * D:(t + 1) * D, s * D:(s + 1) * D] = blk
+            cov[s * D:(s + 1) * D, t * D:(t + 1) * D] = blk.T
+        cov[t * D:(t + 1) * D, t * D:(t + 1) * D] = (
+            A @ cov[(t - 1) * D:t * D, (t - 1) * D:t * D] @ A.T + Q
+        )
+    Hbig = np.kron(np.eye(T), H)
+    my = (Hbig @ mx.reshape(-1)).reshape(T, E) + c
+    cov_yy = Hbig @ cov @ Hbig.T + np.kron(np.eye(T), R)
+    cov_xy = cov @ Hbig.T
+    return mx.reshape(-1), cov, my.reshape(-1), cov_yy, cov_xy
+
+
+def _dense_condition(mx, cov, my, cov_yy, cov_xy, y_obs):
+    sol = np.linalg.solve(cov_yy, (y_obs - my))
+    mean_post = mx + cov_xy @ sol
+    cov_post = cov - cov_xy @ np.linalg.solve(cov_yy, cov_xy.T)
+    return mean_post.reshape(T, D), cov_post
+
+
+@pytest.mark.parametrize("initial", ["state", "prior"])
+def test_parallel_matches_sequential(initial):
+    p, _ = _params()
+    ys = _ys()
+    fp = kalman_filter(p, ys, method="parallel", initial=initial)
+    fs = kalman_filter(p, ys, method="sequential", initial=initial)
+    np.testing.assert_allclose(fp.means, fs.means, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(fp.covs, fs.covs, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(fp.loglik, fs.loglik, rtol=2e-5)
+
+
+@pytest.mark.parametrize("initial", ["state", "prior"])
+def test_filter_vs_dense_joint(initial):
+    p, raw = _params()
+    ys = _ys()
+    f = kalman_filter(p, ys, method="parallel", initial=initial)
+    for t in range(T):
+        # condition the dense joint on y_{1:t+1} only (filtering)
+        mx, cov, my, cov_yy, cov_xy = _dense_joint(*raw, initial=initial)
+        k = (t + 1) * E
+        sub = np.ix_(range(k), range(k))
+        sol = np.linalg.solve(cov_yy[sub], ys[: t + 1].reshape(-1) - my[:k])
+        mean_t = (mx + cov_xy[:, :k] @ sol).reshape(T, D)[t]
+        cov_full = cov - cov_xy[:, :k] @ np.linalg.solve(
+            cov_yy[sub], cov_xy[:, :k].T
+        )
+        cov_t = cov_full[t * D:(t + 1) * D, t * D:(t + 1) * D]
+        np.testing.assert_allclose(f.means[t], mean_t, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(f.covs[t], cov_t, rtol=2e-3, atol=2e-4)
+
+
+def test_loglik_vs_dense_gaussian():
+    p, raw = _params()
+    ys = _ys()
+    _, _, my, cov_yy, _ = _dense_joint(*raw)
+    resid = ys.reshape(-1) - my
+    sign, logdet = np.linalg.slogdet(cov_yy)
+    ll_dense = -0.5 * (
+        T * E * np.log(2 * np.pi) + logdet
+        + resid @ np.linalg.solve(cov_yy, resid)
+    )
+    for method in ("parallel", "sequential"):
+        ll = float(lgss_loglik(p, ys, method=method))
+        np.testing.assert_allclose(ll, ll_dense, rtol=2e-4)
+
+
+def test_smoother_vs_dense_joint():
+    p, raw = _params()
+    ys = _ys()
+    means, covs = rts_smoother(p, ys)
+    mx, cov, my, cov_yy, cov_xy = _dense_joint(*raw)
+    mean_post, cov_post = _dense_condition(mx, cov, my, cov_yy, cov_xy,
+                                           ys.reshape(-1))
+    np.testing.assert_allclose(means, mean_post, rtol=2e-3, atol=3e-4)
+    for t in range(T):
+        np.testing.assert_allclose(
+            covs[t], cov_post[t * D:(t + 1) * D, t * D:(t + 1) * D],
+            rtol=2e-3, atol=3e-4,
+        )
+
+
+def test_ffbs_parallel_matches_sequential_bitwise_inputs():
+    """Same key, same filtered input: the two FFBS paths draw the same
+    trajectory up to float reassociation."""
+    p, _ = _params()
+    ys = _ys()
+    f = kalman_filter(p, ys)
+    key = jax.random.key(0)
+    xp = ffbs_sample(key, p, filtered=f, method="parallel")
+    xs = ffbs_sample(key, p, filtered=f, method="sequential")
+    np.testing.assert_allclose(xp, xs, rtol=3e-4, atol=3e-5)
+
+
+def test_ffbs_moments_match_smoother():
+    """Mean/variance/lag-1 cross-cov of many FFBS draws = RTS smoother /
+    dense-joint truth (the draw is from the exact joint conditional)."""
+    p, raw = _params()
+    ys = _ys()
+    f = kalman_filter(p, ys)
+    n = 4000
+    keys = jax.random.split(jax.random.key(1), n)
+    draws = jax.vmap(
+        lambda k: ffbs_sample(k, p, filtered=f, method="parallel")
+    )(keys)  # (n, T, D)
+    draws = np.asarray(draws, np.float64)
+    means, covs = rts_smoother(p, ys, filtered=f)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(means),
+                               atol=4.5 * np.sqrt(
+                                   np.asarray(covs).max() / n) + 1e-3)
+    emp_var = draws.var(0)
+    np.testing.assert_allclose(
+        emp_var, np.asarray([np.diag(c) for c in covs]), rtol=0.15,
+        atol=5e-3,
+    )
+    # joint structure: lag-1 cross-covariance vs the dense conditional
+    mx, cov, my, cov_yy, cov_xy = _dense_joint(*raw)
+    _, cov_post = _dense_condition(mx, cov, my, cov_yy, cov_xy,
+                                   ys.reshape(-1))
+    t = T // 2
+    c01 = np.zeros((D, D))
+    d0 = draws[:, t, :] - draws[:, t, :].mean(0)
+    d1 = draws[:, t + 1, :] - draws[:, t + 1, :].mean(0)
+    c01 = d0.T @ d1 / (n - 1)
+    truth = cov_post[t * D:(t + 1) * D, (t + 1) * D:(t + 2) * D]
+    np.testing.assert_allclose(c01, truth, atol=6.0 / np.sqrt(n))
+
+
+def test_kernel_in_blocked_gibbs_conjugate_local_level():
+    """End-to-end: local-level model with unknown obs variance.
+
+    x block by FFBS (LGSSKernel), sigma2_r by its exact conjugate
+    inverse-gamma conditional (ExactGibbsKernel). The posterior mean of
+    sigma2_r must land near the value implied by the data (generous MC
+    tolerance; fixed seeds)."""
+    from mcmcpp_tpu import BlockedGibbsSampler, ExactGibbsKernel
+
+    rng = np.random.default_rng(11)
+    t_n = 60
+    sig_q, sig_r = 0.25, 0.7
+    x_true = np.cumsum(rng.normal(0, sig_q, t_n)) + 1.0
+    ys = (x_true + rng.normal(0, sig_r, t_n)).astype(np.float32)
+
+    a0, b0 = 2.0, 1.0  # IG prior on sigma2_r
+
+    def params_fn(others):
+        return lgss_params(
+            A=1.0, b=0.0, Q=sig_q**2, H=1.0, c=0.0,
+            R=others["s2r"][0], m0=1.0, P0=4.0,
+        )
+
+    def sample_s2r(key, others):
+        x = others["x"]
+        resid = jnp.asarray(ys) - x
+        a_n = a0 + 0.5 * t_n
+        b_n = b0 + 0.5 * jnp.sum(resid * resid)
+        return (b_n / jax.random.gamma(key, a_n))[None]
+
+    gb = BlockedGibbsSampler(
+        [
+            ("x", t_n, LGSSKernel(ys, params_fn)),
+            ("s2r", 1, ExactGibbsKernel(sample_s2r)),
+        ],
+        n_chains=8, seed=0,
+    )
+    gb.init({"x": np.zeros(t_n, np.float32),
+             "s2r": np.ones(1, np.float32)})
+    gb.run(400)
+    s2r = np.asarray(gb.get_block("s2r"))[100:].reshape(-1)
+    x_draws = np.asarray(gb.get_block("x"))[100:]  # (S, C, T)
+    # posterior concentrates near the truth (few-hundred-draw MC bands)
+    assert 0.2 < s2r.mean() < 1.2, s2r.mean()
+    # the sampled trajectories must track the latent truth much more
+    # tightly than the raw observations' noise level
+    rmse = np.sqrt(((x_draws.mean((0, 1)) - x_true) ** 2).mean())
+    assert rmse < sig_r, rmse
+
+
+def test_kernel_step_shapes_and_dtype():
+    p, _ = _params()
+    ys = _ys()
+    kern = LGSSKernel(ys, p)
+    x0 = jnp.zeros(T * D, jnp.float32)
+    out = jax.jit(lambda k, x: kern.step(k, x, {}))(jax.random.key(2), x0)
+    assert out.shape == (T * D,)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
