@@ -64,6 +64,12 @@ from mcmcpp_tpu.gibbs import (
     MALAKernel,
     RWMKernel,
 )
+from mcmcpp_tpu.particle import (
+    ParticleGibbsKernel,
+    PMMHSampler,
+    StateSpaceModel,
+    particle_filter,
+)
 from mcmcpp_tpu.chain_disk import DiskChain
 from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
 from mcmcpp_tpu.export import (
@@ -133,6 +139,10 @@ __all__ = [
     "HMCKernel",
     "MALAKernel",
     "RWMKernel",
+    "StateSpaceModel",
+    "particle_filter",
+    "PMMHSampler",
+    "ParticleGibbsKernel",
     "ShardedEnsembleSampler",
     "make_ladder_mesh",
     "make_walker_mesh",

@@ -382,7 +382,7 @@ class BlockedGibbsSampler:
 
     def __init__(self, blocks, n_chains, logp_fn=None, seed=0,
                  dtype=jnp.float32, max_chain_bytes=2 << 30, mesh=None,
-                 chain=None):
+                 chain=None, max_chunk_steps=None):
         if not blocks:
             raise ValueError("need at least one block")
         self.blocks = []
@@ -435,6 +435,12 @@ class BlockedGibbsSampler:
                     f"{mesh.size}"
                 )
             self._chain_sharding = walker_sharding(mesh)
+        # byte budgeting alone can make launches minutes-long when a sweep
+        # is heavyweight (PGAS / FFBS blocks run a whole filter per step);
+        # cap the per-launch step count for those schemes
+        self._max_chunk_steps = (
+            None if max_chunk_steps is None else max(1, int(max_chunk_steps))
+        )
         self._run_cache = {}
 
     # -- state plumbing ------------------------------------------------------
@@ -542,6 +548,8 @@ class BlockedGibbsSampler:
         n_store = int(n_steps) // thin
         leftover = int(n_steps) - n_store * thin
         chunk = default_chunk_steps(self.n_chains, self.n_params, self.dtype)
+        if self._max_chunk_steps is not None:
+            chunk = min(chunk, self._max_chunk_steps)
 
         def launch(take):
             fn = self._run_cache.get((take, thin))

@@ -1,0 +1,315 @@
+"""Particle filter / PMMH / PGAS oracles.
+
+Strategy (SURVEY.md §4 pattern): a linear-Gaussian SSM gives EXACT truths
+via the Kalman machinery in models/lgss — the PF likelihood estimate is
+unbiased against the exact evidence, filtered means match the Kalman
+means, PMMH's posterior matches a grid integration of the exact collapsed
+likelihood, and PGAS trajectory draws match the RTS smoother moments.
+A nonlinear stochastic-volatility smoke test covers the non-Gaussian
+path the exact tools can't reach. Fixed seeds, generous MC tolerances.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu import (
+    BlockedGibbsSampler,
+    ExactGibbsKernel,
+    ParticleGibbsKernel,
+    PMMHSampler,
+    StateSpaceModel,
+    particle_filter,
+)
+from mcmcpp_tpu.models.lgss import kalman_filter, lgss_loglik, lgss_params, rts_smoother
+
+
+# -- a local-level model, exact truths from the Kalman path -------------------
+
+SIG_Q, SIG_R, M0, P0 = 0.35, 0.6, 1.0, 2.0
+
+
+def _local_level_ssm(sig_r=None):
+    """theta = (log sig_r,) if sig_r is None else fixed scalar noise."""
+
+    def init_sample(key, n, theta):
+        return M0 + jnp.sqrt(P0) * jax.random.normal(key, (n, 1))
+
+    def trans_sample(key, x, t, theta):
+        return x + SIG_Q * jax.random.normal(key, x.shape)
+
+    def obs_logpdf(y, x, t, theta):
+        s = jnp.exp(theta[0]) if sig_r is None else sig_r
+        z = (y[0] - x[:, 0]) / s
+        return -0.5 * z * z - jnp.log(s) - 0.5 * np.log(2 * np.pi)
+
+    def trans_logpdf(x_next, x, t, theta):
+        z = (x_next[:, 0] - x[:, 0]) / SIG_Q
+        return -0.5 * z * z - np.log(SIG_Q) - 0.5 * np.log(2 * np.pi)
+
+    return StateSpaceModel(init_sample, trans_sample, obs_logpdf,
+                           trans_logpdf)
+
+
+def _data(t_n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.empty(t_n)
+    x[0] = M0 + np.sqrt(P0) * rng.standard_normal()
+    for t in range(1, t_n):
+        x[t] = x[t - 1] + SIG_Q * rng.standard_normal()
+    ys = x + SIG_R * rng.standard_normal(t_n)
+    return x, ys.astype(np.float32)
+
+
+def _lgss(sig_r=SIG_R):
+    return lgss_params(A=1.0, b=0.0, Q=SIG_Q**2, H=1.0, c=0.0,
+                       R=sig_r**2, m0=M0, P0=P0)
+
+
+def test_pf_loglik_unbiased_vs_kalman():
+    """E[exp(loglik_hat)] = p(y) exactly (Del Moral 2004 Prop 7.4.1):
+    the rep-averaged likelihood RATIO must be 1 within MC error, and the
+    log-estimate mean must sit at-or-below the truth (Jensen)."""
+    _, ys = _data(30)
+    exact = float(lgss_loglik(_lgss(), ys))
+    ssm = _local_level_ssm(sig_r=SIG_R)
+    reps = 128
+
+    def one(key):
+        return particle_filter(key, ssm, None, ys, 256).loglik
+
+    lls = np.asarray(
+        jax.vmap(one)(jax.random.split(jax.random.key(42), reps)),
+        np.float64,
+    )
+    assert np.isfinite(lls).all()
+    ratio = np.exp(lls - exact)
+    se = ratio.std(ddof=1) / np.sqrt(reps)
+    assert abs(ratio.mean() - 1.0) < max(4.0 * se, 0.05), (
+        ratio.mean(), se, exact, lls.mean(),
+    )
+    assert lls.mean() < exact + 0.1  # Jensen: E[log Z_hat] <= log Z
+
+
+def test_pf_filtered_means_match_kalman():
+    _, ys = _data(40, seed=3)
+    f = kalman_filter(_lgss(), ys)
+    res = particle_filter(
+        jax.random.key(7), _local_level_ssm(SIG_R), None, ys, 8192
+    )
+    sd = np.sqrt(np.asarray(f.covs)[:, 0, 0])
+    err = np.abs(np.asarray(res.filter_means)[:, 0] - np.asarray(f.means)[:, 0])
+    # self-normalized IS error ~ sd/sqrt(ESS); use a generous 8-sigma band
+    assert (err < 8.0 * sd / np.sqrt(np.asarray(res.ess)) + 0.02).all(), (
+        err.max()
+    )
+
+
+def test_pf_ess_bounds_and_no_resample_mode():
+    _, ys = _data(25, seed=5)
+    ssm = _local_level_ssm(SIG_R)
+    res = particle_filter(jax.random.key(0), ssm, None, ys, 128,
+                          ess_frac=0.5)
+    ess = np.asarray(res.ess)
+    assert (ess >= 1.0 - 1e-3).all() and (ess <= 128.0 + 1e-3).all()
+    # never-resample mode still yields a finite (higher-variance) estimate
+    res0 = particle_filter(jax.random.key(0), ssm, None, ys, 128,
+                           ess_frac=0.0)
+    assert np.isfinite(float(res0.loglik))
+    # degeneracy without resampling: final ESS must be lower
+    assert np.asarray(res0.ess)[-1] <= ess[-1] + 1e-3
+
+
+@pytest.mark.slow
+def test_pmmh_matches_exact_grid_posterior():
+    """1-D theta = log sig_r, N(0,1) prior: PMMH's posterior moments vs a
+    dense grid integration of the EXACT (Kalman) collapsed likelihood —
+    the pseudo-marginal chain must target the same posterior despite the
+    noisy PF likelihood."""
+    _, ys = _data(40, seed=11)
+
+    # exact grid posterior over theta
+    grid = np.linspace(-2.5, 1.5, 401)
+
+    def exact_ll(th):
+        return lgss_loglik(_lgss(sig_r=jnp.exp(th)), ys)
+
+    ll = np.asarray(jax.vmap(exact_ll)(jnp.asarray(grid, jnp.float32)),
+                    np.float64)
+    logpost = ll - 0.5 * grid**2
+    w = np.exp(logpost - logpost.max())
+    w /= w.sum()
+    mean_true = float(w @ grid)
+    sd_true = float(np.sqrt(w @ (grid - mean_true) ** 2))
+
+    s = PMMHSampler(
+        _local_level_ssm(sig_r=None), ys,
+        log_prior=lambda th: -0.5 * th[0] * th[0],
+        n_params=1, n_particles=192, proposal_scale=0.35,
+        n_chains=16, seed=1,
+    )
+    s.init(np.full((16, 1), 0.0, np.float32))
+    s.run(500)
+    acc = s.acceptance_fraction
+    assert 0.05 < acc.mean() < 0.9, acc
+    draws = np.asarray(s.get_samples(burn_in=150, flat=True))[:, 0]
+    ess_proxy = draws.size / 20.0  # crude IACT guess for the tolerance
+    tol = 4.0 * sd_true / np.sqrt(ess_proxy) + 0.05
+    assert abs(draws.mean() - mean_true) < tol, (
+        draws.mean(), mean_true, tol,
+    )
+    assert 0.5 * sd_true < draws.std() < 1.8 * sd_true, (
+        draws.std(), sd_true,
+    )
+
+
+@pytest.mark.slow
+def test_pgas_trajectories_match_smoother():
+    """Known-parameter local level: PGAS draws from p(x_{1:T} | y), so
+    pooled trajectory moments must match the RTS smoother."""
+    t_n = 25
+    _, ys = _data(t_n, seed=17)
+    means, covs = rts_smoother(_lgss(), ys)
+    means = np.asarray(means)[:, 0]
+    sds = np.sqrt(np.asarray(covs)[:, 0, 0])
+
+    gb = BlockedGibbsSampler(
+        [("x", t_n, ParticleGibbsKernel(
+            _local_level_ssm(SIG_R), ys, n_particles=48, theta_fn=None,
+        ))],
+        n_chains=8, seed=2,
+    )
+    gb.init({"x": np.zeros(t_n, np.float32)})
+    gb.run(350)
+    xs = np.asarray(gb.get_block("x"))[60:]          # (S, C, T)
+    pooled = xs.reshape(-1, t_n).astype(np.float64)
+    n_eff = pooled.shape[0] / 5.0                     # generous IACT guess
+    tol = 5.0 * sds / np.sqrt(n_eff) + 0.02
+    assert (np.abs(pooled.mean(0) - means) < tol).all(), (
+        np.abs(pooled.mean(0) - means).max(), tol.max(),
+    )
+    np.testing.assert_allclose(pooled.std(0), sds, rtol=0.35, atol=0.03)
+
+
+@pytest.mark.slow
+def test_pgas_with_conjugate_hyper_block():
+    """PGAS latent block + exact conjugate IG block for the observation
+    variance, wired through theta_fn — the full particle-Gibbs loop."""
+    t_n = 40
+    x_true, ys = _data(t_n, seed=23)
+    a0, b0 = 2.0, 1.0
+
+    ssm = _local_level_ssm(sig_r=None)   # theta = (log sig_r,)
+
+    def theta_fn(others):
+        return 0.5 * jnp.log(others["s2r"])
+
+    def sample_s2r(key, others):
+        resid = jnp.asarray(ys) - others["x"]
+        a_n = a0 + 0.5 * t_n
+        b_n = b0 + 0.5 * jnp.sum(resid * resid)
+        return (b_n / jax.random.gamma(key, a_n))[None]
+
+    gb = BlockedGibbsSampler(
+        [
+            ("x", t_n, ParticleGibbsKernel(ssm, ys, n_particles=48,
+                                           theta_fn=theta_fn)),
+            ("s2r", 1, ExactGibbsKernel(sample_s2r)),
+        ],
+        n_chains=8, seed=0,
+    )
+    gb.init({"x": np.zeros(t_n, np.float32),
+             "s2r": np.ones(1, np.float32)})
+    gb.run(300)
+    s2r = np.asarray(gb.get_block("s2r"))[80:].reshape(-1)
+    xs = np.asarray(gb.get_block("x"))[80:]
+    assert 0.1 < s2r.mean() < 1.2, s2r.mean()
+    rmse = np.sqrt(((xs.mean((0, 1)) - x_true) ** 2).mean())
+    assert rmse < SIG_R, rmse
+
+
+def test_pgas_reference_slot_and_shapes():
+    """Kernel contract: jittable, right shape/dtype, and with a single
+    free particle budget the sampler still moves (invariance holds for
+    any N >= 2)."""
+    t_n = 12
+    _, ys = _data(t_n, seed=31)
+    kern = ParticleGibbsKernel(_local_level_ssm(SIG_R), ys, n_particles=2)
+    x0 = jnp.zeros(t_n, jnp.float32)
+    out = jax.jit(lambda k, x: kern.step(k, x, {}))(jax.random.key(3), x0)
+    assert out.shape == (t_n,)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="n_particles"):
+        ParticleGibbsKernel(_local_level_ssm(SIG_R), ys, n_particles=1)
+    no_trans = StateSpaceModel(
+        _local_level_ssm(SIG_R).init_sample,
+        _local_level_ssm(SIG_R).trans_sample,
+        _local_level_ssm(SIG_R).obs_logpdf,
+    )
+    with pytest.raises(ValueError, match="trans_logpdf"):
+        ParticleGibbsKernel(no_trans, ys)
+    # plain CSMC fallback (no ancestor sampling) still runs
+    kern2 = ParticleGibbsKernel(no_trans, ys, n_particles=8,
+                                ancestor_sampling=False)
+    out2 = kern2.step(jax.random.key(4), x0, {})
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_pmmh_mesh_sharded_bitwise():
+    """Chain-axis sharding over the 8-device mesh must not change a bit
+    (same keys, same arithmetic — the engine-wide determinism contract)."""
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    _, ys = _data(20, seed=41)
+
+    def build(mesh):
+        s = PMMHSampler(
+            _local_level_ssm(sig_r=None), ys,
+            log_prior=lambda th: -0.5 * th[0] * th[0],
+            n_params=1, n_particles=64, proposal_scale=0.4,
+            n_chains=16, seed=5, mesh=mesh,
+        )
+        s.init(np.zeros((16, 1), np.float32))
+        assert s.run(30)
+        return np.asarray(s.get_samples())
+
+    a = build(None)
+    b = build(make_walker_mesh())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_stochastic_volatility_smoke():
+    """Nonlinear/non-Gaussian: SV model x_t = mu + phi(x-mu) + sig eta,
+    y_t ~ N(0, exp(x_t)). The PF must produce a finite evidence estimate
+    and filtered log-vol tracking the realized volatility regimes."""
+    rng = np.random.default_rng(9)
+    t_n, mu, phi, sig = 120, -1.0, 0.95, 0.3
+    x = np.empty(t_n)
+    x[0] = mu + sig / np.sqrt(1 - phi**2) * rng.standard_normal()
+    for t in range(1, t_n):
+        x[t] = mu + phi * (x[t - 1] - mu) + sig * rng.standard_normal()
+    ys = (np.exp(x / 2) * rng.standard_normal(t_n)).astype(np.float32)
+
+    def init_sample(key, n, theta):
+        return mu + sig / np.sqrt(1 - phi**2) * jax.random.normal(
+            key, (n, 1)
+        )
+
+    def trans_sample(key, xp, t, theta):
+        return mu + phi * (xp - mu) + sig * jax.random.normal(
+            key, xp.shape
+        )
+
+    def obs_logpdf(y, xp, t, theta):
+        return -0.5 * (xp[:, 0] + y[0] ** 2 * jnp.exp(-xp[:, 0])
+                       + np.log(2 * np.pi))
+
+    ssm = StateSpaceModel(init_sample, trans_sample, obs_logpdf)
+    res = particle_filter(jax.random.key(1), ssm, None, ys, 1024)
+    assert np.isfinite(float(res.loglik))
+    est = np.asarray(res.filter_means)[:, 0]
+    # filtered log-vol correlates with the latent truth
+    c = np.corrcoef(est, x)[0, 1]
+    assert c > 0.5, c
