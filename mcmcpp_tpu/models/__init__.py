@@ -8,6 +8,7 @@ mixture, plus the reference's skewed Gaussian).
 """
 
 from mcmcpp_tpu.models import gp
+from mcmcpp_tpu.models import hmm
 from mcmcpp_tpu.models import lgss
 from mcmcpp_tpu.models.targets import (
     Target,
@@ -22,6 +23,7 @@ from mcmcpp_tpu.models.targets import (
 
 __all__ = [
     "gp",
+    "hmm",
     "lgss",
     "Target",
     "bayesian_linear_regression",
