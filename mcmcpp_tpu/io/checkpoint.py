@@ -54,6 +54,24 @@ def _is_sgmcmc(sampler):
     return isinstance(sampler, StochasticGradientSampler)
 
 
+def _is_pmmh(sampler):
+    from mcmcpp_tpu.particle import PMMHSampler
+
+    return isinstance(sampler, PMMHSampler)
+
+
+def _is_gibbs(sampler):
+    from mcmcpp_tpu.gibbs import BlockedGibbsSampler
+
+    return isinstance(sampler, BlockedGibbsSampler)
+
+
+def _is_elliptical(sampler):
+    from mcmcpp_tpu.elliptical import EllipticalSliceSampler
+
+    return isinstance(sampler, EllipticalSliceSampler)
+
+
 def save_checkpoint(sampler, path):
     """Write ``sampler``'s full resumable state to ``path`` (.npz)."""
     from mcmcpp_tpu.sampler import EnsembleSampler
@@ -220,6 +238,59 @@ def save_checkpoint(sampler, path):
             position=np.asarray(s.position),
             velocity=np.asarray(s.velocity),
             sg_step=np.asarray(s.step),
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
+    elif _is_pmmh(sampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="pmmh",
+            n_chains=sampler.n_chains,
+            n_steps_done=sampler._n_steps_done,
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            position=np.asarray(s.position),
+            loglik=np.asarray(s.loglik),
+            logprior=np.asarray(s.logprior),
+            accepted=np.asarray(s.accepted),
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
+    elif _is_gibbs(sampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="gibbs",
+            n_chains=sampler.n_chains,
+            layout=[[n, int(sz)] for n, sz in sampler._layout],
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        arrays.update(
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
+        arrays.update({
+            f"block_{name}": np.asarray(sampler.state[name])
+            for name, _ in sampler._layout
+        })
+    elif _is_elliptical(sampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="elliptical",
+            n_chains=sampler.n_chains,
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            position=np.asarray(s.position),
+            loglike=np.asarray(s.loglike),
             key=_key_data(sampler._key),
             chain_samples=sampler.chain.get(),
             chain_logp=sampler.chain.get_logp(),
@@ -452,6 +523,66 @@ def load_checkpoint(sampler, path):
             velocity=jnp.asarray(arrays["velocity"]),
             step=jnp.asarray(arrays["sg_step"]),
         )
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "pmmh":
+        from mcmcpp_tpu.particle import PMMHState
+
+        if not _is_pmmh(sampler):
+            raise TypeError("checkpoint is for a PMMHSampler")
+        if meta["n_chains"] != sampler.n_chains:
+            raise ValueError("chain count mismatch")
+        state = PMMHState(
+            position=jnp.asarray(arrays["position"]),
+            loglik=jnp.asarray(arrays["loglik"]),
+            logprior=jnp.asarray(arrays["logprior"]),
+            accepted=jnp.asarray(arrays["accepted"]),
+        )
+        sampler.state = sampler._constrain(state)
+        sampler._n_steps_done = int(meta["n_steps_done"])
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "gibbs":
+        if not _is_gibbs(sampler):
+            raise TypeError("checkpoint is for a BlockedGibbsSampler")
+        if meta["n_chains"] != sampler.n_chains:
+            raise ValueError("chain count mismatch")
+        layout = [(n, int(sz)) for n, sz in meta["layout"]]
+        if layout != list(sampler._layout):
+            raise ValueError(
+                f"block layout mismatch: checkpoint {layout}, "
+                f"sampler {list(sampler._layout)}"
+            )
+        state = {
+            name: jnp.asarray(arrays[f"block_{name}"])
+            for name, _ in layout
+        }
+        if sampler._chain_sharding is not None:
+            state = {
+                k: jax.device_put(v, sampler._chain_sharding)
+                for k, v in state.items()
+            }
+        sampler.state = state
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "elliptical":
+        from mcmcpp_tpu.elliptical import EllipticalState
+
+        if not _is_elliptical(sampler):
+            raise TypeError("checkpoint is for an EllipticalSliceSampler")
+        if meta["n_chains"] != sampler.n_chains:
+            raise ValueError("chain count mismatch")
+        state = EllipticalState(
+            position=jnp.asarray(arrays["position"]),
+            loglike=jnp.asarray(arrays["loglike"]),
+        )
+        sampler.state = sampler._constrain(state)
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:
