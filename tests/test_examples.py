@@ -122,3 +122,16 @@ def test_gp_hyperparams_example(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "OK" in out
     assert "lengthscale" in out
+
+
+@pytest.mark.slow
+def test_state_space_example(monkeypatch, capsys):
+    # In-process for the same scheduling-fairness reason as the GP
+    # hyperparameters smoke above (three Gibbs/PMMH loops, ~60 s solo).
+    path = str(REPO / "examples" / "state_space.py")
+    monkeypatch.setattr(sys, "argv", [path, "--quick"])
+    exec(compile(open(path).read(), path, "exec"),
+         {"__file__": path, "__name__": "__main__"})
+    out = capsys.readouterr().out
+    assert "OK" in out
+    assert "sticky diagonal" in out
