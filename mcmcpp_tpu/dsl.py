@@ -678,6 +678,86 @@ class MvNormal(Distribution):
         return self.loc + z @ self.chol.T
 
 
+class GaussianRandomWalk(Distribution):
+    """Gaussian random walk over a ``shape=(T,)`` site:
+    ``x_1 ~ N(drift, init_scale)``, ``x_t = x_{t-1} + drift + eps_t``
+    with ``eps_t ~ N(0, scale)``. ``init_scale`` defaults to ``scale``.
+
+    The latent-trajectory prior for declarative time-series models (the
+    DSL analogue of the local-level dynamics in models/lgss.py) — pair
+    with any gradient engine for joint (trajectory, hyperparameter)
+    NUTS/ChEES sampling, or marginalize exactly with
+    :func:`mcmcpp_tpu.models.lgss.lgss_loglik` when linear-Gaussian.
+    """
+
+    def __init__(self, scale=1.0, init_scale=None, drift=0.0):
+        self.scale = scale
+        self.init_scale = scale if init_scale is None else init_scale
+        self.drift = drift
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        lp0 = jstats.norm.logpdf(x[..., 0], self.drift, self.init_scale)
+        steps = x[..., 1:] - x[..., :-1]
+        return lp0 + jnp.sum(
+            jstats.norm.logpdf(steps, self.drift, self.scale), axis=-1
+        )
+
+    def sample(self, key, shape=()):
+        if not shape:
+            raise ValueError("GaussianRandomWalk needs shape=(..., T)")
+        z = jax.random.normal(key, shape)
+        scales = jnp.concatenate([
+            jnp.asarray([self.init_scale], z.dtype),
+            jnp.full((shape[-1] - 1,), self.scale, z.dtype),
+        ])
+        return jnp.cumsum(z * scales + self.drift, axis=-1)
+
+
+class AR1(Distribution):
+    """Stationary first-order autoregression over a ``shape=(T,)`` site:
+    ``x_t = mu + phi (x_{t-1} - mu) + sigma eps_t`` with the exact
+    stationary initial ``x_1 ~ N(mu, sigma^2 / (1 - phi^2))``.
+
+    |phi| < 1 is the caller's contract (declare the coefficient with a
+    (-1, 1)-supported prior, e.g. ``Uniform(-1, 1)`` or a scaled Beta,
+    when it is itself a parameter).
+    """
+
+    def __init__(self, phi, sigma=1.0, mu=0.0):
+        self.phi, self.sigma, self.mu = phi, sigma, mu
+
+    def _init_scale(self):
+        return self.sigma / jnp.sqrt(1.0 - self.phi * self.phi)
+
+    def logpdf(self, x):
+        x = jnp.asarray(x)
+        c = x - self.mu
+        lp0 = jstats.norm.logpdf(c[..., 0], 0.0, self._init_scale())
+        resid = c[..., 1:] - self.phi * c[..., :-1]
+        return lp0 + jnp.sum(
+            jstats.norm.logpdf(resid, 0.0, self.sigma), axis=-1
+        )
+
+    def sample(self, key, shape=()):
+        if not shape:
+            raise ValueError("AR1 needs shape=(..., T)")
+        z = jax.random.normal(key, shape)
+        x0 = z[..., 0] * self._init_scale()
+
+        def step(prev, zt):
+            nxt = self.phi * prev + self.sigma * zt
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(
+            step, x0, jnp.moveaxis(z[..., 1:], -1, 0)
+        )
+        devs = jnp.concatenate(
+            [x0[None], rest], axis=0
+        )  # (T, ...) time-major from the scan
+        return self.mu + jnp.moveaxis(devs, 0, -1)
+
+
 class Dirichlet(Distribution):
     """Dirichlet over the K-simplex; declare with ``shape=(K,)``.
 
