@@ -257,6 +257,7 @@ def save_checkpoint(sampler, path):
             loglik=np.asarray(s.loglik),
             logprior=np.asarray(s.logprior),
             accepted=np.asarray(s.accepted),
+            prop_chol=np.asarray(sampler._prop_chol),
             key=_key_data(sampler._key),
             chain_samples=sampler.chain.get(),
             chain_logp=sampler.chain.get_logp(),
@@ -542,6 +543,8 @@ def load_checkpoint(sampler, path):
         )
         sampler.state = sampler._constrain(state)
         sampler._n_steps_done = int(meta["n_steps_done"])
+        if "prop_chol" in arrays:  # a tuned proposal travels with the state
+            sampler._prop_chol = jnp.asarray(arrays["prop_chol"])
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:

@@ -170,6 +170,10 @@ class PMMHSampler:
         self.proposal_scale = jnp.broadcast_to(
             jnp.asarray(proposal_scale, dtype), (self.n_params,)
         )
+        # full proposal Cholesky (diagonal until tune() learns better);
+        # threaded through the jitted programs as an ARGUMENT so adapting
+        # it never leaves stale closures in _run_cache
+        self._prop_chol = jnp.diag(self.proposal_scale)
         self.n_chains = int(n_chains)
         self.ess_frac = float(ess_frac)
         self.max_chunk_steps = (
@@ -254,12 +258,12 @@ class PMMHSampler:
 
     # -- one transition, whole (C, P) batch -----------------------------------
 
-    def _step(self, key, state):
+    def _step(self, key, state, prop_chol):
         state = self._constrain(state)
         k_prop, k_pf, k_u = jax.random.split(key, 3)
         c = self.n_chains
         z = jax.random.normal(k_prop, state.position.shape, self.dtype)
-        prop = state.position + z * self.proposal_scale[None, :]
+        prop = state.position + z @ prop_chol.T
         lp_new = jax.vmap(self.log_prior)(prop).astype(self.dtype)
         ll_new = jax.vmap(self._pf_loglik)(
             jax.random.split(k_pf, c), prop
@@ -277,14 +281,14 @@ class PMMHSampler:
 
     # -- driver (mirrors elliptical.py / chain.run_pipelined) -----------------
 
-    def _run_scan(self, state, key, n_store, thin):
+    def _run_scan(self, state, key, prop_chol, n_store, thin):
         def body(carry, _):
             state, key = carry
 
             def inner(j, sk):
                 s, k = sk
                 k, sub = jax.random.split(k)
-                return (self._step(sub, s), k)
+                return (self._step(sub, s, prop_chol), k)
 
             state, key = jax.lax.fori_loop(0, thin, inner, (state, key))
             return (state, key), (
@@ -320,13 +324,13 @@ class PMMHSampler:
             fn = self._run_cache.get((take, thin))
             if fn is None:
                 fn = jax.jit(
-                    lambda st, k, t=take, th=thin: self._run_scan(
-                        st, k, t, th
+                    lambda st, k, pc, t=take, th=thin: self._run_scan(
+                        st, k, pc, t, th
                     )
                 )
                 self._run_cache[(take, thin)] = fn
             self._key, run_key = jax.random.split(self._key)
-            self.state, pos, lp = fn(self.state, run_key)
+            self.state, pos, lp = fn(self.state, run_key, self._prop_chol)
             return (pos, lp)
 
         def fetch(futures):
@@ -341,13 +345,66 @@ class PMMHSampler:
             fn = self._run_cache.get((1, leftover))
             if fn is None:
                 fn = jax.jit(
-                    lambda st, k, lo=leftover: self._run_scan(st, k, 1, lo)
+                    lambda st, k, pc, lo=leftover: self._run_scan(
+                        st, k, pc, 1, lo
+                    )
                 )
                 self._run_cache[(1, leftover)] = fn
             self._key, run_key = jax.random.split(self._key)
-            self.state, _, _ = fn(self.state, run_key)
+            self.state, _, _ = fn(self.state, run_key, self._prop_chol)
             self._n_steps_done += leftover
         return ok
+
+    def tune(self, n_steps=300, window=50, target_accept=0.234,
+             adapt_cov=True, jitter=1e-6):
+        """Adapt the random-walk proposal BEFORE sampling (frozen once
+        sampling starts, so the kept chain is exact MH).
+
+        Runs ``n_steps`` unstored transitions in ``window``-sized spans;
+        after each span the global scale moves by Robbins–Monro toward
+        ``target_accept`` (Roberts & Rosenthal's 0.234 — for very noisy
+        likelihood estimates the optimum drifts lower, ~0.10–0.15;
+        Sherlock et al. 2015), and with ``adapt_cov`` the proposal shape
+        is re-estimated from the CROSS-CHAIN spread of positions scaled
+        by Haario's 2.38²/P (no history needed — the chain axis is the
+        sample). Returns self; acceptance counters reset afterwards so
+        ``acceptance_fraction`` reflects the frozen kernel only.
+        """
+        if self.state is None:
+            raise RuntimeError("call init first")
+        window = max(1, int(window))
+        n_spans = max(1, int(n_steps) // window)
+        fn = jax.jit(
+            lambda st, k, pc, w=window: self._run_scan(st, k, pc, 1, w)
+        )
+        log_s = 0.0
+        base = self._prop_chol
+        for i in range(n_spans):
+            acc0 = int(np.asarray(self.state.accepted).sum())
+            self._key, run_key = jax.random.split(self._key)
+            self.state, _, _ = fn(
+                self.state, run_key, jnp.exp(log_s) * base
+            )
+            acc = (int(np.asarray(self.state.accepted).sum()) - acc0) / (
+                window * self.n_chains
+            )
+            gain = 1.0 / np.sqrt(i + 1.0)
+            log_s += gain * (acc - target_accept)
+            if adapt_cov and self.n_chains > self.n_params:
+                pos = np.asarray(self.state.position, np.float64)
+                cov = np.cov(pos.T).reshape(self.n_params, self.n_params)
+                cov = (2.38**2 / self.n_params) * cov
+                cov += jitter * np.eye(self.n_params)
+                base = jnp.asarray(
+                    np.linalg.cholesky(cov), self.dtype
+                )
+        self._prop_chol = jnp.exp(log_s) * base
+        self.state = self._constrain(PMMHState(
+            self.state.position, self.state.loglik, self.state.logprior,
+            jnp.zeros((self.n_chains,), jnp.int32),
+        ))
+        self._n_steps_done = 0
+        return self
 
     @property
     def acceptance_fraction(self):

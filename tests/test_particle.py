@@ -257,6 +257,46 @@ def test_pgas_reference_slot_and_shapes():
     assert np.isfinite(np.asarray(out2)).all()
 
 
+@pytest.mark.slow
+def test_pmmh_tune_fixes_bad_proposal():
+    """Start with a hopeless proposal scale (5.0 → near-zero acceptance);
+    tune() must bring post-tune acceptance into a healthy band and the
+    tuned chain must still hit the exact grid posterior (adaptation is
+    frozen before the kept samples, so exactness is preserved)."""
+    _, ys = _data(40, seed=11)
+    grid = np.linspace(-2.5, 1.5, 401)
+
+    def exact_ll(th):
+        return lgss_loglik(_lgss(sig_r=jnp.exp(th)), ys)
+
+    ll = np.asarray(jax.vmap(exact_ll)(jnp.asarray(grid, jnp.float32)),
+                    np.float64)
+    logpost = ll - 0.5 * grid**2
+    w = np.exp(logpost - logpost.max())
+    w /= w.sum()
+    mean_true = float(w @ grid)
+    sd_true = float(np.sqrt(w @ (grid - mean_true) ** 2))
+
+    s = PMMHSampler(
+        _local_level_ssm(sig_r=None), ys,
+        log_prior=lambda th: -0.5 * th[0] * th[0],
+        n_params=1, n_particles=192, proposal_scale=5.0,
+        n_chains=16, seed=3,
+    )
+    s.init(np.full((16, 1), 0.0, np.float32))
+    s.tune(300, window=50)
+    scale = float(np.asarray(s._prop_chol)[0, 0])
+    assert scale < 3.0, scale  # shrunk from the hopeless 5.0
+    s.run(400)
+    acc = s.acceptance_fraction.mean()
+    assert 0.08 < acc < 0.6, acc
+    draws = np.asarray(s.get_samples(burn_in=100, flat=True))[:, 0]
+    tol = 4.0 * sd_true / np.sqrt(draws.size / 20.0) + 0.05
+    assert abs(draws.mean() - mean_true) < tol, (
+        draws.mean(), mean_true, tol,
+    )
+
+
 def test_pmmh_mesh_sharded_bitwise():
     """Chain-axis sharding over the 8-device mesh must not change a bit
     (same keys, same arithmetic — the engine-wide determinism contract)."""
