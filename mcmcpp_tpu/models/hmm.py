@@ -227,6 +227,26 @@ class HMMKernel:
         return path.astype(x.dtype)
 
 
+def hmm_forecast(log_pi, log_gamma, log_obs, horizon=1,
+                 method="sequential"):
+    """k-step-ahead predictive STATE distributions from the filtered
+    endpoint: ``(h, K)`` log p(z_{T+k} | y_{1:T}) for k = 1..h. Combine
+    with your emission law for observation forecasts (e.g. mixture
+    moments under ``gaussian_emission_logpdf``'s means)."""
+    log_pi, log_gamma, log_obs = _validate(log_pi, log_gamma, log_obs)
+    fwd = hmm_forward(log_pi, log_gamma, log_obs, method=method)
+
+    def step(a, _):
+        nxt = logsumexp(a[:, None] + log_gamma, axis=0)
+        nxt = nxt - logsumexp(nxt)
+        return nxt, nxt
+
+    _, preds = jax.lax.scan(
+        step, fwd.log_alpha[-1], None, length=int(horizon)
+    )
+    return preds
+
+
 def gaussian_emission_logpdf(ys, means, sigmas):
     """Convenience (T, K) table for scalar-Gaussian emissions: ``ys``
     (T,), ``means``/``sigmas`` (K,)."""

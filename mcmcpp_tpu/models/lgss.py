@@ -355,6 +355,33 @@ def ffbs_sample(key, params: LGSSParams, ys=None,
     return jnp.concatenate([xs, x_T[None]], axis=0)
 
 
+def forecast(params: LGSSParams, ys=None, filtered: FilterResult = None,
+             horizon=1, method="parallel", initial="state"):
+    """k-step-ahead predictive moments from the filtered endpoint.
+
+    Returns ``(state_means (h, D), state_covs (h, D, D),
+    obs_means (h, E), obs_covs (h, E, E))`` for horizons 1..h — the
+    exact Gaussian forecast distribution p(x_{T+k} | y_{1:T}) and
+    p(y_{T+k} | y_{1:T})."""
+    if filtered is None:
+        filtered = kalman_filter(params, ys, method=method, initial=initial)
+    p = params
+
+    def step(mP, _):
+        m, P = mP
+        m = p.A @ m + p.b
+        P = p.A @ P @ p.A.T + p.Q
+        return (m, P), (m, P)
+
+    (_, _), (ms, Ps) = jax.lax.scan(
+        step, (filtered.means[-1], filtered.covs[-1]), None,
+        length=int(horizon),
+    )
+    obs_m = ms @ p.H.T + p.c
+    obs_P = jnp.einsum("ij,tjk,lk->til", p.H, Ps, p.H) + p.R
+    return ms, Ps, obs_m, obs_P
+
+
 class LGSSKernel:
     """Blocked-Gibbs kernel drawing a latent state trajectory EXACTLY
     from its full conditional via FFBS (an :class:`ExactGibbsKernel` in

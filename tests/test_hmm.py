@@ -227,3 +227,30 @@ def test_gibbs_recovers_states_and_transitions():
     diag = np.exp(lgs)[:, [0, 1], [0, 1]].mean(0)
     assert abs(diag[0] - 0.95) < 0.08, diag
     assert abs(diag[1] - 0.90) < 0.12, diag
+
+
+def test_forecast_vs_enumeration():
+    """p(z_{T+k} | y_{1:T}) by brute force over 3^(T+h) extended paths
+    (transition factors throughout, obs factors only for t < T)."""
+    from scipy.special import logsumexp as lse
+
+    from mcmcpp_tpu.models.hmm import hmm_forecast
+
+    log_pi, log_gamma, log_obs = _model()
+    h = 2
+    preds = np.asarray(hmm_forecast(log_pi, log_gamma, log_obs, horizon=h))
+    lp = np.asarray(log_pi, np.float64)
+    lg = np.asarray(log_gamma, np.float64)
+    lo = np.asarray(log_obs, np.float64)
+    paths = np.array(list(itertools.product(range(K), repeat=T + h)))
+    joint = lp[paths[:, 0]] + lo[0, paths[:, 0]]
+    for t in range(1, T + h):
+        joint += lg[paths[:, t - 1], paths[:, t]]
+        if t < T:
+            joint += lo[t, paths[:, t]]
+    for k in range(h):
+        marg = np.array([
+            lse(joint[paths[:, T + k] == s]) for s in range(K)
+        ])
+        marg -= lse(marg)
+        np.testing.assert_allclose(preds[k], marg, rtol=2e-4, atol=2e-4)

@@ -247,3 +247,49 @@ def test_kernel_step_shapes_and_dtype():
     assert out.shape == (T * D,)
     assert out.dtype == jnp.float32
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_forecast_vs_dense_joint():
+    """k-step-ahead predictive = dense joint over T+h states conditioned
+    on the first T observations only."""
+    from mcmcpp_tpu.models.lgss import forecast
+
+    p, raw = _params()
+    ys = _ys()
+    h = 3
+    ms, Ps, om, oP = forecast(p, ys, horizon=h)
+    A, b, Q, H, c, R, m0, P0 = raw
+
+    # dense joint over T+h states, conditioning on y_{1:T}
+    tt = T + h
+    mx = np.zeros((tt, D))
+    cov = np.zeros((tt * D, tt * D))
+    mx[0] = m0
+    cov[:D, :D] = P0
+    for t in range(1, tt):
+        mx[t] = A @ mx[t - 1] + b
+        for s in range(t):
+            blk = A @ cov[(t - 1) * D:t * D, s * D:(s + 1) * D]
+            cov[t * D:(t + 1) * D, s * D:(s + 1) * D] = blk
+            cov[s * D:(s + 1) * D, t * D:(t + 1) * D] = blk.T
+        cov[t * D:(t + 1) * D, t * D:(t + 1) * D] = (
+            A @ cov[(t - 1) * D:t * D, (t - 1) * D:t * D] @ A.T + Q
+        )
+    Hobs = np.kron(np.eye(tt)[:T], H)  # observe only the first T states
+    my = (Hobs @ mx.reshape(-1)).reshape(T, 1) + c
+    cov_yy = Hobs @ cov @ Hobs.T + np.kron(np.eye(T), R)
+    cov_xy = cov @ Hobs.T
+    sol = np.linalg.solve(cov_yy, ys.reshape(-1) - my.reshape(-1))
+    mean_post = (mx.reshape(-1) + cov_xy @ sol).reshape(tt, D)
+    cov_post = cov - cov_xy @ np.linalg.solve(cov_yy, cov_xy.T)
+    for k in range(h):
+        t = T + k
+        np.testing.assert_allclose(np.asarray(ms[k]), mean_post[t],
+                                   rtol=2e-3, atol=3e-4)
+        Pk = cov_post[t * D:(t + 1) * D, t * D:(t + 1) * D]
+        np.testing.assert_allclose(np.asarray(Ps[k]), Pk, rtol=2e-3,
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(om[k]), H @ mean_post[t] + c,
+                                   rtol=2e-3, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(oP[k]), H @ Pk @ H.T + R,
+                                   rtol=2e-3, atol=3e-4)
