@@ -107,36 +107,43 @@ def _first_pred(p: LGSSParams, initial: str):
     raise ValueError(f"initial must be 'state' or 'prior', got {initial!r}")
 
 
-def _seq_filter(p: LGSSParams, ys, initial):
+def _seq_filter(p: LGSSParams, ys, initial, mask):
     m1p, P1p = _first_pred(p, initial)
     e = p.H.shape[0]
     cst = e * np.log(2.0 * np.pi)
 
-    def measure(mp, Pp, y):
+    def measure(mp, Pp, y, obs):
+        """Masked update: missing steps keep the predictive moments and
+        contribute zero log-likelihood (y arrives NaN-scrubbed)."""
         S = p.H @ Pp @ p.H.T + p.R
         cf = cho_factor(S, lower=True)
         innov = y - p.H @ mp - p.c
         # K = Pp Hᵀ S⁻¹, built as (S⁻¹ H Pp)ᵀ through the Cholesky solve
         K = cho_solve(cf, p.H @ Pp).T
-        m = mp + K @ innov
-        P = Pp - K @ (p.H @ Pp)
-        ll = -0.5 * (
-            cst
-            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(cf[0])))
-            + innov @ cho_solve(cf, innov)
+        m = jnp.where(obs, mp + K @ innov, mp)
+        P = jnp.where(obs, Pp - K @ (p.H @ Pp), Pp)
+        ll = jnp.where(
+            obs,
+            -0.5 * (
+                cst
+                + 2.0 * jnp.sum(jnp.log(jnp.diagonal(cf[0])))
+                + innov @ cho_solve(cf, innov)
+            ),
+            0.0,
         )
         return m, P, ll
 
-    m1, P1, ll1 = measure(m1p, P1p, ys[0])
+    m1, P1, ll1 = measure(m1p, P1p, ys[0], mask[0])
 
-    def step(carry, y):
+    def step(carry, inp):
+        y, obs = inp
         m, P = carry
         mp = p.A @ m + p.b
         Pp = p.A @ P @ p.A.T + p.Q
-        m, P, ll = measure(mp, Pp, y)
+        m, P, ll = measure(mp, Pp, y, obs)
         return (m, P), (m, P, ll)
 
-    (_, _), (ms, Ps, lls) = jax.lax.scan(step, (m1, P1), ys[1:])
+    (_, _), (ms, Ps, lls) = jax.lax.scan(step, (m1, P1), (ys[1:], mask[1:]))
     means = jnp.concatenate([m1[None], ms], axis=0)
     covs = jnp.concatenate([P1[None], Ps], axis=0)
     return FilterResult(means, covs, ll1 + jnp.sum(lls))
@@ -177,7 +184,7 @@ def _combine_filter(e1: _FilterElem, e2: _FilterElem):
     return jax.vmap(one)(e1, e2)
 
 
-def _parallel_filter(p: LGSSParams, ys, initial):
+def _parallel_filter(p: LGSSParams, ys, initial, mask):
     t_n, e = ys.shape[0], p.H.shape[0]
     d = p.A.shape[0]
     dt = ys.dtype
@@ -195,13 +202,25 @@ def _parallel_filter(p: LGSSParams, ys, initial):
     eta_g = resid @ (p.A.T @ HtSinv).T        # (T, D)
     J_g = jnp.broadcast_to(p.A.T @ HtSinv @ p.H @ p.A, (t_n, d, d))
 
+    # a MISSING step contributes the pure prediction element
+    # (A, b, Q, 0, 0) — conditioning on nothing
+    m3 = mask[:, None, None]
+    m2 = mask[:, None]
+    A_g = jnp.where(m3, A_g, jnp.broadcast_to(p.A, (t_n, d, d)))
+    b_g = jnp.where(m2, b_g, jnp.broadcast_to(p.b, (t_n, d)))
+    C_g = jnp.where(m3, C_g, jnp.broadcast_to(p.Q, (t_n, d, d)))
+    eta_g = jnp.where(m2, eta_g, jnp.zeros((t_n, d), dt))
+    J_g = jnp.where(m3, J_g, jnp.zeros((t_n, d, d), dt))
+
     # element 1 conditions on the initial distribution, not on x_0
     m1p, P1p = _first_pred(p, initial)
     S1 = p.H @ P1p @ p.H.T + p.R
     cf1 = cho_factor(S1, lower=True)
     K1 = cho_solve(cf1, p.H @ P1p).T
-    b_1 = m1p + K1 @ (ys[0] - p.H @ m1p - p.c)
-    C_1 = P1p - K1 @ (p.H @ P1p)
+    b_1 = jnp.where(
+        mask[0], m1p + K1 @ (ys[0] - p.H @ m1p - p.c), m1p
+    )
+    C_1 = jnp.where(mask[0], P1p - K1 @ (p.H @ P1p), P1p)
     zero_d = jnp.zeros((d, d), dt)
 
     elems = _FilterElem(
@@ -233,44 +252,62 @@ def _parallel_filter(p: LGSSParams, ys, initial):
             + ik @ cho_solve(cfk, ik)
         )
 
-    loglik = jnp.sum(jax.vmap(one_ll)(S_all, innov))
+    loglik = jnp.sum(jnp.where(mask, jax.vmap(one_ll)(S_all, innov), 0.0))
     return FilterResult(means, covs, loglik)
 
 
 def kalman_filter(params: LGSSParams, ys, method="parallel",
-                  initial="state"):
+                  initial="state", mask=None):
     """Filtered means/covariances and the marginal log-likelihood.
 
     ys: (T, E) observations. ``method="parallel"`` is the
     associative-scan path (O(log T) depth); ``"sequential"`` the classic
-    ``lax.scan`` (the two agree to float tolerance — tested)."""
+    ``lax.scan`` (the two agree to float tolerance — tested).
+
+    Missing observations: pass ``mask`` ((T,) bool, True = observed), or
+    just leave NaNs in ``ys`` — rows with any non-finite entry are
+    treated as missing (skipped update, zero likelihood contribution,
+    moments coast on the prediction step). Partially observed VECTOR
+    rows are all-or-nothing here; model per-component gaps as separate
+    scalar series or inflate R on the missing components."""
     ys = jnp.asarray(ys, params.A.dtype)
     if ys.ndim == 1:
         ys = ys[:, None]
+    if mask is None:
+        mask = jnp.all(jnp.isfinite(ys), axis=1)
+    else:
+        mask = jnp.asarray(mask, bool)
+        if mask.shape != (ys.shape[0],):
+            raise ValueError(f"mask must be ({ys.shape[0]},)")
+    # scrub NaNs so masked arithmetic can't poison the observed path
+    ys = jnp.where(mask[:, None], jnp.where(jnp.isfinite(ys), ys, 0.0), 0.0)
     if method == "parallel":
-        return _parallel_filter(params, ys, initial)
+        return _parallel_filter(params, ys, initial, mask)
     if method == "sequential":
-        return _seq_filter(params, ys, initial)
+        return _seq_filter(params, ys, initial, mask)
     raise ValueError(f"method must be 'parallel'|'sequential', got {method!r}")
 
 
 def lgss_loglik(params: LGSSParams, ys, method="parallel",
-                initial="state"):
-    """Marginal log p(y_{1:T}) with the states integrated out — the
+                initial="state", mask=None):
+    """Marginal log p(y_obs) with the states integrated out — the
     collapsed target for sampling hyperparameters WITHOUT a latent block
-    (pair with any gradient engine; this whole module is differentiable)."""
-    return kalman_filter(params, ys, method=method, initial=initial).loglik
+    (pair with any gradient engine; this whole module is differentiable).
+    ``mask``/NaN rows as in :func:`kalman_filter`."""
+    return kalman_filter(params, ys, method=method, initial=initial,
+                         mask=mask).loglik
 
 
 def rts_smoother(params: LGSSParams, ys=None, filtered: FilterResult = None,
-                 method="parallel", initial="state"):
+                 method="parallel", initial="state", mask=None):
     """Rauch–Tung–Striebel smoothed means/covs (T, D) / (T, D, D).
 
     The backward pass is a short sequential scan (the FFBS draw below is
     the parallel-in-time path; the smoother is kept simple as the
     diagnostic/oracle tool)."""
     if filtered is None:
-        filtered = kalman_filter(params, ys, method=method, initial=initial)
+        filtered = kalman_filter(params, ys, method=method, initial=initial,
+                                 mask=mask)
     p = params
     ms, Ps = filtered.means, filtered.covs
 
@@ -293,7 +330,7 @@ def rts_smoother(params: LGSSParams, ys=None, filtered: FilterResult = None,
 
 def ffbs_sample(key, params: LGSSParams, ys=None,
                 filtered: FilterResult = None, method="parallel",
-                initial="state", jitter=0.0):
+                initial="state", jitter=0.0, mask=None):
     """One EXACT joint draw x_{1:T} ~ p(x | y) (Carter & Kohn 1994 /
     Frühwirth-Schnatter 1994), shape (T, D).
 
@@ -308,7 +345,8 @@ def ffbs_sample(key, params: LGSSParams, ys=None,
     (needed only for exactly-singular Q directions).
     """
     if filtered is None:
-        filtered = kalman_filter(params, ys, method=method, initial=initial)
+        filtered = kalman_filter(params, ys, method=method, initial=initial,
+                                 mask=mask)
     p = params
     ms, Ps = filtered.means, filtered.covs
     t_n, d = ms.shape
@@ -356,7 +394,7 @@ def ffbs_sample(key, params: LGSSParams, ys=None,
 
 
 def forecast(params: LGSSParams, ys=None, filtered: FilterResult = None,
-             horizon=1, method="parallel", initial="state"):
+             horizon=1, method="parallel", initial="state", mask=None):
     """k-step-ahead predictive moments from the filtered endpoint.
 
     Returns ``(state_means (h, D), state_covs (h, D, D),
@@ -364,7 +402,8 @@ def forecast(params: LGSSParams, ys=None, filtered: FilterResult = None,
     exact Gaussian forecast distribution p(x_{T+k} | y_{1:T}) and
     p(y_{T+k} | y_{1:T})."""
     if filtered is None:
-        filtered = kalman_filter(params, ys, method=method, initial=initial)
+        filtered = kalman_filter(params, ys, method=method, initial=initial,
+                                 mask=mask)
     p = params
 
     def step(mP, _):

@@ -293,3 +293,67 @@ def test_forecast_vs_dense_joint():
                                    rtol=2e-3, atol=3e-4)
         np.testing.assert_allclose(np.asarray(oP[k]), H @ Pk @ H.T + R,
                                    rtol=2e-3, atol=3e-4)
+
+
+@pytest.mark.parametrize("method", ["parallel", "sequential"])
+def test_missing_observations_vs_dense_joint(method):
+    """NaN rows are skipped: filter/loglik must equal the dense joint
+    conditioned on the OBSERVED subset only, for both scan paths."""
+    p, raw = _params()
+    ys = _ys().copy()
+    missing = [1, 2, 5]
+    obs = np.array([t not in missing for t in range(T)])
+    ys[missing] = np.nan
+    f = kalman_filter(p, ys, method=method)
+
+    mx, cov, my, cov_yy, cov_xy = _dense_joint(*raw)
+    keep = np.repeat(obs, E)
+    y_o = _ys()[obs].reshape(-1)
+    sub = np.ix_(keep, keep)
+    sol = np.linalg.solve(cov_yy[sub], y_o - my[keep])
+    # loglik on the observed subset
+    sign, logdet = np.linalg.slogdet(cov_yy[sub])
+    ll_dense = -0.5 * (
+        obs.sum() * E * np.log(2 * np.pi) + logdet
+        + (y_o - my[keep]) @ sol
+    )
+    np.testing.assert_allclose(float(f.loglik), ll_dense, rtol=3e-4)
+    # filtered moments at each t: condition on observed rows with s <= t
+    for t in range(T):
+        k = np.repeat(obs & (np.arange(T) <= t), E)
+        if not k.any():
+            mean_t = mx.reshape(T, D)[t]
+            cov_full = cov
+        else:
+            sub_k = np.ix_(k, k)
+            sol_k = np.linalg.solve(cov_yy[sub_k],
+                                    _ys().reshape(-1)[k] - my[k])
+            mean_t = (mx + cov_xy[:, k] @ sol_k).reshape(T, D)[t]
+            cov_full = cov - cov_xy[:, k] @ np.linalg.solve(
+                cov_yy[sub_k], cov_xy[:, k].T
+            )
+        cov_t = cov_full[t * D:(t + 1) * D, t * D:(t + 1) * D]
+        np.testing.assert_allclose(f.means[t], mean_t, rtol=3e-3,
+                                   atol=3e-4)
+        np.testing.assert_allclose(f.covs[t], cov_t, rtol=3e-3, atol=3e-4)
+
+
+def test_missing_observations_ffbs_and_smoother():
+    """FFBS draws through a gap match the smoother moments conditioned
+    on the observed subset (the draw imputes the gap exactly)."""
+    p, raw = _params()
+    ys = _ys().copy()
+    ys[3] = np.nan
+    f = kalman_filter(p, ys)
+    means, covs = rts_smoother(p, filtered=f)
+    n = 3000
+    keys = jax.random.split(jax.random.key(5), n)
+    draws = np.asarray(jax.vmap(
+        lambda k: ffbs_sample(k, p, filtered=f)
+    )(keys), np.float64)
+    sds = np.sqrt(np.asarray([np.diag(c) for c in covs]))
+    np.testing.assert_allclose(
+        draws.mean(0), np.asarray(means),
+        atol=5.0 * sds.max() / np.sqrt(n) + 2e-3,
+    )
+    np.testing.assert_allclose(draws.std(0), sds, rtol=0.15, atol=5e-3)
