@@ -421,6 +421,91 @@ def forecast(params: LGSSParams, ys=None, filtered: FilterResult = None,
     return ms, Ps, obs_m, obs_P
 
 
+class Component(NamedTuple):
+    """One structural block: transition ``A`` (d, d), innovation
+    covariance ``Q`` (d, d), observation row ``h`` (d,)."""
+
+    A: jnp.ndarray
+    Q: jnp.ndarray
+    h: jnp.ndarray
+
+
+def local_level(sigma_level=1.0, dtype=jnp.float32):
+    """Random-walk level: x_{t+1} = x_t + N(0, sigma_level^2)."""
+    s = jnp.asarray(sigma_level, dtype)
+    return Component(
+        A=jnp.eye(1, dtype=dtype),
+        Q=(s * s).reshape(1, 1),
+        h=jnp.ones((1,), dtype),
+    )
+
+
+def local_linear_trend(sigma_level=1.0, sigma_slope=0.1,
+                       dtype=jnp.float32):
+    """Level + slope: level_{t+1} = level_t + slope_t + eps_l,
+    slope_{t+1} = slope_t + eps_s."""
+    sl = jnp.asarray(sigma_level, dtype)
+    ss = jnp.asarray(sigma_slope, dtype)
+    return Component(
+        A=jnp.asarray([[1.0, 1.0], [0.0, 1.0]], dtype),
+        Q=jnp.diag(jnp.stack([sl * sl, ss * ss])),
+        h=jnp.asarray([1.0, 0.0], dtype),
+    )
+
+
+def seasonal(n_seasons, sigma=0.0, dtype=jnp.float32):
+    """Dummy-variable seasonality with period ``n_seasons``: the S-1
+    state entries sum (with the implicit current one) to noise, so
+    seasonal effects sum to ~0 over a full period."""
+    s = int(n_seasons)
+    if s < 2:
+        raise ValueError("n_seasons must be >= 2")
+    a = jnp.zeros((s - 1, s - 1), dtype)
+    a = a.at[0, :].set(-1.0)
+    a = a.at[1:, :-1].set(jnp.eye(s - 2, dtype=dtype))
+    sg = jnp.asarray(sigma, dtype)
+    q = jnp.zeros((s - 1, s - 1), dtype).at[0, 0].set(sg * sg)
+    h = jnp.zeros((s - 1,), dtype).at[0].set(1.0)
+    return Component(A=a, Q=q, h=h)
+
+
+def autoregressive(phi, sigma=1.0, dtype=jnp.float32):
+    """Stationary AR(1) disturbance component."""
+    sg = jnp.asarray(sigma, dtype)
+    return Component(
+        A=jnp.asarray(phi, dtype).reshape(1, 1),
+        Q=(sg * sg).reshape(1, 1),
+        h=jnp.ones((1,), dtype),
+    )
+
+
+def structural(components, sigma_obs, m0=None, p0_scale=1e3,
+               dtype=jnp.float32):
+    """Block-diagonal BSTS-style composition of :class:`Component`s into
+    :class:`LGSSParams` (y_t = sum of component observations + N(0,
+    sigma_obs^2)). ``m0`` defaults to zeros; ``p0_scale`` sets the
+    diffuse diagonal initial covariance. Every entry stays
+    differentiable, so component scales can be sampler blocks — pair
+    with :func:`lgss_loglik` and any gradient engine, or with
+    :class:`LGSSKernel` for exact trajectory draws."""
+    components = list(components)
+    if not components:
+        raise ValueError("need at least one component")
+    A = jax.scipy.linalg.block_diag(*[c.A for c in components]).astype(dtype)
+    Q = jax.scipy.linalg.block_diag(*[c.Q for c in components]).astype(dtype)
+    h = jnp.concatenate([jnp.asarray(c.h, dtype) for c in components])
+    d = A.shape[0]
+    so = jnp.asarray(sigma_obs, dtype)
+    return LGSSParams(
+        A=A, b=jnp.zeros((d,), dtype), Q=Q,
+        H=h[None, :], c=jnp.zeros((1,), dtype),
+        R=(so * so).reshape(1, 1),
+        m0=(jnp.zeros((d,), dtype) if m0 is None
+            else jnp.broadcast_to(jnp.asarray(m0, dtype), (d,))),
+        P0=float(p0_scale) * jnp.eye(d, dtype=dtype),
+    )
+
+
 class LGSSKernel:
     """Blocked-Gibbs kernel drawing a latent state trajectory EXACTLY
     from its full conditional via FFBS (an :class:`ExactGibbsKernel` in
