@@ -393,11 +393,20 @@ class PMMHSampler:
             if adapt_cov and self.n_chains > self.n_params:
                 pos = np.asarray(self.state.position, np.float64)
                 cov = np.cov(pos.T).reshape(self.n_params, self.n_params)
-                cov = (2.38**2 / self.n_params) * cov
-                cov += jitter * np.eye(self.n_params)
-                base = jnp.asarray(
-                    np.linalg.cholesky(cov), self.dtype
+                # adopt the cross-chain shape only once the chains have
+                # actually spread: with identical inits and a rejected
+                # first window, cov ~ 0 and adopting it would collapse
+                # the proposal onto the jitter floor and stall the tune
+                spread_ok = (
+                    np.isfinite(cov).all()
+                    and np.trace(cov) > self.n_params * jitter * 100.0
                 )
+                if spread_ok:
+                    cov = (2.38**2 / self.n_params) * cov
+                    cov += jitter * np.eye(self.n_params)
+                    base = jnp.asarray(
+                        np.linalg.cholesky(cov), self.dtype
+                    )
         self._prop_chol = jnp.exp(log_s) * base
         self.state = self._constrain(PMMHState(
             self.state.position, self.state.loglik, self.state.logprior,

@@ -297,6 +297,23 @@ def test_pmmh_tune_fixes_bad_proposal():
     )
 
 
+def test_pmmh_tune_zero_spread_window_does_not_collapse_proposal():
+    """Identical inits + a rejected window give zero cross-chain
+    covariance; tune() must NOT adopt it (the proposal would collapse to
+    the jitter floor and the adaptation would stall)."""
+    _, ys = _data(20, seed=2)
+    s = PMMHSampler(
+        _local_level_ssm(sig_r=None), ys,
+        log_prior=lambda th: -0.5 * th[0] * th[0],
+        n_params=1, n_particles=32, proposal_scale=1e4,  # rejects all
+        n_chains=8, seed=0,
+    )
+    s.init(np.zeros((8, 1), np.float32))
+    s.tune(50, window=50)
+    scale = float(np.asarray(s._prop_chol)[0, 0])
+    assert scale > 1.0, scale  # shrunk by RM only, not collapsed to ~1e-3
+
+
 def test_pmmh_mesh_sharded_bitwise():
     """Chain-axis sharding over the 8-device mesh must not change a bit
     (same keys, same arithmetic — the engine-wide determinism contract)."""
