@@ -357,3 +357,28 @@ def test_missing_observations_ffbs_and_smoother():
         atol=5.0 * sds.max() / np.sqrt(n) + 2e-3,
     )
     np.testing.assert_allclose(draws.std(0), sds, rtol=0.15, atol=5e-3)
+
+
+@pytest.mark.parametrize("t_n,seed", [(1, 0), (2, 1), (3, 2), (5, 3),
+                                      (17, 4)])
+def test_fuzz_mask_patterns_parallel_equals_sequential(t_n, seed):
+    """Random missing patterns (incl. all-missing / all-observed) over
+    odd lengths: the two scan paths must agree and stay finite."""
+    p, _ = _params()
+    rng = np.random.default_rng(seed)
+    ys = rng.standard_normal((t_n, E)).astype(np.float32)
+    masks = [np.ones(t_n, bool), np.zeros(t_n, bool),
+             rng.random(t_n) < 0.5]
+    for mask in masks:
+        fp = kalman_filter(p, ys, method="parallel", mask=mask)
+        fs = kalman_filter(p, ys, method="sequential", mask=mask)
+        np.testing.assert_allclose(fp.means, fs.means, rtol=3e-4,
+                                   atol=3e-5)
+        np.testing.assert_allclose(fp.covs, fs.covs, rtol=3e-4,
+                                   atol=3e-5)
+        np.testing.assert_allclose(fp.loglik, fs.loglik, rtol=3e-5,
+                                   atol=1e-5)
+        assert np.isfinite(np.asarray(fp.means)).all()
+        if not mask.any():
+            # no data: zero log-likelihood, moments = prior predictions
+            np.testing.assert_allclose(float(fp.loglik), 0.0, atol=1e-6)
