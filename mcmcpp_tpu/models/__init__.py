@@ -9,6 +9,7 @@ mixture, plus the reference's skewed Gaussian).
 
 from mcmcpp_tpu.models import gp
 from mcmcpp_tpu.models import hmm
+from mcmcpp_tpu.models import hsgp
 from mcmcpp_tpu.models import lgss
 from mcmcpp_tpu.models.targets import (
     Target,
@@ -24,6 +25,7 @@ from mcmcpp_tpu.models.targets import (
 __all__ = [
     "gp",
     "hmm",
+    "hsgp",
     "lgss",
     "Target",
     "bayesian_linear_regression",
