@@ -163,7 +163,11 @@ def test_dsl_hsgp_regression_map_recovers_function():
                  jnp.asarray(y, jnp.float32))
     )
     logp, dim, constrain = model.build()
-    res = find_map(logp, jnp.zeros(dim), maxiter=600)
+    # multistart: BFGS from the all-zeros point stalls in a line-search
+    # plateau (beta=0 ⇒ f=0 is nearly stationary in the hyperparameters);
+    # the vmapped multi-start path is find_map's intended usage here
+    x0 = 0.5 * jax.random.normal(jax.random.key(0), (8, dim))
+    res = find_map(logp, x0, maxiter=1500)
     f_hat = constrain(res.position[None, :])["f"][0]
     rmse = float(np.sqrt(np.mean((f_hat - truth) ** 2)))
     assert rmse < 0.08, rmse
