@@ -36,7 +36,7 @@ from mcmcpp_tpu.parallel import (
 )
 from mcmcpp_tpu import gradient
 from mcmcpp_tpu.gradient import (
-    CheesHMCSampler, HMCSampler, MALASampler, MEADSSampler, NUTSSampler,
+    BarkerSampler, CheesHMCSampler, HMCSampler, MALASampler, MEADSSampler, NUTSSampler,
     SGHMCSampler, SGLDSampler,
 )
 from mcmcpp_tpu.smc import SMCSampler
@@ -107,6 +107,7 @@ __all__ = [
     "ops",
     "parallel",
     "gradient",
+    "BarkerSampler",
     "CheesHMCSampler",
     "HMCSampler",
     "MALASampler",

@@ -10,6 +10,8 @@ from mcmcpp_tpu.analysis.ess import (
     effective_sample_size,
     ess_bulk,
     ess_tail,
+    min_ess_required,
+    multivariate_ess,
 )
 from mcmcpp_tpu.analysis.model_compare import (
     ElpdResult,
@@ -43,6 +45,8 @@ __all__ = [
     "batch_means_ess",
     "ess_bulk",
     "ess_tail",
+    "multivariate_ess",
+    "min_ess_required",
     "potential_scale_reduction",
     "mcse_mean",
     "hdi",

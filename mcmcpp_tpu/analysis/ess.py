@@ -56,6 +56,70 @@ def batch_means_ess(samples, n_batches=32):
     return float(ess[0]) if squeeze else ess
 
 
+def multivariate_ess(samples, n_batches=32):
+    """Multivariate ESS (Vats, Flegal & Jones 2019, Biometrika):
+
+        mESS = n · (det Λ / det Σ)^{1/p}
+
+    with Λ the stationary covariance of the draws and Σ the asymptotic
+    (Monte-Carlo) covariance of the mean, estimated by multivariate batch
+    means. One number for the whole parameter vector — unlike min-over-
+    coordinates ESS it accounts for cross-parameter correlation in the
+    estimator error, which is what volume-of-confidence-region stopping
+    rules (see :func:`min_ess_required`) actually need.
+
+    samples: (S, W, P); each walker is treated as an independent chain
+    (per-walker batch means and per-walker centering, averaged), matching
+    the whole-ensemble convention of the reference's analysis layer
+    (/root/reference/MCMCpp/Analysis/AutoCorrCalc.h:151-221). Returns a
+    float. NaN if either covariance estimate is singular beyond repair
+    (chain far too short for p).
+    """
+    arr = np.asarray(samples, np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    s, w, p = arr.shape
+    b = s // int(n_batches)
+    if b < 2:
+        raise ValueError("chain too short for the requested n_batches")
+    trimmed = arr[: b * n_batches]  # (nb*b, W, P)
+    centered = trimmed - trimmed.mean(axis=0, keepdims=True)
+    # Λ: per-walker draw covariance, averaged over walkers
+    lam = np.einsum("swi,swj->ij", centered, centered) / (
+        w * (b * n_batches - 1.0)
+    )
+    # Σ: multivariate batch means, per walker, averaged
+    means = trimmed.reshape(n_batches, b, w, p).mean(axis=1)  # (nb, W, P)
+    mc = means - means.mean(axis=0, keepdims=True)
+    sig = b * np.einsum("kwi,kwj->ij", mc, mc) / (w * (n_batches - 1.0))
+    sign_l, logdet_l = np.linalg.slogdet(lam)
+    sign_s, logdet_s = np.linalg.slogdet(sig)
+    if sign_l <= 0 or sign_s <= 0:
+        return float("nan")
+    n_total = float(b * n_batches * w)
+    return float(n_total * np.exp((logdet_l - logdet_s) / p))
+
+
+def min_ess_required(p, alpha=0.05, eps=0.05):
+    """Minimum multivariate ESS for the relative fixed-volume sequential
+    stopping rule (Vats, Flegal & Jones 2019, eq. 8):
+
+        minESS = 2^{2/p} π / (p Γ(p/2))^{2/p} · χ²_{1-α, p} / ε²
+
+    i.e. the mESS at which the 100(1-α)% confidence region for the
+    p-dimensional posterior mean has volume ε^p relative to the posterior
+    spread. p=1, α=.05, ε=.05 gives the familiar ≈6146.
+    """
+    from scipy import stats as _stats
+    from scipy.special import gammaln
+
+    p = int(p)
+    log_c = ((2.0 / p) * np.log(2.0) + np.log(np.pi)
+             - (2.0 / p) * (np.log(p) + gammaln(p / 2.0)))
+    chi2 = _stats.chi2.ppf(1.0 - alpha, df=p)
+    return float(np.exp(log_c) * chi2 / eps**2)
+
+
 def _rank_normalize_3d(arr):
     """(S, W, P) -> normal scores per parameter (Vehtari et al. 2021 §3)."""
     from scipy import stats as _stats

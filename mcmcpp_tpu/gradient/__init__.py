@@ -9,6 +9,7 @@ iterative multinomial NUTS, and MALA, all vmapped over many chains so the
 chain axis shards over the device mesh exactly like walker ensembles.
 """
 
+from mcmcpp_tpu.gradient.barker import BarkerSampler, barker_kernel
 from mcmcpp_tpu.gradient.chees import CheesHMCSampler, chees_batch_step
 from mcmcpp_tpu.gradient.hmc import HMCSampler, hmc_kernel
 from mcmcpp_tpu.gradient.mala import MALASampler, mala_kernel
@@ -18,6 +19,8 @@ from mcmcpp_tpu.gradient.nuts import NUTSSampler, nuts_kernel
 from mcmcpp_tpu.gradient.sgmcmc import SGHMCSampler, SGLDSampler
 
 __all__ = [
+    "BarkerSampler",
+    "barker_kernel",
     "CheesHMCSampler",
     "chees_batch_step",
     "DenseMassMatrix",

@@ -94,6 +94,18 @@ def mass_noise(inv_mass, z):
     return z * jnp.sqrt(inv_mass)
 
 
+def mass_noise_t(inv_mass, g):
+    """Transpose of :func:`mass_noise`: ``M^{-1/2,T} g`` (``Lᵀ g`` dense).
+
+    Maps a position-space gradient into the whitened coordinates in which
+    the proposal noise is iid N(0, I) — the chain-rule factor for kernels
+    (Barker) that operate per-coordinate in whitened space.
+    """
+    if is_dense(inv_mass):
+        return jnp.einsum("ji,...j->...i", inv_mass.chol, g)
+    return g * jnp.sqrt(inv_mass)
+
+
 def mass_quad_inv(inv_mass, d):
     """``dᵀ Σ⁻¹ d`` with ``Σ = M⁻¹`` — i.e. ``dᵀ M d``, the whitened
     squared norm in the MALA Hastings correction (``‖L⁻¹d‖²`` dense)."""

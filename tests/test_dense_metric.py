@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import pytest
 
 from mcmcpp_tpu.gradient import (
-    CheesHMCSampler, HMCSampler, MALASampler, NUTSSampler,
+    BarkerSampler, CheesHMCSampler, HMCSampler, MALASampler, NUTSSampler,
 )
 from mcmcpp_tpu.gradient.hmc import (
     welford_covariance,
@@ -153,6 +153,7 @@ class TestDenseSamplers:
     @pytest.mark.parametrize("cls,kw", [
         (HMCSampler, {"n_leapfrog": 12}),
         (MALASampler, {}),
+        (BarkerSampler, {}),
         (NUTSSampler, {"max_depth": 8}),
         (CheesHMCSampler, {}),
     ])

@@ -80,3 +80,48 @@ def test_batch_means_ess_iid_upper_bound():
 def test_batch_means_ess_too_short():
     with pytest.raises(ValueError):
         analysis.batch_means_ess(np.zeros((16, 4, 1)), n_batches=32)
+
+
+def test_multivariate_ess_iid_is_n():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4096, 8, 3))
+    mess = analysis.multivariate_ess(x)
+    assert mess == pytest.approx(4096 * 8, rel=0.12)
+
+
+def test_multivariate_ess_ar1_oracle():
+    # independent AR(1) coordinates, common phi: det-ratio^(1/p) collapses
+    # to the scalar asymptotic-variance ratio, so mESS = n (1-phi)/(1+phi)
+    phi = 0.6
+    rng = np.random.default_rng(2)
+    e = rng.standard_normal((4096, 8, 3))
+    ar = np.zeros_like(e)
+    for t in range(1, 4096):
+        ar[t] = phi * ar[t - 1] + e[t]
+    mess = analysis.multivariate_ess(ar)
+    assert mess == pytest.approx(4096 * 8 * (1 - phi) / (1 + phi), rel=0.2)
+
+
+def test_multivariate_ess_correlation_invariance():
+    # mESS is invariant under linear maps of the chain (both dets scale by
+    # |A|^2) — the property min-over-coordinate ESS lacks
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4096, 8, 2))
+    a = np.array([[2.0, 0.7], [0.0, 0.5]])
+    m1 = analysis.multivariate_ess(x)
+    m2 = analysis.multivariate_ess(x @ a.T)
+    assert m2 == pytest.approx(m1, rel=1e-6)
+
+
+def test_min_ess_required_published_values():
+    # Vats, Flegal & Jones 2019: p=1, alpha=.05, eps=.05 -> 6146
+    assert analysis.min_ess_required(1) == pytest.approx(6146.3, abs=0.5)
+    # monotone in p, decreasing in eps
+    assert analysis.min_ess_required(5) > analysis.min_ess_required(1)
+    assert (analysis.min_ess_required(2, eps=0.01)
+            > analysis.min_ess_required(2, eps=0.05))
+
+
+def test_multivariate_ess_too_short():
+    with pytest.raises(ValueError):
+        analysis.multivariate_ess(np.zeros((16, 4, 2)), n_batches=32)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from mcmcpp_tpu.gradient import (
-    CheesHMCSampler, HMCSampler, MALASampler, NUTSSampler,
+    BarkerSampler, CheesHMCSampler, HMCSampler, MALASampler, NUTSSampler,
 )
 from mcmcpp_tpu.gradient.chees import halton2
 
@@ -38,6 +38,7 @@ def _run(cls, seed=0, warmup=300, steps=1500, **kw):
 @pytest.mark.parametrize("cls,kw", [
     (HMCSampler, {"n_leapfrog": 12}),
     (MALASampler, {}),
+    (BarkerSampler, {}),
     (NUTSSampler, {"max_depth": 8}),
     (CheesHMCSampler, {}),
 ])

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import pytest
 
 from mcmcpp_tpu import (
-    CheesHMCSampler, HMCSampler, MALASampler, MEADSSampler, NUTSSampler,
+    BarkerSampler, CheesHMCSampler, HMCSampler, MALASampler, MEADSSampler,
+    NUTSSampler,
 )
 from mcmcpp_tpu.export import to_inference_dict
 
@@ -31,6 +32,7 @@ def _mk(cls, **kw):
 @pytest.mark.parametrize("cls,kw", [
     (HMCSampler, {"n_leapfrog": 8}),
     (MALASampler, {}),
+    (BarkerSampler, {}),
     (NUTSSampler, {"max_depth": 6}),
     (CheesHMCSampler, {}),
     (MEADSSampler, {}),
