@@ -27,6 +27,7 @@ from mcmcpp_tpu.analysis.diagnostics import (
     summary,
 )
 from mcmcpp_tpu.analysis.bridge import BridgeResult, bridge_log_evidence
+from mcmcpp_tpu.analysis.ksd import ksd, ksd_curve
 from mcmcpp_tpu.analysis.global_stats import (
     global_autocorr_time,
     global_correlation_matrix,
@@ -46,6 +47,8 @@ __all__ = [
     "ess_bulk",
     "ess_tail",
     "multivariate_ess",
+    "ksd",
+    "ksd_curve",
     "min_ess_required",
     "potential_scale_reduction",
     "mcse_mean",
