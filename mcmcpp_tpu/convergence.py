@@ -11,7 +11,10 @@ recipe: sample in chunks, re-estimate the integrated autocorrelation time
   3. the tau estimate has stabilized (relative change < ``tau_rtol``
      between consecutive checks),
 
-optionally also requiring split-R-hat below ``rhat_threshold``. Works with
+optionally also requiring split-R-hat below ``rhat_threshold`` and/or the
+Vats-Flegal-Jones multivariate-ESS stopping rule (``mess_rule``: stop only
+once ``multivariate_ess >= min_ess_required(P, alpha, eps)`` — the
+fixed-volume confidence-region criterion). Works with
 both sampler families (``EnsembleSampler.run_mcmc`` / gradient
 ``.run``) since both store into the shared host Chain.
 """
@@ -29,6 +32,7 @@ class ConvergenceReport(NamedTuple):
     rhat: np.ndarray  # last split-R-hat (per param); NaN if not computed
     checks: int  # number of ACT evaluations performed
     reason: str
+    mess: float = float("nan")  # last multivariate ESS (if mess_rule set)
 
 
 def run_until_converged(
@@ -38,6 +42,7 @@ def run_until_converged(
     act_multiplier=50.0,
     tau_rtol=0.05,
     rhat_threshold=None,
+    mess_rule=None,
     thin=1,
     window_scaling=4.0,
     callback=None,
@@ -93,16 +98,29 @@ def run_until_converged(
                 analysis.potential_scale_reduction(samples)
             )
             rhat_ok = bool(np.all(rhat < rhat_threshold))
-        converged = window_ok and length_ok and stable_ok and rhat_ok
+        mess = float("nan")
+        mess_ok = True
+        if mess_rule is not None:
+            alpha, eps = (0.05, 0.05) if mess_rule is True else mess_rule
+            p_dim = samples.shape[-1] if samples.ndim == 3 else 1
+            need = analysis.min_ess_required(p_dim, alpha=alpha, eps=eps)
+            try:
+                mess = analysis.multivariate_ess(samples)
+            except ValueError:  # chain still too short to batch
+                mess = float("nan")
+            mess_ok = bool(np.isfinite(mess) and mess >= need)
+        converged = (window_ok and length_ok and stable_ok and rhat_ok
+                     and mess_ok)
         reason = (
             "converged" if converged
             else "window open" if not window_ok
             else f"chain shorter than {act_multiplier}*tau" if not length_ok
             else "tau not yet stable" if not stable_ok
-            else f"rhat >= {rhat_threshold}"
+            else f"rhat >= {rhat_threshold}" if not rhat_ok
+            else f"mESS {mess:.0f} below the (alpha, eps) requirement"
         )
         report = ConvergenceReport(
-            converged, done, n_stored, tau, rhat, checks, reason
+            converged, done, n_stored, tau, rhat, checks, reason, mess
         )
         if callback is not None:
             callback(report)

@@ -87,3 +87,25 @@ def test_capacity_reached_before_usable_chain():
     rep = run_until_converged(s, max_steps=50000, check_every=100)
     assert rep.reason == "chain capacity reached"
     assert rep.steps_run <= 200  # stopped at the first capacity signal
+
+
+def test_mess_rule_gates_convergence():
+    # loose (alpha, eps) passes quickly; absurdly tight eps cannot pass
+    # within the budget and the reason names the mESS rule
+    logp = lambda t: -0.5 * jnp.sum(t * t)
+    s = EnsembleSampler(logp, n_walkers=64, n_params=2, seed=0)
+    s.init_ball(np.zeros(2), scale=0.5, seed=1)
+    rep = run_until_converged(
+        s, max_steps=4000, check_every=1000, act_multiplier=10.0,
+        mess_rule=(0.05, 0.5),
+    )
+    assert rep.converged and rep.mess > 0
+
+    s2 = EnsembleSampler(logp, n_walkers=64, n_params=2, seed=2)
+    s2.init_ball(np.zeros(2), scale=0.5, seed=3)
+    rep2 = run_until_converged(
+        s2, max_steps=8000, check_every=1000, act_multiplier=10.0,
+        mess_rule=(0.05, 1e-4),
+    )
+    assert not rep2.converged
+    assert "mESS" in rep2.reason
