@@ -784,6 +784,53 @@ class Dirichlet(Distribution):
         return jax.random.dirichlet(key, self.concentration, shape[:-1])
 
 
+class GEM(Distribution):
+    """Truncated stick-breaking (GEM) weights for Dirichlet-process
+    mixtures; declare with ``shape=(K,)``.
+
+    ``w = stickbreak(v)`` with sticks ``v_i ~ Beta(1, alpha)``,
+    i = 1..K-1 (Ishwaran & James 2001 truncation of Sethuraman's
+    construction). ``alpha`` may be a traced hyperparameter, so the DP
+    concentration can itself be learned. The density on the simplex
+    (wrt the intrinsic K-1 coordinates) telescopes to
+
+        log p(w) = (K-1)·log α + (α-1)·log w_K − Σ_{i<K} log rem_i,
+
+    rem_i = 1 − Σ_{j<i} w_j — derived by the triangular change of
+    variables from the stick Betas; the Jacobian diag is 1/rem_i.
+    """
+
+    def __init__(self, alpha, k):
+        self.alpha = alpha
+        self.k = int(k)
+        if self.k < 2:
+            raise ValueError("GEM needs K >= 2")
+        self.transform = StickBreaking(self.k)
+
+    def logpdf(self, x):
+        a = jnp.asarray(self.alpha)
+        head = x[..., :-1]  # w_1..w_{K-1}
+        csum = jnp.cumsum(head, axis=-1)
+        rem = jnp.concatenate(
+            [jnp.ones_like(csum[..., :1]), 1.0 - csum[..., :-1]], axis=-1
+        )  # rem_1..rem_{K-1}
+        return ((self.k - 1) * jnp.log(a)
+                + (a - 1.0) * jnp.log(x[..., -1])
+                - jnp.sum(jnp.log(rem), axis=-1))
+
+    def sample(self, key, shape=()):
+        if not shape or shape[-1] != self.k:
+            raise ValueError(f"output shape must end in event dim {self.k}")
+        a = jnp.asarray(self.alpha)
+        u = jax.random.uniform(key, shape[:-1] + (self.k - 1,))
+        v = 1.0 - u ** (1.0 / a)  # Beta(1, alpha) via inverse CDF
+        stick = jnp.cumprod(1.0 - v, axis=-1)
+        s = jnp.concatenate(
+            [jnp.ones_like(stick[..., :1]), stick[..., :-1]], axis=-1
+        )
+        return jnp.concatenate([v * s, stick[..., -1:]], axis=-1)
+
+
 class Bernoulli(Distribution):
     """Bernoulli over {0, 1}; give exactly one of probs/logits. Discrete —
     for ``observe`` sites and posterior predictive, not as a ``param``."""
@@ -1424,6 +1471,46 @@ class VonMises(Distribution):
 # -- model -------------------------------------------------------------------
 
 
+class _HierPrior:
+    """Internal marker for hierarchical prior sites: ``fn(values) ->
+    Distribution`` (values = constrained params declared EARLIER), with
+    an explicitly supplied transform (the dist doesn't exist until trace
+    time, so its support must be declared statically)."""
+
+    def __init__(self, fn, transform):
+        self.fn = fn
+        self.transform = transform
+
+    def __call__(self, values):
+        return self.fn(values)
+
+
+def _ancestral_prior_sample(params, key, n):
+    """(n, D) unconstrained prior draws by per-draw ancestral sampling in
+    declaration order — hierarchical sites see earlier params' constrained
+    values. Shape-changing transforms and ``inverse_sample`` hooks run
+    unbatched inside the vmap (same exactness contract as before)."""
+
+    def one(k):
+        vals = {}
+        cols = []
+        for j, (name, dist, shape, u_shape, u_size) in enumerate(params):
+            kj = jax.random.fold_in(k, j)
+            d = dist(vals) if isinstance(dist, _HierPrior) else dist
+            x = d.sample(kj, tuple(shape))
+            vals[name] = x
+            t = dist.transform
+            inv_s = getattr(t, "inverse_sample", None)
+            if inv_s is not None:
+                u = inv_s(jax.random.fold_in(kj, 0x1A7), x)
+            else:
+                u = t.inverse(x)
+            cols.append(jnp.reshape(u, (u_size,)))
+        return jnp.concatenate(cols)
+
+    return jax.vmap(one)(jax.random.split(key, n))
+
+
 class Model:
     """Named parameters with priors + a likelihood over them.
 
@@ -1484,9 +1571,32 @@ class Model:
             shape = (shape,)
         return tuple(int(s) for s in shape)
 
-    def param(self, name, dist, shape=(), plate=None):
+    def param(self, name, dist, shape=(), plate=None, transform=None):
+        """Declare a sampled site. ``dist`` is a Distribution, or — for
+        HIERARCHICAL priors — a callable ``values -> Distribution`` seeing
+        the constrained values of params declared earlier (only earlier
+        params: deterministics and later sites are out of ancestral
+        order). Callable sites must pass ``transform=`` explicitly, since
+        the distribution (hence its support) exists only at trace time::
+
+            .param("alpha", Gamma(2.0, 1.0))
+            .param("w", lambda p: GEM(p["alpha"], K), shape=(K,),
+                   transform=StickBreaking(K))
+        """
         self._check_name(name)
         shape = self._resolve_shape(shape, plate)
+        if callable(dist) and not isinstance(dist, Distribution):
+            if transform is None:
+                raise ValueError(
+                    f"param {name!r}: a callable (hierarchical) prior "
+                    "needs an explicit transform= declaring its support"
+                )
+            dist = _HierPrior(dist, transform)
+        elif transform is not None:
+            raise ValueError(
+                f"param {name!r}: transform= is only for callable "
+                "(hierarchical) priors; Distributions carry their own"
+            )
         # the transform may change dimensionality (e.g. stick-breaking maps
         # K-1 unconstrained dims onto the K-simplex) — the flat sampler
         # vector allocates the UNCONSTRAINED size
@@ -1573,7 +1683,8 @@ class Model:
             values, logdet = unpack(theta)
             lp = logdet
             for name, dist, shape, u_shape, u_size in params:
-                lp = lp + jnp.sum(dist.logpdf(values[name]))
+                d = dist(values) if isinstance(dist, _HierPrior) else dist
+                lp = lp + jnp.sum(d.logpdf(values[name]))
             for name, dist_fn, data, mask, fill in observes:
                 d = dist_fn(values)
                 if mask is None:
@@ -1646,7 +1757,8 @@ class Model:
             values, logdet = unpack(theta)
             lp = logdet
             for name, dist, *_ in params:
-                lp = lp + jnp.sum(dist.logpdf(values[name]))
+                d = dist(values) if isinstance(dist, _HierPrior) else dist
+                lp = lp + jnp.sum(d.logpdf(values[name]))
             return lp
 
         def loglike(theta):
@@ -1664,27 +1776,7 @@ class Model:
             return ll + jnp.zeros(())  # prior-only models: traced scalar
 
         def prior_sample(key, n):
-            cols = []
-            for j, (name, dist, shape, u_shape, u_size) in enumerate(params):
-                kj = jax.random.fold_in(key, j)
-                x = dist.sample(kj, (n,) + shape)
-                # vmap the inverse over the draw axis: shape-changing
-                # transforms (stick-breaking, corr-Cholesky) are written
-                # unbatched. Transforms with auxiliary coordinates
-                # (Circular's radius) provide inverse_sample, which draws
-                # them from the implied density so u-space prior draws
-                # stay exact for the evidence engines.
-                t = dist.transform
-                inv_s = getattr(t, "inverse_sample", None)
-                if inv_s is not None:
-                    keys = jax.random.split(
-                        jax.random.fold_in(kj, 0x1A7), n
-                    )
-                    u = jax.vmap(inv_s)(keys, x)
-                else:
-                    u = jax.vmap(t.inverse)(x)
-                cols.append(u.reshape(n, u_size))
-            return jnp.concatenate(cols, axis=1)
+            return _ancestral_prior_sample(params, key, n)
 
         def constrain(flat_draws):
             arr = jnp.atleast_2d(jnp.asarray(flat_draws))
@@ -1812,17 +1904,4 @@ class Model:
         (Circular's radius, Ordered's sort) provide ``inverse_sample``
         so the u-space draws are exact — same hook as
         ``build_split().prior_sample``."""
-        cols = []
-        for j, (name, dist, shape, u_shape, u_size) in enumerate(
-                self._params):
-            k = jax.random.fold_in(key, j)
-            x = dist.sample(k, (n,) + shape if shape else (n,))
-            t = dist.transform
-            inv_s = getattr(t, "inverse_sample", None)
-            if inv_s is not None:
-                keys = jax.random.split(jax.random.fold_in(k, 0x1A7), n)
-                u = jax.vmap(inv_s)(keys, x)
-            else:
-                u = t.inverse(x)
-            cols.append(u.reshape(n, u_size))
-        return jnp.concatenate(cols, axis=1)
+        return _ancestral_prior_sample(tuple(self._params), key, n)

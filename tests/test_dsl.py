@@ -1393,3 +1393,81 @@ def test_censored_exact_tails():
     c2 = Censored(Logistic(0.0, 1.0), right=np.array([True]))
     got = float(c2.logpdf(np.array([20.0], np.float32))[0])
     assert got == pytest.approx(sps.logistic.logsf(20.0), rel=1e-4)
+
+
+class TestGEM:
+    def test_logpdf_matches_stick_change_of_variables(self):
+        # K=3: p(w) = Beta(v1;1,a) Beta(v2;1,a) / (1-w1), v1=w1,
+        # v2 = w2/(1-w1) — the direct change of variables
+        from scipy.stats import beta as sp_beta
+
+        from mcmcpp_tpu.dsl import GEM
+
+        a = 1.7
+        d = GEM(a, 3)
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            raw = rng.dirichlet(np.ones(3))
+            w = jnp.asarray(raw)
+            v1 = raw[0]
+            v2 = raw[1] / (1 - raw[0])
+            want = (np.log(sp_beta.pdf(v1, 1, a))
+                    + np.log(sp_beta.pdf(v2, 1, a))
+                    - np.log1p(-raw[0]))
+            assert float(d.logpdf(w)) == pytest.approx(want, rel=1e-5)
+
+    def test_logpdf_normalizes_on_simplex(self):
+        # grid integration over the K=3 simplex in (w1, w2)
+        from mcmcpp_tpu.dsl import GEM
+
+        d = GEM(2.5, 3)
+        n = 400
+        h = 1.0 / n
+        w1, w2 = np.meshgrid(
+            (np.arange(n) + 0.5) * h, (np.arange(n) + 0.5) * h,
+            indexing="ij",
+        )
+        mask = w1 + w2 < 1.0
+        w = np.stack([w1, w2, 1.0 - w1 - w2], axis=-1)[mask]
+        total = np.exp(np.asarray(
+            d.logpdf(jnp.asarray(w, jnp.float32))
+        )).sum() * h * h
+        assert total == pytest.approx(1.0, abs=2e-3)
+
+    def test_sample_moments(self):
+        # alpha=1 -> E[w_i] = 2^-i, E[w_K] = 2^-(K-1)
+        from mcmcpp_tpu.dsl import GEM
+
+        d = GEM(1.0, 5)
+        w = np.asarray(d.sample(jax.random.key(0), (200_000, 5)))
+        np.testing.assert_allclose(w.sum(axis=-1), 1.0, atol=1e-5)
+        want = [0.5, 0.25, 0.125, 0.0625, 0.0625]
+        np.testing.assert_allclose(w.mean(axis=0), want, atol=0.003)
+
+    def test_gem_prior_in_model_roundtrip(self):
+        from mcmcpp_tpu.dsl import GEM
+
+        model = (
+            Model()
+            .param("alpha", Gamma(2.0, 2.0))
+            .param("w", GEM(1.5, 4), shape=(4,))
+            .likelihood(lambda v: 0.0 * v["w"][0])
+        )
+        logp, dim, constrain = model.build()
+        assert dim == 1 + 3
+        draws = model.prior_sample(jax.random.key(2), 256)
+        w = constrain(draws)["w"]
+        assert w.shape == (256, 4)
+        np.testing.assert_allclose(np.asarray(w).sum(axis=-1), 1.0,
+                                   atol=1e-5)
+        assert np.all(np.isfinite(np.asarray(
+            jax.vmap(logp)(draws)
+        )))
+
+    def test_gem_validates(self):
+        from mcmcpp_tpu.dsl import GEM
+
+        with pytest.raises(ValueError):
+            GEM(1.0, 1)
+        with pytest.raises(ValueError):
+            GEM(1.0, 3).sample(jax.random.key(0), (10, 4))
