@@ -34,7 +34,8 @@ from mcmcpp_tpu.dsl import (
     Mixture,
     Model,
     Normal,
-    Ordered,
+    StickBreaking,
+    ordered,
 )
 
 K = 8
@@ -59,8 +60,9 @@ def build_model(y):
     return (
         Model()
         .param("alpha", Gamma(2.0, 1.0))
-        .param("w", lambda p: GEM(p["alpha"], K), shape=(K,))
-        .param("mu", Normal(0.0, 5.0), shape=(K,), transform=Ordered(K))
+        .param("w", lambda p: GEM(p["alpha"], K), shape=(K,),
+               transform=StickBreaking(K))
+        .param("mu", ordered(Normal(0.0, 5.0)), shape=(K,))
         .param("sigma", HalfNormal(2.0), shape=(K,))
         .observe("y", obs, jnp.asarray(y))
     )

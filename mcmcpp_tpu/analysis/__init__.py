@@ -30,8 +30,14 @@ from mcmcpp_tpu.analysis.bridge import BridgeResult, bridge_log_evidence
 from mcmcpp_tpu.analysis.ksd import ksd, ksd_curve
 from mcmcpp_tpu.analysis.global_stats import (
     global_autocorr_time,
+    global_batch_means_ess,
     global_correlation_matrix,
     global_covariance_matrix,
+    global_effective_sample_size,
+    global_ess_bulk,
+    global_ess_tail,
+    global_multivariate_ess,
+    global_rank_normalized_rhat,
     global_split_rhat,
 )
 from mcmcpp_tpu.analysis.sbc import (
@@ -71,8 +77,14 @@ __all__ = [
     "BridgeResult",
     "bridge_log_evidence",
     "global_autocorr_time",
+    "global_batch_means_ess",
     "global_correlation_matrix",
     "global_covariance_matrix",
+    "global_effective_sample_size",
+    "global_ess_bulk",
+    "global_ess_tail",
+    "global_multivariate_ess",
+    "global_rank_normalized_rhat",
     "global_split_rhat",
     "sbc_ecdf_band",
     "sbc_model",

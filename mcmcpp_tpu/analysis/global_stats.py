@@ -45,6 +45,43 @@ def _sum_over_hosts(*partials):
     return out if len(out) > 1 else out[0]
 
 
+def _gather_hosts(*partials):
+    """Stack each partial across processes: (n_hosts, ...) per array.
+
+    Identity-with-leading-axis if single-process. Collective under
+    multi-host — every host must call it with same-shaped arrays.
+    """
+    if jax.process_count() == 1:
+        out = tuple(np.asarray(p)[None] for p in partials)
+    else:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            tuple(np.asarray(p) for p in partials)
+        )
+        out = tuple(np.asarray(g) for g in gathered)
+    return out if len(out) > 1 else out[0]
+
+
+def _global_tau(arr, window_scaling, reduce_):
+    """Shared core: whole-ensemble taus from a (S, W_local, P) shard.
+
+    Returns (taus (P,), w_total, s). One reduce collective.
+    """
+    s, w, p = arr.shape
+    rows = np.ascontiguousarray(np.transpose(arr, (2, 1, 0)).reshape(p * w, s))
+    rho = np.asarray(
+        _norm_autocov_fft(jnp.asarray(rows, jnp.float32)), np.float64
+    )
+    rho_partial = rho.reshape(p, w, s).sum(axis=1)  # (P, S)
+    rho_sum, w_total = reduce_(rho_partial, np.asarray(w, np.float64))
+    rho_mean = rho_sum / w_total
+    taus = np.array(
+        [_sokal_window_tau(rho_mean[i], window_scaling) for i in range(p)]
+    )
+    return taus, float(w_total), s
+
+
 def global_autocorr_time(local_samples, window_scaling=4.0,
                          _reduce=None):
     """Whole-ensemble integrated ACT from a per-host walker shard.
@@ -64,19 +101,28 @@ def global_autocorr_time(local_samples, window_scaling=4.0,
         arr = arr[:, :, None]
     if arr.ndim != 3:
         raise ValueError("local_samples must be (S, W_local[, P])")
-    s, w, p = arr.shape
-    rows = np.ascontiguousarray(np.transpose(arr, (2, 1, 0)).reshape(p * w, s))
-    rho = np.asarray(
-        _norm_autocov_fft(jnp.asarray(rows, jnp.float32)), np.float64
-    )
-    rho_partial = rho.reshape(p, w, s).sum(axis=1)  # (P, S)
     reduce_ = _reduce if _reduce is not None else _sum_over_hosts
-    rho_sum, w_total = reduce_(rho_partial, np.asarray(w, np.float64))
-    rho_mean = rho_sum / w_total
-    taus = np.array(
-        [_sokal_window_tau(rho_mean[i], window_scaling) for i in range(p)]
-    )
+    taus, _, _ = _global_tau(arr, window_scaling, reduce_)
     return float(taus[0]) if np.ndim(local_samples) == 2 else taus
+
+
+def global_effective_sample_size(local_samples, window_scaling=4.0,
+                                 _reduce=None):
+    """Whole-ensemble ESS = S·W_global/τ from a per-host walker shard
+    (collective; equals ``analysis.effective_sample_size`` on the full
+    ensemble). Unconverged windows (τ ≤ 0) yield NaN, like the local
+    function, so per-shard estimates can't silently inflate ESS.
+    """
+    arr = np.asarray(local_samples)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("local_samples must be (S, W_local[, P])")
+    reduce_ = _reduce if _reduce is not None else _sum_over_hosts
+    taus, w_total, s = _global_tau(arr, window_scaling, reduce_)
+    n_total = s * w_total
+    ess = np.where(taus > 0, n_total / np.maximum(taus, 1e-12), np.nan)
+    return float(ess[0]) if np.ndim(local_samples) == 2 else ess
 
 
 def global_covariance_matrix(local_samples, _reduce=None):
@@ -104,6 +150,252 @@ def global_correlation_matrix(local_samples, _reduce=None):
     cov = global_covariance_matrix(local_samples, _reduce=_reduce)
     d = np.sqrt(np.diag(cov))
     return cov / np.outer(d, d)
+
+
+def global_batch_means_ess(local_samples, n_batches=32, _reduce=None):
+    """Whole-ensemble batch-means ESS from a per-host walker shard
+    (collective; equals ``analysis.batch_means_ess`` on the full ensemble
+    up to float64 summation order).
+
+    Partials per host: walker count, Σ over local walkers of the
+    per-walker batch-mean variance (each a local exact two-pass variance),
+    and the pooled count/Σx/Σx² moments for the draw variance.
+    """
+    arr = np.asarray(local_samples, np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("local_samples must be (S, W_local[, P])")
+    s, w, p = arr.shape
+    b = s // int(n_batches)
+    if b < 2:
+        raise ValueError("chain too short for the requested n_batches")
+    trimmed = arr[: b * n_batches]
+    means = trimmed.reshape(n_batches, b, w, p).mean(axis=1)  # (nb, W, P)
+    vm_partial = means.var(axis=0, ddof=1).sum(axis=0)  # (P,) over walkers
+    flat = trimmed.reshape(-1, p)
+    n_loc = np.asarray(float(flat.shape[0]))
+    sx = flat.sum(axis=0)
+    sxx = (flat * flat).sum(axis=0)
+    reduce_ = _reduce if _reduce is not None else _sum_over_hosts
+    w_total, vm_sum, n, sx, sxx = reduce_(
+        np.asarray(float(w)), vm_partial, n_loc, sx, sxx
+    )
+    var_means = vm_sum / w_total
+    var_x = (sxx - sx * sx / n) / (n - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ess = n * var_x / (b * var_means)
+    ess = np.minimum(ess, n)
+    return float(ess[0]) if squeeze else ess
+
+
+def global_multivariate_ess(local_samples, n_batches=32, _reduce=None):
+    """Whole-ensemble multivariate ESS (Vats-Flegal-Jones) from a per-host
+    walker shard (collective; equals ``analysis.multivariate_ess`` on the
+    full ensemble).
+
+    Both covariances in mESS = n·(det Λ/det Σ)^{1/p} use PER-WALKER
+    centering (matching the local estimator), so each host's Λ/Σ partial
+    sums are exact (P, P) sufficient statistics — centering never needs
+    the global mean.
+    """
+    arr = np.asarray(local_samples, np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("local_samples must be (S, W_local[, P])")
+    s, w, p = arr.shape
+    b = s // int(n_batches)
+    if b < 2:
+        raise ValueError("chain too short for the requested n_batches")
+    trimmed = arr[: b * n_batches]
+    centered = trimmed - trimmed.mean(axis=0, keepdims=True)
+    lam_partial = np.einsum("swi,swj->ij", centered, centered)
+    means = trimmed.reshape(n_batches, b, w, p).mean(axis=1)
+    mc = means - means.mean(axis=0, keepdims=True)
+    sig_partial = np.einsum("kwi,kwj->ij", mc, mc)
+    reduce_ = _reduce if _reduce is not None else _sum_over_hosts
+    w_total, lam_sum, sig_sum = reduce_(
+        np.asarray(float(w)), lam_partial, sig_partial
+    )
+    lam = lam_sum / (w_total * (b * n_batches - 1.0))
+    sig = b * sig_sum / (w_total * (n_batches - 1.0))
+    sign_l, logdet_l = np.linalg.slogdet(lam)
+    sign_s, logdet_s = np.linalg.slogdet(sig)
+    if sign_l <= 0 or sign_s <= 0:
+        return float("nan")
+    n_total = float(b * n_batches * w_total)
+    return float(n_total * np.exp((logdet_l - logdet_s) / p))
+
+
+# --- global rank machinery -------------------------------------------------
+#
+# Rank normalization (bulk/tail ESS, rank-normalized R̂) needs GLOBAL ranks.
+# Exact ranks would require exchanging the chains themselves, so each host
+# shares a compressed per-parameter ECDF instead: its sorted values
+# subsampled to ``max_knots`` order statistics with exact cumulative counts
+# (payload P × max_knots floats per host — KBs). With
+# n_local ≤ max_knots the knots ARE the sorted shard and every global
+# count/quantile below is EXACT (ties included, via left/right counts);
+# beyond that the step-function ECDF bounds the per-host CDF error by
+# n_local/max_knots — far below MC noise for ESS purposes.
+
+
+def _local_ecdf(flat, max_knots):
+    """(n,) values -> fixed-size (knots, cums): cums[j] = #{x ≤ knots[j]}."""
+    sv = np.sort(flat)
+    n = sv.shape[0]
+    if n <= max_knots:
+        pad = max_knots - n
+        knots = np.concatenate([sv, np.full(pad, sv[-1])])
+        cums = np.concatenate(
+            [np.arange(1.0, n + 1.0), np.full(pad, float(n))]
+        )
+    else:
+        idx = np.round(np.linspace(0, n - 1, max_knots)).astype(np.int64)
+        knots = sv[idx]
+        cums = (idx + 1).astype(np.float64)
+    return knots, cums
+
+
+def _ecdf_counts(knots, cums, v):
+    """Global (#{x < v_m}, #{x ≤ v_m}) from stacked host ECDFs.
+
+    knots, cums: (H, K) per-host sorted knots / cumulative counts.
+    v: (M,) query values. Exact when the knots are the full sorted shards.
+    """
+    less = np.zeros(v.shape, np.float64)
+    leq = np.zeros(v.shape, np.float64)
+    for h in range(knots.shape[0]):
+        jl = np.searchsorted(knots[h], v, side="left")
+        jr = np.searchsorted(knots[h], v, side="right")
+        less += np.where(jl > 0, cums[h][np.maximum(jl - 1, 0)], 0.0)
+        leq += np.where(jr > 0, cums[h][np.maximum(jr - 1, 0)], 0.0)
+    return less, leq
+
+
+def _merged_quantile(knots, cums, n_total, q):
+    """np.quantile(..., method='linear') on the merged ECDF.
+
+    knots, cums: (H, K). Exact (equals np.quantile on the concatenated
+    data) when the knots are the full sorted shards.
+    """
+    weights = np.diff(cums, axis=1, prepend=0.0)  # padding gets weight 0
+    vals = knots.ravel()
+    wts = weights.ravel()
+    order = np.argsort(vals, kind="stable")
+    vals = vals[order]
+    cumw = np.cumsum(wts[order])
+
+    def order_stat(k):  # 1-based k-th order statistic
+        return vals[np.searchsorted(cumw, k, side="left")]
+
+    pos = q * (n_total - 1.0)  # 0-based fractional position
+    lo = np.floor(pos)
+    frac = pos - lo
+    x_lo = order_stat(lo + 1.0)
+    x_hi = order_stat(min(lo + 2.0, n_total))
+    return x_lo + frac * (x_hi - x_lo)
+
+
+def _global_normal_scores(arr, gather_, max_knots):
+    """(S, W_local, P) shard -> normal scores via GLOBAL average ranks
+    (same (r − 0.375)/(N + 0.25) convention as the local rank normalizers).
+    One gather collective. Returns (scores, (g_knots, g_cums, n_total))."""
+    s, w, p = arr.shape
+    flat = arr.reshape(-1, p)
+    knots = np.empty((p, max_knots))
+    cums = np.empty((p, max_knots))
+    for i in range(p):
+        knots[i], cums[i] = _local_ecdf(flat[:, i], max_knots)
+    g_knots, g_cums, g_n = gather_(
+        knots, cums, np.asarray(float(flat.shape[0]))
+    )
+    n_total = float(g_n.sum())
+    from scipy import stats as _stats
+
+    scores = np.empty_like(flat)
+    for i in range(p):
+        less, leq = _ecdf_counts(g_knots[:, i], g_cums[:, i], flat[:, i])
+        rank = less + (leq - less + 1.0) / 2.0
+        scores[:, i] = _stats.norm.ppf((rank - 0.375) / (n_total + 0.25))
+    return scores.reshape(s, w, p), (g_knots, g_cums, n_total)
+
+
+def global_ess_bulk(local_samples, window_scaling=4.0, max_knots=4096,
+                    _reduce=None, _gather=None):
+    """Whole-ensemble rank-normalized bulk ESS (Vehtari et al. 2021) from
+    a per-host walker shard (collective: one ECDF gather + one reduce;
+    equals ``analysis.ess_bulk`` on the full ensemble — exactly when
+    S·W_local ≤ max_knots, else to ECDF resolution)."""
+    arr = np.asarray(local_samples, np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("local_samples must be (S, W_local[, P])")
+    gather_ = _gather if _gather is not None else _gather_hosts
+    scores, _ = _global_normal_scores(arr, gather_, int(max_knots))
+    ess = np.atleast_1d(global_effective_sample_size(
+        scores, window_scaling=window_scaling, _reduce=_reduce
+    ))
+    return float(ess[0]) if squeeze else ess
+
+
+def global_ess_tail(local_samples, prob=0.05, window_scaling=4.0,
+                    max_knots=4096, _reduce=None, _gather=None):
+    """Whole-ensemble tail ESS: min over the ``prob``/``1−prob`` GLOBAL
+    quantile indicator ESS (collective: one ECDF gather + two reduces;
+    equals ``analysis.ess_tail`` on the full ensemble — exactly when
+    S·W_local ≤ max_knots)."""
+    arr = np.asarray(local_samples, np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("local_samples must be (S, W_local[, P])")
+    s, w, p = arr.shape
+    gather_ = _gather if _gather is not None else _gather_hosts
+    flat = arr.reshape(-1, p)
+    knots = np.empty((p, int(max_knots)))
+    cums = np.empty((p, int(max_knots)))
+    for i in range(p):
+        knots[i], cums[i] = _local_ecdf(flat[:, i], int(max_knots))
+    g_knots, g_cums, g_n = gather_(
+        knots, cums, np.asarray(float(flat.shape[0]))
+    )
+    n_total = float(g_n.sum())
+    out = []
+    for q in (prob, 1.0 - prob):
+        cut = np.array([
+            _merged_quantile(g_knots[:, i], g_cums[:, i], n_total, q)
+            for i in range(p)
+        ])
+        ind = (arr <= cut[None, None, :]).astype(np.float64)
+        out.append(np.atleast_1d(global_effective_sample_size(
+            ind, window_scaling=window_scaling, _reduce=_reduce
+        )))
+    ess = np.minimum(*out)
+    return float(ess[0]) if squeeze else ess
+
+
+def global_rank_normalized_rhat(local_samples, max_knots=4096,
+                                _reduce=None, _gather=None):
+    """Whole-ensemble RANK-NORMALIZED split-R̂ (Vehtari et al. 2021) from a
+    per-host walker shard (collective: one ECDF gather + one reduce; equals
+    ``analysis.potential_scale_reduction(full, rank_normalized=True)`` —
+    exactly when S·W_local ≤ max_knots). Complements
+    :func:`global_split_rhat` (the classic non-normalized variant)."""
+    arr = np.asarray(local_samples, np.float64)
+    if arr.ndim != 3:
+        raise ValueError("local_samples must be (S, W_local, P)")
+    s_even = arr.shape[0] - arr.shape[0] % 2
+    gather_ = _gather if _gather is not None else _gather_hosts
+    # rank over the SAME value set the local split path sees (trim first:
+    # splitting is a reshape, so ranks commute with it)
+    scores, _ = _global_normal_scores(arr[:s_even], gather_, int(max_knots))
+    return global_split_rhat(scores, _reduce=_reduce)
 
 
 def global_split_rhat(local_samples, _reduce=None):

@@ -88,8 +88,9 @@ def _ksd_sum(x, scores, c2, beta, u_statistic):
 def ksd(samples, score_fn=None, scores=None, c=1.0, beta=-0.5,
         u_statistic=True):
     """KSD between the empirical measure of ``samples`` and the target
-    whose score is ``score_fn`` (= ∇log p, vmapped internally) or the
-    precomputed ``scores`` array.
+    with log-density ``score_fn`` — pass log p itself; its gradient (the
+    score ∇log p) is taken and vmapped internally — or pass precomputed
+    ``scores`` (an (n, P) array of ∇log p values) directly.
 
     samples: (n, P) flat draws (thin first — KSD cost is O(n²P), and
     thinned chains lose no detection power for bias). Returns the scalar

@@ -46,6 +46,7 @@ def run_until_converged(
     thin=1,
     window_scaling=4.0,
     callback=None,
+    multihost=None,
 ):
     """Drive ``sampler`` until its chain passes the ACT length criterion.
 
@@ -54,8 +55,46 @@ def run_until_converged(
     observes each intermediate check. Returns a :class:`ConvergenceReport`;
     ``converged=False`` means the budget (or the chain byte cap) was hit
     first — the criterion, not an exception, reports the outcome.
+
+    Under multi-host SPMD (``jax.process_count() > 1``; override with
+    ``multihost=``) every statistic gates on the WHOLE ensemble, not this
+    host's walker shard: τ/R̂/mESS come from the collective
+    ``analysis.global_*`` decompositions (≙ the reference's all-walker
+    analysis contract, AutoCorrCalc.h:151-221), the ESS length criterion
+    counts global walkers, and — because the global numbers are replicated
+    — every host takes the identical stop decision, so the collective
+    control flow can't diverge. Every host must therefore call this
+    collectively with the same arguments.
     """
     from mcmcpp_tpu import analysis
+
+    if multihost is None:
+        import jax
+
+        multihost = jax.process_count() > 1
+
+    if multihost:
+        def _tau(samples):
+            return analysis.global_autocorr_time(
+                samples, window_scaling=window_scaling
+            )
+
+        def _rhat(samples):
+            return analysis.global_rank_normalized_rhat(samples)
+
+        def _mess(samples):
+            return analysis.global_multivariate_ess(samples)
+    else:
+        def _tau(samples):
+            return analysis.autocorr_time(
+                samples, window_scaling=window_scaling
+            )
+
+        def _rhat(samples):
+            return analysis.potential_scale_reduction(samples)
+
+        def _mess(samples):
+            return analysis.multivariate_ess(samples)
 
     run = getattr(sampler, "run_mcmc", None) or sampler.run
     max_steps = int(max_steps)
@@ -80,9 +119,7 @@ def run_until_converged(
                     checks, "chain capacity reached",
                 )
             continue
-        tau = np.atleast_1d(analysis.autocorr_time(
-            samples, window_scaling=window_scaling
-        ))
+        tau = np.atleast_1d(_tau(samples))
         checks += 1
         rhat = nan
         window_ok = bool(np.all(tau > 0))
@@ -94,9 +131,7 @@ def run_until_converged(
         )
         rhat_ok = True
         if rhat_threshold is not None:
-            rhat = np.atleast_1d(
-                analysis.potential_scale_reduction(samples)
-            )
+            rhat = np.atleast_1d(_rhat(samples))
             rhat_ok = bool(np.all(rhat < rhat_threshold))
         mess = float("nan")
         mess_ok = True
@@ -105,7 +140,7 @@ def run_until_converged(
             p_dim = samples.shape[-1] if samples.ndim == 3 else 1
             need = analysis.min_ess_required(p_dim, alpha=alpha, eps=eps)
             try:
-                mess = analysis.multivariate_ess(samples)
+                mess = _mess(samples)
             except ValueError:  # chain still too short to batch
                 mess = float("nan")
             mess_ok = bool(np.isfinite(mess) and mess >= need)

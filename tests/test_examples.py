@@ -88,14 +88,30 @@ def test_bayesian_workflow_example():
     assert "ArviZ export groups" in r.stdout
 
 
-def test_api_doc_generation(tmp_path):
-    """docs/gen_api.py must run clean (catches docstring/import breakage)."""
-    r = subprocess.run(
-        [sys.executable, str(REPO / "docs" / "gen_api.py")],
-        capture_output=True, text=True, timeout=300,
+def test_api_doc_generation():
+    """docs/gen_api.py must run clean AND match the checked-in api.md —
+    red on drift (regenerate with `python docs/gen_api.py` and commit)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_api", REPO / "docs" / "gen_api.py"
     )
+    gen_api = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_api)
+    rendered = gen_api.render()
+    assert len(rendered) > 5000
+    checked_in = (REPO / "docs" / "api.md").read_text()
+    assert rendered == checked_in, (
+        "docs/api.md is stale — run `python docs/gen_api.py` and commit"
+    )
+
+
+@pytest.mark.slow
+def test_dp_mixture_example():
+    r = _run("dp_mixture.py", "--quick", "--n", "120")
     assert r.returncode == 0, r.stderr[-2000:]
-    assert (REPO / "docs" / "api.md").stat().st_size > 5000
+    assert "predictive-density L1 error" in r.stdout
+    assert "OK" in r.stdout
 
 
 @pytest.mark.slow

@@ -7,6 +7,9 @@ exactly (the decomposition the 2-process Gloo case exercises for real in
 tests/test_multihost.py::test_two_process_global_diagnostics).
 """
 
+import inspect
+import threading
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -14,8 +17,14 @@ import pytest
 from mcmcpp_tpu import EnsembleSampler, analysis
 from mcmcpp_tpu.analysis.global_stats import (
     global_autocorr_time,
+    global_batch_means_ess,
     global_correlation_matrix,
     global_covariance_matrix,
+    global_effective_sample_size,
+    global_ess_bulk,
+    global_ess_tail,
+    global_multivariate_ess,
+    global_rank_normalized_rhat,
     global_split_rhat,
 )
 
@@ -58,6 +67,83 @@ def _two_shard(fn, full, **kw):
     return fn(a, _reduce=combine, **kw)
 
 
+class _HostSim:
+    """Barrier-synchronized collective emulation: run the SAME global
+    function on H shards in H threads; each ``reduce``/``gather`` call is a
+    synchronized exchange round — the execution-order contract real
+    ``process_allgather`` collectives impose."""
+
+    def __init__(self, n):
+        self.n = n
+        self.barrier = threading.Barrier(n, timeout=120)
+        self.slots = [None] * n
+
+    def _exchange(self, i, parts):
+        self.slots[i] = parts
+        self.barrier.wait()
+        snapshot = list(self.slots)  # copy BETWEEN the barriers
+        self.barrier.wait()
+        return snapshot
+
+    def reduce(self, i):
+        def _reduce(*parts):
+            rounds = self._exchange(i, parts)
+            out = tuple(
+                np.sum([np.asarray(r[j]) for r in rounds], axis=0)
+                for j in range(len(parts))
+            )
+            return out if len(out) > 1 else out[0]
+        return _reduce
+
+    def gather(self, i):
+        def _gather(*parts):
+            rounds = self._exchange(i, parts)
+            out = tuple(
+                np.stack([np.asarray(r[j]) for r in rounds])
+                for j in range(len(parts))
+            )
+            return out if len(out) > 1 else out[0]
+        return _gather
+
+
+def _simulate_hosts(fn, full, n_hosts=2, **kw):
+    """Split the walker axis into n_hosts shards, run fn on each in a
+    thread with injected collectives, assert all hosts agree, return the
+    replicated value."""
+    w = full.shape[1]
+    shards = [
+        full[:, i * w // n_hosts: (i + 1) * w // n_hosts]
+        for i in range(n_hosts)
+    ]
+    sim = _HostSim(n_hosts)
+    results = [None] * n_hosts
+    errors = []
+    takes_gather = "_gather" in inspect.signature(fn).parameters
+
+    def work(i):
+        try:
+            extra = {"_gather": sim.gather(i)} if takes_gather else {}
+            results[i] = fn(shards[i], _reduce=sim.reduce(i), **extra, **kw)
+        except Exception as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+            sim.barrier.abort()
+
+    threads = [threading.Thread(target=work, args=(i,))
+               for i in range(n_hosts)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    non_broken = [e for e in errors
+                  if not isinstance(e, threading.BrokenBarrierError)]
+    if non_broken:
+        raise non_broken[0]
+    assert not errors
+    for r in results[1:]:
+        np.testing.assert_array_equal(np.asarray(results[0]), np.asarray(r))
+    return results[0]
+
+
 def test_single_process_equals_local_functions(chain):
     np.testing.assert_array_equal(
         global_autocorr_time(chain), analysis.autocorr_time(chain)
@@ -97,6 +183,116 @@ def test_two_shard_combination_reproduces_full_ensemble(chain):
     )
     rhat_shard = _two_shard(global_split_rhat, chain)
     np.testing.assert_allclose(rhat_shard, rhat_full, rtol=1e-10)
+
+
+def test_global_ess_family_single_process(chain):
+    """Each new global function equals its local whole-ensemble counterpart
+    when fed the full ensemble as one 'shard' (round-3 verdict item 1)."""
+    n_local = chain.shape[0] * chain.shape[1]
+    np.testing.assert_array_equal(
+        global_effective_sample_size(chain),
+        analysis.effective_sample_size(chain),
+    )
+    np.testing.assert_allclose(
+        global_batch_means_ess(chain),
+        analysis.batch_means_ess(chain),
+        rtol=1e-8,
+    )
+    assert global_multivariate_ess(chain) == pytest.approx(
+        analysis.multivariate_ess(chain), rel=1e-10
+    )
+    # max_knots >= shard size -> the compressed ECDF is the full sorted
+    # shard and the global ranks are EXACT (ties included)
+    np.testing.assert_allclose(
+        global_ess_bulk(chain, max_knots=n_local),
+        analysis.ess_bulk(chain),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        global_ess_tail(chain, max_knots=n_local),
+        analysis.ess_tail(chain),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        global_rank_normalized_rhat(chain, max_knots=n_local),
+        analysis.potential_scale_reduction(chain, rank_normalized=True),
+        rtol=1e-12,
+    )
+
+
+def test_global_ess_family_two_shards(chain):
+    """2-host emulation: per-shard partials + collectives == the
+    whole-ensemble value, for every member of the ESS family (the
+    decomposition the Gloo test exercises with real processes)."""
+    n_shard = chain.shape[0] * (chain.shape[1] // 2)
+    ess = _simulate_hosts(global_effective_sample_size, chain)
+    np.testing.assert_allclose(
+        ess, analysis.effective_sample_size(chain), rtol=1e-5
+    )
+    bm = _simulate_hosts(global_batch_means_ess, chain)
+    np.testing.assert_allclose(
+        bm, analysis.batch_means_ess(chain), rtol=1e-8
+    )
+    mess = _simulate_hosts(global_multivariate_ess, chain)
+    assert mess == pytest.approx(analysis.multivariate_ess(chain), rel=1e-9)
+    bulk = _simulate_hosts(global_ess_bulk, chain, max_knots=n_shard)
+    np.testing.assert_allclose(bulk, analysis.ess_bulk(chain), rtol=1e-5)
+    tail = _simulate_hosts(global_ess_tail, chain, max_knots=n_shard)
+    np.testing.assert_allclose(tail, analysis.ess_tail(chain), rtol=1e-5)
+    rr = _simulate_hosts(global_rank_normalized_rhat, chain,
+                         max_knots=n_shard)
+    np.testing.assert_allclose(
+        rr,
+        analysis.potential_scale_reduction(chain, rank_normalized=True),
+        rtol=1e-9,
+    )
+
+
+def test_subsampled_ecdf_approximation(chain):
+    """With max_knots << shard size the rank-based statistics degrade
+    gracefully (documented CDF error <= n_local/max_knots per host)."""
+    exact = analysis.ess_bulk(chain)
+    approx = _simulate_hosts(global_ess_bulk, chain, max_knots=256)
+    np.testing.assert_allclose(approx, exact, rtol=0.1)
+    rr = _simulate_hosts(global_rank_normalized_rhat, chain, max_knots=256)
+    np.testing.assert_allclose(
+        rr,
+        analysis.potential_scale_reduction(chain, rank_normalized=True),
+        rtol=0.02,
+    )
+
+
+def test_multihost_convergence_gate(chain):
+    """run_until_converged(multihost=True) single-process: the global
+    statistics path must produce the same gate decision and (to tolerance)
+    the same tau/rhat/mess as the local path."""
+    from mcmcpp_tpu.convergence import run_until_converged
+
+    class _Frozen:
+        """Sampler stub that replays the fixture chain."""
+
+        n_params = chain.shape[2]
+
+        def run_mcmc(self, n, thin=1):
+            return True
+
+        def get_samples(self):
+            return chain
+
+    local = run_until_converged(
+        _Frozen(), max_steps=1, check_every=1,
+        rhat_threshold=1.05, mess_rule=True, multihost=False,
+    )
+    glob = run_until_converged(
+        _Frozen(), max_steps=1, check_every=1,
+        rhat_threshold=1.05, mess_rule=True, multihost=True,
+    )
+    assert glob.reason == local.reason
+    np.testing.assert_allclose(glob.tau, local.tau, rtol=1e-6)
+    # default max_knots=4096 < the 19200-value ensemble: rank-normalized
+    # rhat is ECDF-resolution approximate in the global path
+    np.testing.assert_allclose(glob.rhat, local.rhat, rtol=1e-2)
+    assert glob.mess == pytest.approx(local.mess, rel=1e-9)
 
 
 def test_2d_series_path(chain):

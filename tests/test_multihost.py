@@ -180,6 +180,34 @@ GLOBAL_STATS_WORKER = textwrap.dedent("""
     fmt = lambda a: ",".join(f"{{v:.9e}}" for v in np.ravel(a))
     print(f"GSTAT pid={{pid}} tau={{fmt(tau)}} cov={{fmt(cov)}} "
           f"rhat={{fmt(rhat)}}")
+
+    # round-3 verdict item 1: the whole ESS family from per-host shards
+    from mcmcpp_tpu.analysis import (
+        global_batch_means_ess, global_effective_sample_size,
+        global_ess_bulk, global_ess_tail, global_multivariate_ess,
+        global_rank_normalized_rhat,
+    )
+    nk = local.shape[0] * local.shape[1]  # full-knot ECDF -> exact ranks
+    ess = global_effective_sample_size(local)
+    bm = global_batch_means_ess(local)
+    mess = global_multivariate_ess(local)
+    bulk = global_ess_bulk(local, max_knots=nk)
+    tail = global_ess_tail(local, max_knots=nk)
+    rr = global_rank_normalized_rhat(local, max_knots=nk)
+    print(f"GESS pid={{pid}} ess={{fmt(ess)}} bm={{fmt(bm)}} "
+          f"mess={{mess:.9e}} bulk={{fmt(bulk)}} tail={{fmt(tail)}} "
+          f"rr={{fmt(rr)}}")
+
+    # multihost-aware convergence gate: every host must take the SAME
+    # decision from GLOBAL statistics (convergence.py multihost path)
+    from mcmcpp_tpu.convergence import run_until_converged
+    s2 = ShardedEnsembleSampler(logp, n_walkers=64, n_params=2, seed=7)
+    s2.init_ball(np.zeros(2), scale=0.5, seed=8)
+    rep = run_until_converged(s2, max_steps=100, check_every=50,
+                              rhat_threshold=2.0, mess_rule=True)
+    print(f"GATE pid={{pid}} conv={{rep.converged}} reason={{rep.reason!r}} "
+          f"tau={{fmt(rep.tau)}} rhat={{fmt(rep.rhat)}} "
+          f"mess={{rep.mess:.9e}}")
 """).format(repo=str(REPO))
 
 
@@ -269,6 +297,8 @@ def test_two_process_global_diagnostics(tmp_path):
 
     outs = _run_workers(tmp_path, GLOBAL_STATS_WORKER, timeout=300)
     vals = []
+    gess = []
+    gates = []
     for o in outs:
         m = re.search(
             r"GSTAT pid=\d+ tau=(\S+) cov=(\S+) rhat=(\S+)", o
@@ -277,9 +307,24 @@ def test_two_process_global_diagnostics(tmp_path):
         vals.append(tuple(
             np.fromstring(g, sep=",") for g in m.groups()
         ))
+        m2 = re.search(
+            r"GESS pid=\d+ ess=(\S+) bm=(\S+) mess=(\S+) bulk=(\S+) "
+            r"tail=(\S+) rr=(\S+)", o
+        )
+        assert m2, o[-3000:]
+        gess.append(tuple(np.fromstring(g, sep=",") for g in m2.groups()))
+        m3 = re.search(
+            r"GATE pid=\d+ conv=(\S+) reason=('[^']*') tau=(\S+) "
+            r"rhat=(\S+) mess=(\S+)", o
+        )
+        assert m3, o[-3000:]
+        gates.append(m3.groups())
     # replicated: identical on both hosts
     for a, b in zip(vals[0], vals[1]):
         np.testing.assert_array_equal(a, b)
+    for a, b in zip(gess[0], gess[1]):
+        np.testing.assert_array_equal(a, b)
+    assert gates[0] == gates[1]  # same gate DECISION on every host
     tau_w, cov_w, rhat_w = vals[0]
 
     s = ShardedEnsembleSampler(
@@ -300,6 +345,47 @@ def test_two_process_global_diagnostics(tmp_path):
         analysis.potential_scale_reduction(full, rank_normalized=False),
         rtol=1e-7,
     )
+
+    # ESS family: worker (shard-fed, collective) vs whole-ensemble local
+    ess_w, bm_w, mess_w, bulk_w, tail_w, rr_w = gess[0]
+    np.testing.assert_allclose(
+        ess_w, analysis.effective_sample_size(full), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        bm_w, analysis.batch_means_ess(full), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        mess_w, analysis.multivariate_ess(full), rtol=1e-6
+    )
+    np.testing.assert_allclose(bulk_w, analysis.ess_bulk(full), rtol=1e-5)
+    np.testing.assert_allclose(tail_w, analysis.ess_tail(full), rtol=1e-5)
+    np.testing.assert_allclose(
+        rr_w,
+        analysis.potential_scale_reduction(full, rank_normalized=True),
+        rtol=1e-6,
+    )
+
+    # convergence gate: the workers' GLOBAL-statistics decision must match
+    # a single-process run over the identical whole ensemble
+    from mcmcpp_tpu.convergence import run_until_converged
+
+    s2 = ShardedEnsembleSampler(
+        lambda t: -0.5 * jnp.sum(t * t), n_walkers=64, n_params=2, seed=7
+    )
+    s2.init_ball(np.zeros(2), scale=0.5, seed=8)
+    rep = run_until_converged(s2, max_steps=100, check_every=50,
+                              rhat_threshold=2.0, mess_rule=True,
+                              multihost=False)
+    conv_w, reason_w, tau_g, rhat_g, mess_g = gates[0]
+    assert conv_w == str(rep.converged)
+    assert reason_w == repr(rep.reason)
+    np.testing.assert_allclose(
+        np.fromstring(tau_g, sep=","), rep.tau, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.fromstring(rhat_g, sep=","), rep.rhat, rtol=1e-6
+    )
+    np.testing.assert_allclose(float(mess_g), rep.mess, rtol=1e-6)
 
 
 def test_import_does_not_initialize_backend():
