@@ -72,6 +72,52 @@ def _is_elliptical(sampler):
     return isinstance(sampler, EllipticalSliceSampler)
 
 
+def _is_nested(sampler):
+    from mcmcpp_tpu.nested import NestedSampler
+
+    return isinstance(sampler, NestedSampler)
+
+
+def _is_neutra(sampler):
+    from mcmcpp_tpu.neutra import NeuTra
+
+    return isinstance(sampler, NeuTra)
+
+
+def _is_advi(sampler):
+    from mcmcpp_tpu.vi import ADVI
+
+    return isinstance(sampler, ADVI)
+
+
+def _pack_leaves(arrays, meta, prefix, tree):
+    """Flatten a pytree's array leaves into the archive (no pickling;
+    the structure is rebuilt at load from the sampler's own config)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    meta[f"n_{prefix}_leaves"] = len(leaves)
+    arrays.update({
+        f"{prefix}_leaf_{i}": np.asarray(leaf)
+        for i, leaf in enumerate(leaves)
+    })
+
+
+def _unpack_leaves(arrays, meta, prefix, template):
+    """Rebuild a pytree stored by :func:`_pack_leaves` using
+    ``template``'s treedef (leaf VALUES in the template are ignored)."""
+    n = int(meta[f"n_{prefix}_leaves"])
+    treedef = jax.tree_util.tree_structure(template)
+    if treedef.num_leaves != n:
+        raise ValueError(
+            f"checkpoint stores {n} {prefix} leaves but the sampler's "
+            f"configuration implies {treedef.num_leaves} — flow/optimizer "
+            "architecture mismatch"
+        )
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [jnp.asarray(arrays[f"{prefix}_leaf_{i}"]) for i in range(n)],
+    )
+
+
 def save_checkpoint(sampler, path):
     """Write ``sampler``'s full resumable state to ``path`` (.npz)."""
     from mcmcpp_tpu.sampler import EnsembleSampler
@@ -87,7 +133,8 @@ def save_checkpoint(sampler, path):
     meta = {
         "format": _FORMAT_VERSION,
         "class": type(sampler).__name__,
-        "n_params": sampler.n_params,
+        # NeuTra calls the parameter count `dim`
+        "n_params": getattr(sampler, "n_params", None) or sampler.dim,
     }
     if isinstance(sampler, EnsembleSampler):
         if sampler.state is None:
@@ -296,6 +343,61 @@ def save_checkpoint(sampler, path):
             chain_samples=sampler.chain.get(),
             chain_logp=sampler.chain.get_logp(),
         )
+    elif _is_nested(sampler):
+        if sampler._live is None:
+            raise RuntimeError(
+                "cannot checkpoint a NestedSampler before run() has "
+                "initialized the live set"
+            )
+        meta.update(
+            kind="nested",
+            n_live=sampler.n_live,
+            batch=sampler.batch,
+            kernel=sampler.kernel,
+            iters_done=sampler._iters_done,
+            n_calls=int(sampler._n_calls),
+            logz=float(sampler._logz),
+            logx=float(sampler._logx),
+            low_acc_warned=bool(sampler._low_acc_warned),
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        d = sampler.n_params
+        arrays.update(
+            live=np.asarray(sampler._live),
+            ll=np.asarray(sampler._ll),
+            lpp=np.asarray(sampler._lpp),
+            dead_pos=(np.concatenate(sampler._dead_pos, 0)
+                      if sampler._dead_pos else np.zeros((0, d))),
+            dead_ll=(np.concatenate(sampler._dead_ll)
+                     if sampler._dead_ll else np.zeros((0,))),
+            dead_logw=(np.concatenate(sampler._dead_logw)
+                       if sampler._dead_logw else np.zeros((0,))),
+            key=_key_data(sampler._key),
+        )
+    elif _is_neutra(sampler):
+        meta.update(
+            kind="neutra",
+            flow=type(sampler.flow).__name__,
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        arrays["key"] = _key_data(sampler._key)
+        _pack_leaves(arrays, meta, "flow", sampler.params)
+        if sampler._opt_state is not None:
+            _pack_leaves(arrays, meta, "opt", sampler._opt_state)
+        for attr in ("fit_result", "refit_result"):
+            fr = getattr(sampler, attr, None)
+            if fr is not None:
+                arrays[f"{attr}_hist"] = np.asarray(fr.elbo_history)
+    elif _is_advi(sampler):
+        meta.update(
+            kind="advi",
+            full_rank=bool(sampler.full_rank),
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        arrays["key"] = _key_data(sampler._key)
+        arrays["elbo_trace"] = np.asarray(sampler.elbo_trace, np.float64)
+        _pack_leaves(arrays, meta, "vi", sampler.params)
+        _pack_leaves(arrays, meta, "opt", sampler.opt_state)
     else:
         raise TypeError(f"unsupported sampler type {type(sampler).__name__}")
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
@@ -332,10 +434,11 @@ def load_checkpoint(sampler, path):
             f"v{_FORMAT_VERSION}); re-save the checkpoint with the version "
             "that wrote it, or resume from raw samples"
         )
-    if meta["n_params"] != sampler.n_params:
+    n_params = getattr(sampler, "n_params", None) or sampler.dim
+    if meta["n_params"] != n_params:
         raise ValueError(
             f"checkpoint has n_params={meta['n_params']}, "
-            f"sampler has {sampler.n_params}"
+            f"sampler has {n_params}"
         )
     if meta["kind"] == "ensemble":
         if not isinstance(sampler, EnsembleSampler):
@@ -590,6 +693,73 @@ def load_checkpoint(sampler, path):
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:
             sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "nested":
+        if not _is_nested(sampler):
+            raise TypeError("checkpoint is for a NestedSampler")
+        for field, attr in (("n_live", "n_live"), ("batch", "batch"),
+                            ("kernel", "kernel")):
+            if meta[field] != getattr(sampler, attr):
+                raise ValueError(
+                    f"{field} mismatch: checkpoint {meta[field]!r}, "
+                    f"sampler {getattr(sampler, attr)!r}"
+                )
+        live = jnp.asarray(arrays["live"], sampler.dtype)
+        if sampler._row_sharding is not None:
+            live = jax.device_put(live, sampler._row_sharding)
+        sampler._live = live
+        sampler._ll = jnp.asarray(arrays["ll"])
+        sampler._lpp = jnp.asarray(arrays["lpp"])
+        sampler._dead_pos = (
+            [arrays["dead_pos"]] if arrays["dead_pos"].shape[0] else []
+        )
+        sampler._dead_ll = (
+            [arrays["dead_ll"]] if arrays["dead_ll"].shape[0] else []
+        )
+        sampler._dead_logw = (
+            [arrays["dead_logw"]] if arrays["dead_logw"].shape[0] else []
+        )
+        sampler._logz = float(meta["logz"])
+        sampler._logx = float(meta["logx"])
+        sampler._n_calls = int(meta["n_calls"])
+        sampler._iters_done = int(meta["iters_done"])
+        sampler._low_acc_warned = bool(meta["low_acc_warned"])
+        sampler.result = None  # stale; run() re-finalizes
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+    elif meta["kind"] == "neutra":
+        if not _is_neutra(sampler):
+            raise TypeError("checkpoint is for a NeuTra transport")
+        if meta["flow"] != type(sampler.flow).__name__:
+            raise ValueError(
+                f"flow family mismatch: checkpoint {meta['flow']}, "
+                f"sampler {type(sampler.flow).__name__}"
+            )
+        sampler.params = _unpack_leaves(arrays, meta, "flow", sampler.params)
+        if "n_opt_leaves" in meta:
+            import optax
+
+            tmpl = optax.adam(1e-3).init(sampler.params)
+            sampler._opt_state = _unpack_leaves(arrays, meta, "opt", tmpl)
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        from mcmcpp_tpu.neutra import FitResult
+
+        for attr in ("fit_result", "refit_result"):
+            if f"{attr}_hist" in arrays:
+                hist = arrays[f"{attr}_hist"]
+                setattr(sampler, attr,
+                        FitResult(hist, float(hist[-100:].mean())))
+    elif meta["kind"] == "advi":
+        if not _is_advi(sampler):
+            raise TypeError("checkpoint is for an ADVI fit")
+        if bool(meta["full_rank"]) != bool(sampler.full_rank):
+            raise ValueError(
+                "checkpoint/sampler disagree on full_rank mode"
+            )
+        sampler.params = _unpack_leaves(arrays, meta, "vi", sampler.params)
+        sampler.opt_state = _unpack_leaves(
+            arrays, meta, "opt", sampler.opt_state
+        )
+        sampler.elbo_trace = [float(v) for v in arrays["elbo_trace"]]
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
     else:
         raise ValueError(f"unknown checkpoint kind {meta['kind']!r}")
     return sampler

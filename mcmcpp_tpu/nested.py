@@ -121,6 +121,28 @@ class NestedSampler:
             self._vec_sharding = vector_sharding(self._row_sharding)
         self._iterate = jax.jit(self._build_iterate())
         self.result = None
+        # resumable run state (checkpoint/resume: io/checkpoint.py
+        # kind="nested"); None until run() initializes the live set
+        self._live = self._ll = self._lpp = None
+        self._dead_pos = []
+        self._dead_ll = []
+        self._dead_logw = []
+        self._logz = -np.inf
+        self._logx = 0.0
+        self._n_calls = 0
+        self._iters_done = 0
+        self._low_acc_warned = False
+
+    def reset(self):
+        """Discard mid-run state so the next :meth:`run` starts fresh."""
+        self._live = self._ll = self._lpp = None
+        self._dead_pos, self._dead_ll, self._dead_logw = [], [], []
+        self._logz, self._logx = -np.inf, 0.0
+        self._n_calls = 0
+        self._iters_done = 0
+        self._low_acc_warned = False
+        self.result = None
+        return self
 
     def _constrain_rows(self, pos, *vecs):
         """Pin (n, P) rows + (n,) stats to the live-set sharding."""
@@ -326,37 +348,45 @@ class NestedSampler:
         ``min_accept``: warn if constrained-walk acceptance falls below
         this (replacements then correlate with their seeds; raise n_mcmc
         or n_live).
+
+        Resumable: a second ``run()`` call CONTINUES from the current
+        live set and dead-point ledger (``max_iters`` bounds the
+        additional iterations of that call), bitwise-identically to an
+        uninterrupted run — so a budget-capped run, a loaded checkpoint
+        (``io.checkpoint`` kind="nested"), or a tunnel outage mid-run
+        loses nothing. Call :meth:`reset` to start over.
         """
         n, b = self.n_live, self.batch
-        self._key, k_init = jax.random.split(self._key)
-        live = jnp.asarray(self._prior_sample(k_init, n), self.dtype)
-        if live.shape != (n, self.n_params):
-            raise ValueError(
-                f"prior_sample returned {live.shape}, expected "
-                f"{(n, self.n_params)}"
-            )
-        if self._row_sharding is not None:
-            live = jax.device_put(live, self._row_sharding)
-        ll = self._loglike(live)
-        lpp = self._logprior(live)
-        n_calls = n
+        if self._live is None:
+            self._key, k_init = jax.random.split(self._key)
+            live = jnp.asarray(self._prior_sample(k_init, n), self.dtype)
+            if live.shape != (n, self.n_params):
+                raise ValueError(
+                    f"prior_sample returned {live.shape}, expected "
+                    f"{(n, self.n_params)}"
+                )
+            if self._row_sharding is not None:
+                live = jax.device_put(live, self._row_sharding)
+            self._live = live
+            self._ll = self._loglike(live)
+            self._lpp = self._logprior(live)
+            self._n_calls = n
 
-        dead_pos, dead_ll_all, dead_logw = [], [], []
+        live, ll, lpp = self._live, self._ll, self._lpp
         logx_steps = _shrink(n, b)  # cumulative shrink per death in a batch
-        logz = -np.inf
-        logx = 0.0  # current log prior volume
-        low_acc_warned = False
-        it = 0
-        for it in range(1, int(max_iters) + 1):
+        logz = self._logz
+        logx = self._logx  # current log prior volume
+        for _ in range(int(max_iters)):
             self._key, k_it = jax.random.split(self._key)
             live, ll, lpp, dead, d_ll, acc = self._iterate(
                 k_it, live, ll, lpp
             )
-            n_calls += (int(acc) if self.kernel == "slice"
-                        else b * self.n_mcmc)
+            self._iters_done += 1
+            self._n_calls += (int(acc) if self.kernel == "slice"
+                              else b * self.n_mcmc)
             d_ll = np.asarray(d_ll, np.float64)
-            dead_pos.append(np.asarray(dead))
-            dead_ll_all.append(d_ll)
+            self._dead_pos.append(np.asarray(dead))
+            self._dead_ll.append(d_ll)
             # shell weights in LOG space: log(X_{j-1} − X_j) =
             # log X_{j-1} + log(−expm1(Δlog X)); linear-space subtraction
             # underflows once log X < ~−745 (high-information runs) and
@@ -365,21 +395,23 @@ class NestedSampler:
             logx_prev = np.concatenate([[logx], logx_new[:-1]])
             log_width = logx_prev + np.log(-np.expm1(logx_new - logx_prev))
             logw = log_width + d_ll
-            dead_logw.append(logw)
+            self._dead_logw.append(logw)
             logz = np.logaddexp(logz, _logsumexp(logw))
             logx = float(logx_new[-1])
+            self._logz, self._logx = logz, logx
             acc_rate = (1.0 if self.kernel == "slice"
                         else float(acc) / (b * self.n_mcmc))
-            if acc_rate < min_accept and not low_acc_warned:
+            if acc_rate < min_accept and not self._low_acc_warned:
                 import warnings
 
                 warnings.warn(
                     f"constrained-walk acceptance {acc_rate:.3f} < "
-                    f"{min_accept} at iteration {it}; replacements may "
-                    "correlate with seeds (raise n_mcmc or n_live)",
+                    f"{min_accept} at iteration {self._iters_done}; "
+                    "replacements may correlate with seeds (raise n_mcmc "
+                    "or n_live)",
                     stacklevel=2,
                 )
-                low_acc_warned = True
+                self._low_acc_warned = True
             # termination: best-case remaining evidence in the live set
             ll_max = float(jnp.max(ll))
             remain = logx + ll_max
@@ -387,17 +419,19 @@ class NestedSampler:
                 np.logaddexp(logz, remain) - logz < dlogz
             ):
                 break
+        self._live, self._ll, self._lpp = live, ll, lpp
 
-        # final increment: surviving live points share the last volume
+        # final increment: surviving live points share the last volume.
+        # Finalization reads COPIES, so a continued run can re-finalize.
         live_np = np.asarray(live)
         ll_np = np.asarray(ll, np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             logw_live = (logx - np.log(n)) + ll_np
         logz = np.logaddexp(logz, _logsumexp(logw_live))
 
-        samples = np.concatenate(dead_pos + [live_np], 0)
-        logl = np.concatenate(dead_ll_all + [ll_np], 0)
-        logw = np.concatenate(dead_logw + [logw_live]) - logz  # Σ exp = 1
+        samples = np.concatenate(self._dead_pos + [live_np], 0)
+        logl = np.concatenate(self._dead_ll + [ll_np], 0)
+        logw = np.concatenate(self._dead_logw + [logw_live]) - logz
         # information H = Σ p_j ln L_j − ln Z (Skilling 2006, eq. 17)
         finite = np.isfinite(logw) & np.isfinite(logl)
         h = float(np.sum(np.exp(logw[finite]) * logl[finite]) - logz)
@@ -407,8 +441,8 @@ class NestedSampler:
             logz=float(logz),
             logz_err=float(math.sqrt(max(h, 0.0) / n)),
             h=float(h),
-            n_iters=it,
-            n_calls=int(n_calls),
+            n_iters=self._iters_done,
+            n_calls=int(self._n_calls),
             samples=samples,
             logl=logl,
             logw=logw,

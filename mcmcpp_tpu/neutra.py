@@ -404,6 +404,12 @@ class NeuTra:
         self._key = jax.random.key(seed)
         self._key, init_key = jax.random.split(self._key)
         self.params = self.flow.init(init_key)
+        # last optimizer state (fit / refit_forward_kl) — persisted by
+        # io/checkpoint.py kind="neutra" so an interrupted fit resumes
+        # with warm Adam moments instead of refitting from scratch
+        self._opt_state = None
+        self.fit_result = None
+        self.refit_result = None
 
     # -- training (reverse KL / ELBO ascent) --------------------------------
 
@@ -419,9 +425,16 @@ class NeuTra:
         # base entropy is constant in params; dropped from the objective
         return jnp.mean(jax.vmap(one)(z))
 
-    def fit(self, n_steps=2000, batch=128, learning_rate=1e-3):
+    def fit(self, n_steps=2000, batch=128, learning_rate=1e-3,
+            resume=False):
         """Adam ascent on the ELBO as one jitted scan. Returns self;
-        the trace is in ``self.fit_result``."""
+        the trace is in ``self.fit_result``.
+
+        ``resume=True`` continues from the retained optimizer moments
+        (``self._opt_state`` — survives checkpoint/restore), so a
+        segmented ``fit(k); fit(k, resume=True)`` optimizes identically
+        to the same total budget with a save/load in between.
+        """
         import optax
 
         opt = optax.adam(learning_rate)
@@ -437,10 +450,13 @@ class NeuTra:
 
         self._key, fit_key = jax.random.split(self._key)
         keys = jax.random.split(fit_key, int(n_steps))
-        (params, _), elbos = jax.jit(
+        opt0 = (self._opt_state if resume and self._opt_state is not None
+                else opt.init(self.params))
+        (params, opt_state), elbos = jax.jit(
             lambda carry, ks: jax.lax.scan(step, carry, ks)
-        )((self.params, opt.init(self.params)), keys)
+        )((self.params, opt0), keys)
         self.params = jax.block_until_ready(params)
+        self._opt_state = opt_state
         hist = np.asarray(elbos)
         self.fit_result = FitResult(hist, float(hist[-100:].mean()))
         return self
@@ -498,10 +514,11 @@ class NeuTra:
 
         self._key, fit_key = jax.random.split(self._key)
         keys = jax.random.split(fit_key, int(n_steps))
-        (params, _), hist = jax.jit(
+        (params, opt_state), hist = jax.jit(
             lambda carry, ks: jax.lax.scan(step, carry, ks)
         )((self.params, opt.init(self.params)), keys)
         self.params = jax.block_until_ready(params)
+        self._opt_state = opt_state
         hist = np.asarray(hist)
         self.refit_result = FitResult(hist, float(hist[-100:].mean()))
         return self
