@@ -254,3 +254,51 @@ def test_forecast_vs_enumeration():
         ])
         marg -= lse(marg)
         np.testing.assert_allclose(preds[k], marg, rtol=2e-4, atol=2e-4)
+
+
+def test_hmm_kernel_mesh_sharded_bitwise():
+    """HMMKernel inside a sharded BlockedGibbs sweep: chain-axis sharding
+    over the 8-device mesh must not change a bit (round-3 verdict item 4;
+    same contract as test_pmmh_mesh_sharded_bitwise)."""
+    from mcmcpp_tpu import BlockedGibbsSampler, ExactGibbsKernel
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    rng = np.random.default_rng(3)
+    t_n = 24
+    ys = rng.standard_normal(t_n).astype(np.float32)
+    log_obs = gaussian_emission_logpdf(
+        ys, np.array([-1.0, 1.0]), np.array([0.8, 0.8])
+    )
+    log_pi = np.log(np.array([0.5, 0.5], np.float32))
+
+    def log_gamma_fn(others):
+        return others["lgam"].reshape(2, 2)
+
+    def sample_rows(key, others):
+        counts = transition_counts(
+            others["z"].astype(jnp.int32), 2
+        ).astype(jnp.float32)
+        g = jax.random.gamma(key, counts + 1.0)
+        rows = g / jnp.sum(g, axis=1, keepdims=True)
+        return jnp.log(rows).reshape(-1)
+
+    def build(mesh):
+        gb = BlockedGibbsSampler(
+            [
+                ("z", t_n, HMMKernel(log_obs, log_pi, log_gamma_fn)),
+                ("lgam", 4, ExactGibbsKernel(sample_rows)),
+            ],
+            n_chains=16, seed=0, mesh=mesh,
+        )
+        gb.init({
+            "z": np.zeros(t_n, np.float32),
+            "lgam": np.log(np.full((2, 2), 0.5)).reshape(-1).astype(
+                np.float32
+            ),
+        })
+        gb.run(10)
+        return np.asarray(gb.get_samples())
+
+    a = build(None)
+    b = build(make_walker_mesh())
+    np.testing.assert_array_equal(a, b)
