@@ -17,6 +17,8 @@ from mcmcpp_tpu.analysis.model_compare import (
     ElpdResult,
     compare,
     loo,
+    pseudo_bma_weights,
+    stacking_weights,
     waic,
 )
 from mcmcpp_tpu.analysis.diagnostics import (
@@ -73,6 +75,8 @@ __all__ = [
     "ElpdResult",
     "compare",
     "loo",
+    "pseudo_bma_weights",
+    "stacking_weights",
     "waic",
     "BridgeResult",
     "bridge_log_evidence",

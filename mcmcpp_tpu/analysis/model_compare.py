@@ -96,6 +96,92 @@ def loo(loglik, khat_frac=0.2):
     )
 
 
+def _pointwise_matrix(results):
+    """{name: ElpdResult} -> (names, (n_obs, K) pointwise elpd matrix)."""
+    if not results:
+        raise ValueError("no results to combine")
+    names = list(results)
+    n_obs = {k: len(v.pointwise) for k, v in results.items()}
+    if len(set(n_obs.values())) != 1:
+        raise ValueError(f"models score different observation sets: {n_obs}")
+    lpd = np.stack([np.asarray(results[k].pointwise, np.float64)
+                    for k in names], axis=1)
+    return names, lpd
+
+
+def stacking_weights(results):
+    """Bayesian stacking of predictive distributions (Yao, Vehtari,
+    Simpson & Gelman 2018, Bayesian Analysis): find simplex weights
+    maximizing the combined LOO log score
+
+        max_w  Σ_i log Σ_k w_k p_k(y_i | y_{-i}),
+
+    with ``p_k(y_i|y_{-i}) = exp(pointwise_i)`` from each model's
+    :func:`loo` (or :func:`waic`) result. Unlike (pseudo-)BMA this
+    optimizes the POOLED predictive, so it degrades gracefully in the
+    M-open setting — when every candidate is misspecified, weights split
+    to cover the data instead of collapsing onto the least-bad model.
+
+    results: {name: ElpdResult} over the same observations.
+    Returns {name: weight} (sums to 1). The objective is concave on the
+    simplex, so the SLSQP solve from the uniform start is the global
+    optimum.
+    """
+    from scipy.optimize import minimize
+
+    names, lpd = _pointwise_matrix(results)
+    n, k = lpd.shape
+    if k == 1:
+        return {names[0]: 1.0}
+    rowmax = lpd.max(axis=1, keepdims=True)
+    p = np.exp(lpd - rowmax)  # (n, K), rows scaled to max 1
+
+    def neg_score(w):
+        mix = p @ w
+        return -np.sum(np.log(np.maximum(mix, 1e-300)))
+
+    def grad(w):
+        mix = np.maximum(p @ w, 1e-300)
+        return -(p / mix[:, None]).sum(axis=0)
+
+    res = minimize(
+        neg_score, np.full(k, 1.0 / k), jac=grad, method="SLSQP",
+        bounds=[(0.0, 1.0)] * k,
+        constraints=[{"type": "eq", "fun": lambda w: w.sum() - 1.0,
+                      "jac": lambda w: np.ones_like(w)}],
+        options={"maxiter": 500, "ftol": 1e-12},
+    )
+    w = np.clip(res.x, 0.0, None)
+    w /= w.sum()
+    return dict(zip(names, w.tolist()))
+
+
+def pseudo_bma_weights(results, bootstrap=True, n_boot=1000, seed=0):
+    """Pseudo-BMA weights ``w_k ∝ exp(elpd_k)`` (Yao et al. 2018 §3.2).
+
+    ``bootstrap=True`` (pseudo-BMA+, the paper's recommendation): the
+    elpd's sampling uncertainty is propagated by the Bayesian bootstrap —
+    Dirichlet(1,…,1) reweightings of the pointwise contributions, weights
+    averaged over replicates — so a model ahead by less than its standard
+    error no longer takes effectively all the mass.
+
+    Returns {name: weight} (sums to 1).
+    """
+    names, lpd = _pointwise_matrix(results)
+    n, k = lpd.shape
+    if not bootstrap:
+        e = lpd.sum(axis=0)
+        w = np.exp(e - e.max())
+        return dict(zip(names, (w / w.sum()).tolist()))
+    rng = np.random.default_rng(seed)
+    alpha = rng.dirichlet(np.ones(n), size=int(n_boot))  # (B, n)
+    elpd_b = n * (alpha @ lpd)  # (B, K) bootstrap elpd replicates
+    wb = np.exp(elpd_b - elpd_b.max(axis=1, keepdims=True))
+    wb /= wb.sum(axis=1, keepdims=True)
+    w = wb.mean(axis=0)
+    return dict(zip(names, (w / w.sum()).tolist()))
+
+
 def compare(results):
     """Rank fitted models by elpd. ``results``: {name: ElpdResult} (same
     observations in the same order). Returns rows

@@ -99,3 +99,106 @@ class TestElpd:
         assert np.isnan(ll["y"][:, 5:10]).all()
         w = waic(ll)
         assert w.pointwise.shape == (25,)  # masked columns dropped
+
+
+# --- stacking / pseudo-BMA (Yao et al. 2018; round-4 addition) -------------
+
+
+def _elpd(pointwise):
+    pointwise = np.asarray(pointwise, np.float64)
+    from mcmcpp_tpu.analysis.model_compare import ElpdResult
+
+    return ElpdResult(
+        elpd=float(pointwise.sum()),
+        se=float(np.sqrt(len(pointwise) * pointwise.var(ddof=1))),
+        p_eff=0.0, pointwise=pointwise,
+        pareto_k=np.full(len(pointwise), np.nan), method="loo",
+    )
+
+
+def test_stacking_matches_grid_oracle():
+    """K=2: the SLSQP solution must match brute-force maximization of the
+    exact stacking objective on a fine weight grid (closed-form oracle)."""
+    from mcmcpp_tpu.analysis import stacking_weights
+
+    rng = np.random.default_rng(0)
+    n = 400
+    lpd1 = rng.normal(-1.3, 0.6, n)
+    lpd2 = lpd1 + rng.normal(0.1, 0.9, n)  # correlated, partially better
+    w = stacking_weights({"m1": _elpd(lpd1), "m2": _elpd(lpd2)})
+    grid = np.linspace(0.0, 1.0, 2001)
+    scores = [
+        np.sum(np.logaddexp(np.log(g + 1e-300) + lpd1,
+                            np.log(1 - g + 1e-300) + lpd2))
+        for g in grid
+    ]
+    g_star = grid[int(np.argmax(scores))]
+    assert abs(w["m1"] - g_star) < 2e-3, (w, g_star)
+    assert w["m1"] + w["m2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_stacking_recovers_mixture_proportion():
+    """Nested simulated models: data from 0.7·N(-2,1) + 0.3·N(2,1), each
+    candidate one well-separated component — the KL-optimal pooled
+    predictive is the true mixture, so the weights recover (0.7, 0.3)."""
+    from scipy.stats import norm
+
+    from mcmcpp_tpu.analysis import stacking_weights
+
+    rng = np.random.default_rng(1)
+    n = 4000
+    comp = rng.random(n) < 0.7
+    y = np.where(comp, rng.normal(-2.0, 1.0, n), rng.normal(2.0, 1.0, n))
+    res = {
+        "left": _elpd(norm.logpdf(y, -2.0, 1.0)),
+        "right": _elpd(norm.logpdf(y, 2.0, 1.0)),
+    }
+    w = stacking_weights(res)
+    assert abs(w["left"] - 0.7) < 0.05, w
+    assert abs(w["right"] - 0.3) < 0.05, w
+
+
+def test_stacking_dominating_model_takes_all():
+    from mcmcpp_tpu.analysis import stacking_weights
+
+    rng = np.random.default_rng(2)
+    n = 300
+    good = rng.normal(-1.0, 0.3, n)
+    bad = good - 2.0  # uniformly worse pointwise -> zero stacking value
+    w = stacking_weights({"good": _elpd(good), "bad": _elpd(bad)})
+    assert w["good"] > 0.999, w
+
+
+def test_pseudo_bma_closed_form_and_plus():
+    from mcmcpp_tpu.analysis import pseudo_bma_weights
+
+    rng = np.random.default_rng(3)
+    n = 200
+    lpd1 = rng.normal(-1.0, 0.5, n)
+    lpd2 = lpd1 + rng.normal(0.005, 0.8, n)  # tiny mean edge, big SE
+    res = {"m1": _elpd(lpd1), "m2": _elpd(lpd2)}
+    w = pseudo_bma_weights(res, bootstrap=False)
+    e1, e2 = lpd1.sum(), lpd2.sum()
+    expect = np.exp(e1 - max(e1, e2))
+    expect = expect / (expect + np.exp(e2 - max(e1, e2)))
+    assert w["m1"] == pytest.approx(expect, rel=1e-12)
+    # pseudo-BMA+ (Bayesian bootstrap) regularizes toward uniform when the
+    # elpd difference is within its sampling noise
+    wp = pseudo_bma_weights(res, seed=0)
+    assert abs(wp["m1"] - 0.5) < abs(w["m1"] - 0.5) + 1e-12
+    assert wp["m1"] + wp["m2"] == pytest.approx(1.0, abs=1e-9)
+    # deterministic under a fixed seed
+    assert wp == pseudo_bma_weights(res, seed=0)
+
+
+def test_stacking_validation():
+    from mcmcpp_tpu.analysis import pseudo_bma_weights, stacking_weights
+
+    with pytest.raises(ValueError, match="no results"):
+        stacking_weights({})
+    res = {"a": _elpd(np.zeros(5)), "b": _elpd(np.zeros(7))}
+    with pytest.raises(ValueError, match="different observation"):
+        stacking_weights(res)
+    with pytest.raises(ValueError, match="different observation"):
+        pseudo_bma_weights(res)
+    assert stacking_weights({"only": _elpd(np.zeros(5))}) == {"only": 1.0}
