@@ -195,6 +195,8 @@ def run_attempt():
     _log(f"store-inclusive ESS/s done: {ess_rate:.3e}")
     ess_bf16, _ = ess_per_s(jax, jnp, store_dtype=jnp.bfloat16)
     _log(f"store-inclusive ESS/s (bf16 store) done: {ess_bf16:.3e}")
+    ess_f8, _ = ess_per_s(jax, jnp, store_dtype=jnp.float8_e4m3fn)
+    _log(f"store-inclusive ESS/s (f8 store) done: {ess_f8:.3e}")
     ess_device = ess_per_s_device_resident(jax, jnp)
     _log(f"device-resident ESS/s done: {ess_device:.3e}")
     print(
@@ -206,6 +208,7 @@ def run_attempt():
                 "vs_baseline": updates_per_s / NORTH_STAR,
                 "ess_per_s_10d_gaussian": ess_rate,
                 "ess_per_s_10d_gaussian_bf16store": ess_bf16,
+                "ess_per_s_10d_gaussian_f8store": ess_f8,
                 "ess_unit": "ESS/s (worst parameter, chain store included)",
                 "ess_window_updates_per_s": ess_window_updates,
                 "ess_per_s_device_resident": ess_device,

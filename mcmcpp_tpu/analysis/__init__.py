@@ -38,9 +38,11 @@ from mcmcpp_tpu.analysis.global_stats import (
     global_effective_sample_size,
     global_ess_bulk,
     global_ess_tail,
+    global_mcse_mean,
     global_multivariate_ess,
     global_rank_normalized_rhat,
     global_split_rhat,
+    global_summary,
 )
 from mcmcpp_tpu.analysis.sbc import (
     sbc_ecdf_band,
@@ -87,9 +89,11 @@ __all__ = [
     "global_effective_sample_size",
     "global_ess_bulk",
     "global_ess_tail",
+    "global_mcse_mean",
     "global_multivariate_ess",
     "global_rank_normalized_rhat",
     "global_split_rhat",
+    "global_summary",
     "sbc_ecdf_band",
     "sbc_model",
     "sbc_ranks",

@@ -398,6 +398,132 @@ def global_rank_normalized_rhat(local_samples, max_knots=4096,
     return global_split_rhat(scores, _reduce=_reduce)
 
 
+def _merged_hdi(knots, cums, n_total, prob):
+    """Shortest interval holding ``prob`` mass, from the merged ECDF.
+
+    Same convention as ``analysis.hdi`` (keep = floor(prob·n) order
+    statistics); exact when the knots are the full sorted shards.
+    """
+    weights = np.diff(cums, axis=1, prepend=0.0)
+    vals = knots.ravel()
+    wts = weights.ravel()
+    order = np.argsort(vals, kind="stable")
+    vals = vals[order]
+    cumw = np.cumsum(wts[order])
+    live = wts[order] > 0
+    keep = max(1, int(np.floor(prob * n_total)))
+    if keep >= n_total:
+        raise ValueError(f"prob={prob} needs more than {n_total} draws")
+    starts = np.concatenate([[0.0], cumw[:-1]])[live]  # rank before knot
+    ends = starts + 1.0 + keep  # rank of the interval's upper endpoint
+    ok = ends <= n_total
+    starts_v = vals[live][ok]
+    hi_idx = np.searchsorted(cumw, ends[ok], side="left")
+    hi_v = vals[np.minimum(hi_idx, vals.size - 1)]
+    i = int(np.argmin(hi_v - starts_v))
+    return float(starts_v[i]), float(hi_v[i])
+
+
+def global_mcse_mean(local_samples, window_scaling=4.0, _reduce=None):
+    """Whole-ensemble Monte-Carlo standard error of the posterior mean
+    (collective; equals ``analysis.mcse_mean`` on the full ensemble):
+    global sd / sqrt(global ESS)."""
+    arr = np.asarray(local_samples, np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("local_samples must be (S, W_local[, P])")
+    reduce_ = _reduce if _reduce is not None else _sum_over_hosts
+    flat = arr.reshape(-1, arr.shape[-1])
+    n, sx, sxx = reduce_(
+        np.asarray(float(flat.shape[0])), flat.sum(axis=0),
+        (flat * flat).sum(axis=0),
+    )
+    sd = np.sqrt(np.maximum((sxx - sx * sx / n) / (n - 1.0), 0.0))
+    ess = np.atleast_1d(global_effective_sample_size(
+        arr, window_scaling=window_scaling, _reduce=_reduce
+    ))
+    out = sd / np.sqrt(np.maximum(ess, 1.0))
+    return float(out[0]) if np.ndim(local_samples) == 2 else out
+
+
+def global_summary(local_samples, prob=0.9, max_knots=4096,
+                   window_scaling=4.0, _reduce=None, _gather=None):
+    """Whole-ensemble posterior summary from a per-host walker shard —
+    the collective counterpart of ``analysis.summary`` (same keys: mean,
+    sd, median, central interval, HDI, ess, ess_bulk, ess_tail, rhat,
+    mcse), replicated identically on every host.
+
+    Moments come from exact moment partials; order statistics (median,
+    quantiles, HDI) from the merged compressed ECDF (exact when
+    S·W_local ≤ max_knots); the ESS family and rank-normalized R̂ from
+    the decompositions above. Every host must call this collectively.
+    """
+    arr = np.asarray(local_samples, np.float64)
+    if arr.ndim != 3:
+        raise ValueError("local_samples must be (S, W_local, P)")
+    s, w, p = arr.shape
+    reduce_ = _reduce if _reduce is not None else _sum_over_hosts
+    gather_ = _gather if _gather is not None else _gather_hosts
+    flat = arr.reshape(-1, p)
+    # one ECDF gather, reused for every order statistic
+    knots = np.empty((p, int(max_knots)))
+    cums = np.empty((p, int(max_knots)))
+    for i in range(p):
+        knots[i], cums[i] = _local_ecdf(flat[:, i], int(max_knots))
+    g_knots, g_cums, g_n = gather_(
+        knots, cums, np.asarray(float(flat.shape[0]))
+    )
+    n_total = float(g_n.sum())
+    # exact moments
+    n, sx, sxx = reduce_(
+        np.asarray(float(flat.shape[0])), flat.sum(axis=0),
+        (flat * flat).sum(axis=0),
+    )
+    mean = sx / n
+    sd = np.sqrt(np.maximum((sxx - sx * sx / n) / (n - 1.0), 0.0))
+    lo_q, hi_q = (1 - prob) / 2, 1 - (1 - prob) / 2
+    qs = {q: np.empty(p) for q in (0.5, lo_q, hi_q)}
+    hdi_lo = np.empty(p)
+    hdi_hi = np.empty(p)
+    for i in range(p):
+        for q in qs:
+            qs[q][i] = _merged_quantile(
+                g_knots[:, i], g_cums[:, i], n_total, q
+            )
+        hdi_lo[i], hdi_hi[i] = _merged_hdi(
+            g_knots[:, i], g_cums[:, i], n_total, prob
+        )
+    ess = np.atleast_1d(global_effective_sample_size(
+        arr, window_scaling=window_scaling, _reduce=reduce_
+    ))
+    bulk = np.atleast_1d(global_ess_bulk(
+        arr, window_scaling=window_scaling, max_knots=max_knots,
+        _reduce=reduce_, _gather=gather_,
+    ))
+    tail = np.atleast_1d(global_ess_tail(
+        arr, window_scaling=window_scaling, max_knots=max_knots,
+        _reduce=reduce_, _gather=gather_,
+    ))
+    rhat = global_rank_normalized_rhat(
+        arr, max_knots=max_knots, _reduce=reduce_, _gather=gather_
+    )
+    return {
+        "mean": mean,
+        "sd": sd,
+        "median": qs[0.5],
+        f"q{round(lo_q * 100, 6):g}": qs[lo_q],
+        f"q{round(hi_q * 100, 6):g}": qs[hi_q],
+        "hdi_lo": hdi_lo,
+        "hdi_hi": hdi_hi,
+        "ess": ess,
+        "ess_bulk": bulk,
+        "ess_tail": tail,
+        "rhat": rhat,
+        "mcse": sd / np.sqrt(np.maximum(ess, 1.0)),
+    }
+
+
 def global_split_rhat(local_samples, _reduce=None):
     """Whole-ensemble split-R̂ from a per-host walker shard (collective).
 

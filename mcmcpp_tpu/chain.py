@@ -130,7 +130,7 @@ class Chain:
     """
 
     def __init__(self, n_walkers, n_params, max_bytes=2 << 30, dtype=np.float32,
-                 backend="auto", read_dtype=None):
+                 backend="auto", read_dtype=None, logp_dtype=None):
         self.n_walkers = int(n_walkers)
         self.n_params = int(n_params)
         self.max_bytes = int(max_bytes)
@@ -140,6 +140,10 @@ class Chain:
         # cast up to ``read_dtype`` (numpy FFT/cov paths don't accept
         # ml_dtypes customs)
         self.read_dtype = None if read_dtype is None else np.dtype(read_dtype)
+        # the logp plane may carry a wider dtype than the sample rows (f8
+        # sample tiers keep logp at bf16 — range, see sampler.run_scan)
+        self.logp_dtype = (self.dtype if logp_dtype is None
+                           else np.dtype(logp_dtype))
         self._blocks = []  # list of (S_i, W, P)
         self._logp_blocks = []  # list of (S_i, W)
         self._bytes = 0
@@ -148,6 +152,13 @@ class Chain:
         self._native = None
         if backend not in ("auto", "native", "numpy"):
             raise ValueError(f"unknown chain backend {backend!r}")
+        if self.logp_dtype != self.dtype and backend == "native":
+            raise ValueError(
+                "the native store holds both planes at one dtype; "
+                "mixed sample/logp dtypes need backend='numpy'"
+            )
+        if backend == "auto" and self.logp_dtype != self.dtype:
+            backend = "numpy"  # mixed-plane layout: host store only
         if backend in ("auto", "native"):
             from mcmcpp_tpu import native as _nat
 
@@ -167,7 +178,9 @@ class Chain:
     # -- writing -----------------------------------------------------------
 
     def _row_bytes(self):
-        return self.n_walkers * (self.n_params + 1) * self.dtype.itemsize
+        return self.n_walkers * (
+            self.n_params * self.dtype.itemsize + self.logp_dtype.itemsize
+        )
 
     def append(self, positions, logps=None):
         """Append (S, W, P) positions (+ optional (S, W) logp). Returns False
@@ -182,9 +195,9 @@ class Chain:
                 f"got {positions.shape}"
             )
         if logps is None:
-            logps = np.zeros(positions.shape[:2], self.dtype)
+            logps = np.zeros(positions.shape[:2], self.logp_dtype)
         else:
-            logps = np.asarray(logps, self.dtype)
+            logps = np.asarray(logps, self.logp_dtype)
             if logps.shape != positions.shape[:2]:
                 raise ValueError("logps shape must be (S, W)")
         if self._native is not None:

@@ -132,7 +132,13 @@ def run_scan(state: EnsembleState, step_fn, n_store: int, thin: int,
         metrics = step_action(pos, logp) if step_action is not None else 0
         if store_dtype is not None:
             pos = pos.astype(store_dtype)
-            logp = logp.astype(store_dtype)
+            # 8-bit float tiers keep the logp plane at bfloat16: e4m3's
+            # ±448 range overflows on routine |logp| values, and the plane
+            # is 1/(P+1) of the payload — the byte saving is negligible
+            logp = logp.astype(
+                jnp.bfloat16 if jnp.dtype(store_dtype).itemsize < 2
+                else store_dtype
+            )
         return carry, (pos, logp, metrics)
 
     final, (positions, logps, metrics) = jax.lax.scan(body, state, length=n_store)
@@ -251,6 +257,9 @@ class EnsembleSampler:
                 # sub-fp32 rows are cast up on read: numpy's FFT/cov
                 # analysis paths reject ml_dtypes customs
                 read_dtype=(np.float32 if row_dtype.itemsize < 4 else None),
+                # 8-bit tiers keep the logp plane at bf16 (run_scan's rule)
+                logp_dtype=(np.dtype(jnp.bfloat16)
+                            if row_dtype.itemsize < 2 else None),
             )
         self.state = None
         # host-side accumulators: PER-WALKER int64 accept counts in chain

@@ -118,7 +118,10 @@ def _simulate_hosts(fn, full, n_hosts=2, **kw):
     sim = _HostSim(n_hosts)
     results = [None] * n_hosts
     errors = []
-    takes_gather = "_gather" in inspect.signature(fn).parameters
+    params = inspect.signature(fn).parameters
+    takes_gather = "_gather" in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+    )
 
     def work(i):
         try:
@@ -140,7 +143,17 @@ def _simulate_hosts(fn, full, n_hosts=2, **kw):
         raise non_broken[0]
     assert not errors
     for r in results[1:]:
-        np.testing.assert_array_equal(np.asarray(results[0]), np.asarray(r))
+        if isinstance(results[0], dict):
+            assert set(r) == set(results[0])
+            for k in results[0]:
+                np.testing.assert_array_equal(
+                    np.asarray(results[0][k]), np.asarray(r[k]),
+                    err_msg=k,
+                )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(results[0]), np.asarray(r)
+            )
     return results[0]
 
 
@@ -310,3 +323,39 @@ def test_validation():
         global_split_rhat(np.zeros((4, 2)))
     with pytest.raises(ValueError, match="local_samples"):
         global_covariance_matrix(np.zeros((4,)))
+
+
+def test_global_summary_and_mcse_single_process(chain):
+    """global_summary / global_mcse_mean equal the local whole-ensemble
+    summary when fed the full ensemble as one shard (full-knot ECDF)."""
+    n_local = chain.shape[0] * chain.shape[1]
+    loc = analysis.summary(chain, prob=0.9)
+    glob = analysis.global_summary(chain, prob=0.9, max_knots=n_local)
+    assert set(glob) == set(loc)
+    for key in ("mean", "sd", "median", "q5", "q95", "hdi_lo", "hdi_hi"):
+        np.testing.assert_allclose(glob[key], loc[key], rtol=1e-9,
+                                   err_msg=key)
+    for key in ("ess", "ess_bulk", "ess_tail", "rhat", "mcse"):
+        np.testing.assert_allclose(glob[key], loc[key], rtol=1e-6,
+                                   err_msg=key)
+    np.testing.assert_allclose(
+        analysis.global_mcse_mean(chain), analysis.mcse_mean(chain),
+        rtol=1e-9,
+    )
+
+
+def test_global_summary_two_shards(chain):
+    """2-host emulation of the full summary: every statistic equals the
+    whole-ensemble value (order statistics exact via full-knot ECDFs)."""
+    n_shard = chain.shape[0] * (chain.shape[1] // 2)
+    loc = analysis.summary(chain, prob=0.9)
+    glob = _simulate_hosts(
+        lambda sh, **kw: analysis.global_summary(sh, prob=0.9, **kw),
+        chain, max_knots=n_shard,
+    )
+    for key in ("mean", "sd", "median", "q5", "q95", "hdi_lo", "hdi_hi"):
+        np.testing.assert_allclose(glob[key], loc[key], rtol=1e-9,
+                                   err_msg=key)
+    for key in ("ess", "ess_bulk", "ess_tail", "rhat", "mcse"):
+        np.testing.assert_allclose(glob[key], loc[key], rtol=1e-5,
+                                   err_msg=key)
