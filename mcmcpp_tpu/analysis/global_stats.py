@@ -299,12 +299,11 @@ def _merged_quantile(knots, cums, n_total, q):
     return x_lo + frac * (x_hi - x_lo)
 
 
-def _global_normal_scores(arr, gather_, max_knots):
-    """(S, W_local, P) shard -> normal scores via GLOBAL average ranks
-    (same (r − 0.375)/(N + 0.25) convention as the local rank normalizers).
-    One gather collective. Returns (scores, (g_knots, g_cums, n_total))."""
-    s, w, p = arr.shape
-    flat = arr.reshape(-1, p)
+def _gathered_ecdf(arr, gather_, max_knots):
+    """Build this shard's per-parameter compressed ECDFs and gather them:
+    one collective, returns (g_knots (H,P,K), g_cums (H,P,K), n_total)."""
+    flat = arr.reshape(-1, arr.shape[-1])
+    p = flat.shape[1]
     knots = np.empty((p, max_knots))
     cums = np.empty((p, max_knots))
     for i in range(p):
@@ -312,7 +311,19 @@ def _global_normal_scores(arr, gather_, max_knots):
     g_knots, g_cums, g_n = gather_(
         knots, cums, np.asarray(float(flat.shape[0]))
     )
-    n_total = float(g_n.sum())
+    return g_knots, g_cums, float(g_n.sum())
+
+
+def _global_normal_scores(arr, gather_, max_knots, pre=None):
+    """(S, W_local, P) shard -> normal scores via GLOBAL average ranks
+    (same (r − 0.375)/(N + 0.25) convention as the local rank normalizers).
+    One gather collective — skipped when ``pre`` carries an ECDF already
+    gathered for the same ``arr``. Returns (scores, ecdf)."""
+    s, w, p = arr.shape
+    flat = arr.reshape(-1, p)
+    g_knots, g_cums, n_total = (
+        pre if pre is not None else _gathered_ecdf(arr, gather_, max_knots)
+    )
     from scipy import stats as _stats
 
     scores = np.empty_like(flat)
@@ -324,7 +335,7 @@ def _global_normal_scores(arr, gather_, max_knots):
 
 
 def global_ess_bulk(local_samples, window_scaling=4.0, max_knots=4096,
-                    _reduce=None, _gather=None):
+                    _reduce=None, _gather=None, _pre=None):
     """Whole-ensemble rank-normalized bulk ESS (Vehtari et al. 2021) from
     a per-host walker shard (collective: one ECDF gather + one reduce;
     equals ``analysis.ess_bulk`` on the full ensemble — exactly when
@@ -336,7 +347,8 @@ def global_ess_bulk(local_samples, window_scaling=4.0, max_knots=4096,
     if arr.ndim != 3:
         raise ValueError("local_samples must be (S, W_local[, P])")
     gather_ = _gather if _gather is not None else _gather_hosts
-    scores, _ = _global_normal_scores(arr, gather_, int(max_knots))
+    scores, _ = _global_normal_scores(arr, gather_, int(max_knots),
+                                      pre=_pre)
     ess = np.atleast_1d(global_effective_sample_size(
         scores, window_scaling=window_scaling, _reduce=_reduce
     ))
@@ -344,7 +356,7 @@ def global_ess_bulk(local_samples, window_scaling=4.0, max_knots=4096,
 
 
 def global_ess_tail(local_samples, prob=0.05, window_scaling=4.0,
-                    max_knots=4096, _reduce=None, _gather=None):
+                    max_knots=4096, _reduce=None, _gather=None, _pre=None):
     """Whole-ensemble tail ESS: min over the ``prob``/``1−prob`` GLOBAL
     quantile indicator ESS (collective: one ECDF gather + two reduces;
     equals ``analysis.ess_tail`` on the full ensemble — exactly when
@@ -357,15 +369,10 @@ def global_ess_tail(local_samples, prob=0.05, window_scaling=4.0,
         raise ValueError("local_samples must be (S, W_local[, P])")
     s, w, p = arr.shape
     gather_ = _gather if _gather is not None else _gather_hosts
-    flat = arr.reshape(-1, p)
-    knots = np.empty((p, int(max_knots)))
-    cums = np.empty((p, int(max_knots)))
-    for i in range(p):
-        knots[i], cums[i] = _local_ecdf(flat[:, i], int(max_knots))
-    g_knots, g_cums, g_n = gather_(
-        knots, cums, np.asarray(float(flat.shape[0]))
+    g_knots, g_cums, n_total = (
+        _pre if _pre is not None
+        else _gathered_ecdf(arr, gather_, int(max_knots))
     )
-    n_total = float(g_n.sum())
     out = []
     for q in (prob, 1.0 - prob):
         cut = np.array([
@@ -381,21 +388,32 @@ def global_ess_tail(local_samples, prob=0.05, window_scaling=4.0,
 
 
 def global_rank_normalized_rhat(local_samples, max_knots=4096,
-                                _reduce=None, _gather=None):
+                                _reduce=None, _gather=None, _pre=None):
     """Whole-ensemble RANK-NORMALIZED split-R̂ (Vehtari et al. 2021) from a
     per-host walker shard (collective: one ECDF gather + one reduce; equals
     ``analysis.potential_scale_reduction(full, rank_normalized=True)`` —
     exactly when S·W_local ≤ max_knots). Complements
-    :func:`global_split_rhat` (the classic non-normalized variant)."""
+    :func:`global_split_rhat` (the classic non-normalized variant).
+
+    ``_pre`` (a full-``arr`` gathered ECDF) is honored only when S is
+    even — with an odd S the split path ranks the trimmed value set, which
+    differs from the full one.
+    """
     arr = np.asarray(local_samples, np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
     if arr.ndim != 3:
-        raise ValueError("local_samples must be (S, W_local, P)")
+        raise ValueError("local_samples must be (S, W_local[, P])")
     s_even = arr.shape[0] - arr.shape[0] % 2
     gather_ = _gather if _gather is not None else _gather_hosts
     # rank over the SAME value set the local split path sees (trim first:
     # splitting is a reshape, so ranks commute with it)
-    scores, _ = _global_normal_scores(arr[:s_even], gather_, int(max_knots))
-    return global_split_rhat(scores, _reduce=_reduce)
+    pre = _pre if (s_even == arr.shape[0]) else None
+    scores, _ = _global_normal_scores(arr[:s_even], gather_,
+                                      int(max_knots), pre=pre)
+    out = global_split_rhat(scores, _reduce=_reduce)
+    return float(out[0]) if squeeze else out
 
 
 def _merged_hdi(knots, cums, n_total, prob):
@@ -466,15 +484,10 @@ def global_summary(local_samples, prob=0.9, max_knots=4096,
     reduce_ = _reduce if _reduce is not None else _sum_over_hosts
     gather_ = _gather if _gather is not None else _gather_hosts
     flat = arr.reshape(-1, p)
-    # one ECDF gather, reused for every order statistic
-    knots = np.empty((p, int(max_knots)))
-    cums = np.empty((p, int(max_knots)))
-    for i in range(p):
-        knots[i], cums[i] = _local_ecdf(flat[:, i], int(max_knots))
-    g_knots, g_cums, g_n = gather_(
-        knots, cums, np.asarray(float(flat.shape[0]))
-    )
-    n_total = float(g_n.sum())
+    # ONE ECDF gather, reused for every order statistic AND the rank
+    # normalization below (bulk/tail/rhat take it via _pre)
+    pre = _gathered_ecdf(arr, gather_, int(max_knots))
+    g_knots, g_cums, n_total = pre
     # exact moments
     n, sx, sxx = reduce_(
         np.asarray(float(flat.shape[0])), flat.sum(axis=0),
@@ -497,17 +510,27 @@ def global_summary(local_samples, prob=0.9, max_knots=4096,
     ess = np.atleast_1d(global_effective_sample_size(
         arr, window_scaling=window_scaling, _reduce=reduce_
     ))
-    bulk = np.atleast_1d(global_ess_bulk(
-        arr, window_scaling=window_scaling, max_knots=max_knots,
-        _reduce=reduce_, _gather=gather_,
-    ))
+    if s % 2 == 0:
+        # one normal-scores pass feeds both bulk ESS and rank-R̂ (the
+        # split path ranks the same value set when S is even)
+        scores, _ = _global_normal_scores(arr, gather_, int(max_knots),
+                                          pre=pre)
+        bulk = np.atleast_1d(global_effective_sample_size(
+            scores, window_scaling=window_scaling, _reduce=reduce_
+        ))
+        rhat = global_split_rhat(scores, _reduce=reduce_)
+    else:
+        bulk = np.atleast_1d(global_ess_bulk(
+            arr, window_scaling=window_scaling, max_knots=max_knots,
+            _reduce=reduce_, _gather=gather_, _pre=pre,
+        ))
+        rhat = global_rank_normalized_rhat(
+            arr, max_knots=max_knots, _reduce=reduce_, _gather=gather_
+        )
     tail = np.atleast_1d(global_ess_tail(
         arr, window_scaling=window_scaling, max_knots=max_knots,
-        _reduce=reduce_, _gather=gather_,
+        _reduce=reduce_, _gather=gather_, _pre=pre,
     ))
-    rhat = global_rank_normalized_rhat(
-        arr, max_knots=max_knots, _reduce=reduce_, _gather=gather_
-    )
     return {
         "mean": mean,
         "sd": sd,

@@ -151,6 +151,14 @@ def stacking_weights(results):
                       "jac": lambda w: np.ones_like(w)}],
         options={"maxiter": 500, "ftol": 1e-12},
     )
+    if not res.success:
+        import warnings
+
+        warnings.warn(
+            f"stacking solve did not converge ({res.message}); returning "
+            "the best iterate — treat the weights as approximate",
+            stacklevel=2,
+        )
     w = np.clip(res.x, 0.0, None)
     w /= w.sum()
     return dict(zip(names, w.tolist()))

@@ -266,7 +266,9 @@ class Chain:
                     else np.concatenate(self._logp_blocks, axis=0)
                 )
             else:
-                self._logp_cache = np.zeros((0, self.n_walkers), self.dtype)
+                self._logp_cache = np.zeros(
+                    (0, self.n_walkers), self.logp_dtype
+                )
         return self._logp_cache
 
     def get(self, burn_in=0, thin=1, flat=False):

@@ -90,6 +90,21 @@ def _is_advi(sampler):
     return isinstance(sampler, ADVI)
 
 
+def _param_count(sampler):
+    """Parameter-space dimension of any supported object (NeuTra calls it
+    ``dim``); explicit sentinel so a legitimately-falsy ``n_params``
+    can't silently fall through to the wrong attribute."""
+    _missing = object()
+    n = getattr(sampler, "n_params", _missing)
+    if n is _missing:
+        n = getattr(sampler, "dim", _missing)
+    if n is _missing:
+        raise TypeError(
+            f"{type(sampler).__name__} exposes neither n_params nor dim"
+        )
+    return n
+
+
 def _pack_leaves(arrays, meta, prefix, tree):
     """Flatten a pytree's array leaves into the archive (no pickling;
     the structure is rebuilt at load from the sampler's own config)."""
@@ -112,10 +127,16 @@ def _unpack_leaves(arrays, meta, prefix, template):
             f"configuration implies {treedef.num_leaves} — flow/optimizer "
             "architecture mismatch"
         )
-    return jax.tree_util.tree_unflatten(
-        treedef,
-        [jnp.asarray(arrays[f"{prefix}_leaf_{i}"]) for i in range(n)],
-    )
+    leaves = [jnp.asarray(arrays[f"{prefix}_leaf_{i}"]) for i in range(n)]
+    tmpl_leaves = jax.tree_util.tree_leaves(template)
+    for i, (stored, tmpl) in enumerate(zip(leaves, tmpl_leaves)):
+        if jnp.shape(stored) != jnp.shape(tmpl):
+            raise ValueError(
+                f"{prefix} leaf {i} shape {jnp.shape(stored)} != the "
+                f"sampler configuration's {jnp.shape(tmpl)} — same-depth "
+                "but different-width architecture mismatch"
+            )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def save_checkpoint(sampler, path):
@@ -133,8 +154,7 @@ def save_checkpoint(sampler, path):
     meta = {
         "format": _FORMAT_VERSION,
         "class": type(sampler).__name__,
-        # NeuTra calls the parameter count `dim`
-        "n_params": getattr(sampler, "n_params", None) or sampler.dim,
+        "n_params": _param_count(sampler),
     }
     if isinstance(sampler, EnsembleSampler):
         if sampler.state is None:
@@ -354,6 +374,8 @@ def save_checkpoint(sampler, path):
             n_live=sampler.n_live,
             batch=sampler.batch,
             kernel=sampler.kernel,
+            n_mcmc=sampler.n_mcmc,
+            a=sampler.a,
             iters_done=sampler._iters_done,
             n_calls=int(sampler._n_calls),
             logz=float(sampler._logz),
@@ -434,7 +456,7 @@ def load_checkpoint(sampler, path):
             f"v{_FORMAT_VERSION}); re-save the checkpoint with the version "
             "that wrote it, or resume from raw samples"
         )
-    n_params = getattr(sampler, "n_params", None) or sampler.dim
+    n_params = _param_count(sampler)
     if meta["n_params"] != n_params:
         raise ValueError(
             f"checkpoint has n_params={meta['n_params']}, "
@@ -696,12 +718,13 @@ def load_checkpoint(sampler, path):
     elif meta["kind"] == "nested":
         if not _is_nested(sampler):
             raise TypeError("checkpoint is for a NestedSampler")
-        for field, attr in (("n_live", "n_live"), ("batch", "batch"),
-                            ("kernel", "kernel")):
-            if meta[field] != getattr(sampler, attr):
+        for field in ("n_live", "batch", "kernel", "n_mcmc", "a"):
+            # n_mcmc/a absent from early-round-4 archives: skip, the
+            # remaining fields still guard the load
+            if field in meta and meta[field] != getattr(sampler, field):
                 raise ValueError(
                     f"{field} mismatch: checkpoint {meta[field]!r}, "
-                    f"sampler {getattr(sampler, attr)!r}"
+                    f"sampler {getattr(sampler, field)!r}"
                 )
         live = jnp.asarray(arrays["live"], sampler.dtype)
         if sampler._row_sharding is not None:

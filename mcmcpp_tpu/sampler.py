@@ -244,6 +244,21 @@ class EnsembleSampler:
                     f"chain store geometry ({chain.n_walkers}, "
                     f"{chain.n_params}) != ({self.n_walkers}, {self.n_params})"
                 )
+            if (
+                self._store_dtype is not None
+                and np.dtype(self._store_dtype).itemsize < 2
+                and np.dtype(getattr(chain, "logp_dtype", chain.dtype)
+                             ).itemsize < 2
+            ):
+                # run_scan emits the logp plane as bf16 under 8-bit sample
+                # tiers (e4m3 range); an injected store that would squash
+                # it back to 8 bits silently overflows |logp| > 448
+                raise ValueError(
+                    "an 8-bit store_dtype needs an injected chain whose "
+                    "logp plane is at least 16-bit (e.g. Chain(..., "
+                    "dtype=f8, logp_dtype=bfloat16)); this chain holds "
+                    f"logp at {getattr(chain, 'logp_dtype', chain.dtype)}"
+                )
             self.chain = chain
         else:
             row_dtype = np.dtype(jax.dtypes.canonicalize_dtype(

@@ -22,7 +22,7 @@ import jax  # noqa: E402
 # benchmarks/tpu_test_ledger.py drives this and commits the evidence to
 # docs/artifacts/. Never set it for full-suite runs: two processes
 # contending for the tunneled chip hang (CLAUDE.md).
-if not os.environ.get("MCMCPP_TEST_TPU"):
+if os.environ.get("MCMCPP_TEST_TPU", "").lower() not in ("1", "true", "yes"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 

@@ -282,3 +282,26 @@ def test_checkpoint_resume_advi_bitwise(tmp_path):
     c = ADVI(logp, n_params=3, full_rank=True, seed=0)
     with pytest.raises(ValueError, match="full_rank"):
         load_checkpoint(c, ckpt)
+
+
+def test_checkpoint_nested_n_mcmc_mismatch_rejected(tmp_path):
+    from mcmcpp_tpu import NestedSampler
+
+    a = _nested()
+    a.run(dlogz=0.05, max_iters=2)
+    ckpt = save_checkpoint(a, tmp_path / "ns.npz")
+    wrong = NestedSampler(_ns_logprior, _ns_loglike, _ns_prior_sample,
+                          n_params=DIM_NS, n_live=64, batch=16, n_mcmc=16)
+    with pytest.raises(ValueError, match="n_mcmc mismatch"):
+        load_checkpoint(wrong, ckpt)
+
+
+def test_checkpoint_neutra_same_depth_width_mismatch_rejected(tmp_path):
+    """Same leaf COUNT, different widths: must be rejected at load, not
+    surface later as an opaque dot_general error (round-4 review)."""
+    a = _neutra(hidden=8)
+    a.fit(n_steps=3, batch=8)
+    ckpt = save_checkpoint(a, tmp_path / "nt.npz")
+    b = _neutra(hidden=16)
+    with pytest.raises(ValueError, match="leaf .* shape"):
+        load_checkpoint(b, ckpt)

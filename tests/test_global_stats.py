@@ -359,3 +359,15 @@ def test_global_summary_two_shards(chain):
     for key in ("ess", "ess_bulk", "ess_tail", "rhat", "mcse"):
         np.testing.assert_allclose(glob[key], loc[key], rtol=1e-5,
                                    err_msg=key)
+
+
+def test_rank_rhat_2d_series(chain):
+    """(S, W) input is accepted like every sibling global_* function."""
+    from mcmcpp_tpu.analysis import global_rank_normalized_rhat
+
+    v = global_rank_normalized_rhat(chain[:, :, 0],
+                                    max_knots=chain[:, :, 0].size)
+    full = analysis.potential_scale_reduction(
+        chain[:, :, :1], rank_normalized=True
+    )
+    assert v == pytest.approx(float(full[0]), rel=1e-12)

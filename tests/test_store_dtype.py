@@ -145,3 +145,31 @@ class TestStoreDtype:
         tb = analysis.autocorr_time(b.get_samples())
         np.testing.assert_allclose(tb, ta, rtol=0.05)
         assert a.accepted_steps == b.accepted_steps  # compute path untouched
+
+    def test_f8_injected_narrow_logp_chain_rejected(self):
+        """An injected store that would squash the bf16 logp plane back
+        to 8 bits is rejected up front (round-4 review: DiskChain(f8))."""
+        from mcmcpp_tpu.chain import Chain
+
+        narrow = Chain(64, 2, dtype=np.dtype(jnp.float8_e4m3fn),
+                       backend="numpy")
+        with pytest.raises(ValueError, match="logp plane"):
+            EnsembleSampler(skewed_logp, n_walkers=64, n_params=2,
+                            store_dtype=jnp.float8_e4m3fn, chain=narrow)
+        wide = Chain(64, 2, dtype=np.dtype(jnp.float8_e4m3fn),
+                     logp_dtype=np.dtype(jnp.bfloat16),
+                     read_dtype=np.float32, backend="numpy")
+        s = EnsembleSampler(skewed_logp, n_walkers=64, n_params=2,
+                            store_dtype=jnp.float8_e4m3fn, chain=wide)
+        s.init_ball(np.zeros(2), scale=0.3, seed=1)
+        s.run_mcmc(20)
+        assert np.isfinite(s.get_log_probs()).all()
+
+    def test_empty_chain_logp_dtype_consistent(self):
+        from mcmcpp_tpu.chain import Chain
+
+        c = Chain(8, 2, dtype=np.dtype(jnp.float8_e4m3fn),
+                  logp_dtype=np.dtype(jnp.bfloat16), backend="numpy")
+        empty_dtype = c.get_logp().dtype
+        c.append(np.zeros((3, 8, 2)), np.zeros((3, 8)))
+        assert c.get_logp().dtype == empty_dtype
