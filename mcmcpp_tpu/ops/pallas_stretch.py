@@ -78,11 +78,16 @@ def _kernel(r_coarse_ref, seed_ref, r_fine_ref,  # scalar prefetch
     prop = partner + z * (act - partner)
     lp_new = logp_fn(prop)  # user code traced into the kernel, (tile,)
     lp_new = lp_new.reshape((tile,))
-    log_ratio = (p_dim - 1) * jnp.log(z[:, 0]) + lp_new - lp_ref[:]
+    # the logp/accept planes travel as (n, 1) 2-D arrays: current Pallas
+    # TPU lowering requires rank-1 blocks to be full-length or multiples
+    # of 128, which small tiles violate; (tile, 1) 2-D blocks are always
+    # legal (observed lowering failure on real v5e, 2026-08-20)
+    lp_old = lp_ref[:, 0]
+    log_ratio = (p_dim - 1) * jnp.log(z[:, 0]) + lp_new - lp_old
     accept = jnp.log(ue[:, 0]) < log_ratio
     out_act_ref[:] = jnp.where(accept[:, None], prop, act)
-    out_lp_ref[:] = jnp.where(accept, lp_new, lp_ref[:])
-    acc_ref[:] = accept.astype(jnp.int32)
+    out_lp_ref[:] = jnp.where(accept, lp_new, lp_old)[:, None]
+    acc_ref[:] = accept.astype(jnp.int32)[:, None]
 
 
 @functools.partial(
@@ -133,7 +138,7 @@ def fused_stretch_half(key, active, active_logp, other, *, a=2.0,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, p_dim), lambda i, rc, s, rf: (i, 0)),
-            pl.BlockSpec((tile,), lambda i, rc, s, rf: (i,)),
+            pl.BlockSpec((tile, 1), lambda i, rc, s, rf: (i, 0)),
             # partner window: blocks (i+rc) and (i+rc+1), wrapped
             pl.BlockSpec(
                 (tile, p_dim),
@@ -147,8 +152,8 @@ def fused_stretch_half(key, active, active_logp, other, *, a=2.0,
         ],
         out_specs=[
             pl.BlockSpec((tile, p_dim), lambda i, rc, s, rf: (i, 0)),
-            pl.BlockSpec((tile,), lambda i, rc, s, rf: (i,)),
-            pl.BlockSpec((tile,), lambda i, rc, s, rf: (i,)),
+            pl.BlockSpec((tile, 1), lambda i, rc, s, rf: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, rc, s, rf: (i, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((2 * tile, p_dim), active.dtype)],
     )
@@ -161,13 +166,15 @@ def fused_stretch_half(key, active, active_logp, other, *, a=2.0,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, p_dim), active.dtype),
-            jax.ShapeDtypeStruct((n,), active_logp.dtype),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), active_logp.dtype),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         # TPU-specific primitives (prng_seed etc.) need the TPU interpreter
         # (InterpretParams), not the generic interpret=True path
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    return call(
-        r_coarse, seed, r_fine, active, active_logp, other, other, *consts_in
+    new_act, new_lp, accepted = call(
+        r_coarse, seed, r_fine, active, active_logp.reshape(n, 1),
+        other, other, *consts_in
     )
+    return new_act, new_lp[:, 0], accepted[:, 0]
