@@ -36,7 +36,8 @@ from mcmcpp_tpu.parallel import (
 )
 from mcmcpp_tpu import gradient
 from mcmcpp_tpu.gradient import (
-    BarkerSampler, CheesHMCSampler, HMCSampler, MALASampler, MEADSSampler, NUTSSampler,
+    BarkerSampler, CheesHMCSampler, HMCSampler, MALASampler, MCLMCSampler,
+    MEADSSampler, NUTSSampler,
     SGHMCSampler, SGLDSampler,
 )
 from mcmcpp_tpu.smc import SMCSampler
@@ -111,6 +112,7 @@ __all__ = [
     "CheesHMCSampler",
     "HMCSampler",
     "MALASampler",
+    "MCLMCSampler",
     "MEADSSampler",
     "NUTSSampler",
     "SGHMCSampler",

@@ -1,0 +1,303 @@
+"""Microcanonical Langevin Monte Carlo (MCLMC).
+
+Robnik, De Luca, Silverstein & Seljak (2023, JMLR "Microcanonical
+Hamiltonian Monte Carlo"; 2024 Langevin variant): sampling from the
+ISOKINETIC ensemble — momentum lives on the unit sphere, the dynamics
+conserve |u| = 1 exactly, and the marginal of x under the microcanonical
+measure is the target. No Metropolis correction: like SGLD the bias is
+controlled by the step size, here measured DIRECTLY by the per-step
+energy-error variance, which is what :meth:`MCLMCSampler.tune` drives to
+the paper's target (Var[ΔE]/d ≈ 5e-4 keeps the asymptotic bias below
+Monte-Carlo error in the benchmarked targets).
+
+Why it earns a slot next to HMC/NUTS here: the kernel is one gradient,
+a few vector ops and a partial momentum refresh per step — no
+accept/reject branch, no U-turn recursion, no dynamic trajectory
+lengths. That is the ideal XLA shape: a fixed-work `lax.scan` body,
+chains vmapped as a (C, P) batch whose axis shards over the mesh like
+every other engine (the per-chain reductions — |g|, u·e, |u+νz| — are
+lane reductions, not cross-chain collectives).
+
+Dynamics per step (isokinetic leapfrog, one gradient evaluation):
+
+  u  <- esh(u, g(x), eps/2)        # momentum half-step toward ∇logp
+  x  <- x + eps · u                # position full step on the sphere flow
+  u  <- esh(u, g(x'), eps/2)       # second half-step (gradient reused
+                                   #   next step — 1 eval amortized)
+  u  <- normalize(u + nu · z)      # Langevin partial refresh,
+                                   #   nu² = (e^{2 eps/L} − 1)/d
+
+with the exact isokinetic momentum map (d = n_params)
+
+  esh(u, g, dt):  e = g/|g|,  δ = dt·|g|/(d−1)
+      u' = (u + e(sinh δ + (u·e)(cosh δ − 1))) / (cosh δ + (u·e) sinh δ)
+
+whose kinetic-energy change (d−1)·log(cosh δ + (u·e) sinh δ) plus the
+potential change −Δlogp gives the per-step energy error ΔE used for
+step-size tuning. L is the momentum-decoherence length; the tuner sets
+it to ``1.6·sqrt(Σ_i Var[x_i])`` from the adaptation draws (the paper's
+Gaussian-optimal scaling).
+
+No reference counterpart (the reference is gradient-free) — this extends
+the gradient family the same way SGLD did (SURVEY.md north-star scope).
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcmcpp_tpu.chain import Chain, append_device_chunk
+
+
+class MCLMCState(NamedTuple):
+    position: jax.Array  # (C, P)
+    momentum: jax.Array  # (C, P) unit rows
+    logp: jax.Array      # (C,)
+    grad: jax.Array      # (C, P)
+
+
+def _esh(u, g, dt, d):
+    """Exact isokinetic momentum update; returns (u', ΔK per chain)."""
+    g_norm = jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-30)
+    e = g / g_norm
+    ue = jnp.sum(u * e, axis=-1, keepdims=True)
+    delta = dt * g_norm / (d - 1.0)
+    sh, ch = jnp.sinh(delta), jnp.cosh(delta)
+    denom = ch + ue * sh
+    u_new = (u + e * (sh + ue * (ch - 1.0))) / denom
+    dk = (d - 1.0) * jnp.log(denom[..., 0])
+    return u_new, dk
+
+
+class MCLMCSampler:
+    """Microcanonical Langevin MC over C parallel chains.
+
+    logp_fn: (P,) -> scalar (vmapped internally). ``step_size`` (eps) and
+    ``decoherence_length`` (L) are the two hyperparameters; leave them
+    and call :meth:`tune` for the energy-error-targeted automation, or
+    set them explicitly. ``d >= 2`` required (the isokinetic map divides
+    by d−1).
+    """
+
+    def __init__(self, logp_fn, n_chains, n_params, seed=0,
+                 dtype=jnp.float32, step_size=None,
+                 decoherence_length=None, max_chain_bytes=2 << 30,
+                 mesh=None, chain=None):
+        if int(n_params) < 2:
+            raise ValueError("MCLMC needs n_params >= 2 (isokinetic map "
+                             "divides by d-1)")
+        self.n_chains = int(n_chains)
+        self.n_params = int(n_params)
+        self.dtype = dtype
+        self._logp_fn = logp_fn
+        self._vg = jax.vmap(jax.value_and_grad(logp_fn))
+        # Gaussian-calibrated defaults: eps ~ 0.3·sqrt(d) then tuned; the
+        # sphere flow moves |dx| = eps per step regardless of d
+        self.step_size = (float(step_size) if step_size is not None
+                          else 0.3 * float(np.sqrt(self.n_params)))
+        self.decoherence_length = (
+            float(decoherence_length) if decoherence_length is not None
+            else 1.6 * float(np.sqrt(self.n_params))
+        )
+        self._key = jax.random.key(seed)
+        self.state = None
+        self.energy_var = float("nan")  # Var[ΔE]/d from the last tune leg
+        if chain is not None:
+            if (chain.n_walkers, chain.n_params) != (
+                self.n_chains, self.n_params,
+            ):
+                raise ValueError("injected chain store geometry mismatch")
+            self.chain = chain
+        else:
+            self.chain = Chain(
+                n_walkers=self.n_chains, n_params=self.n_params,
+                max_bytes=max_chain_bytes,
+                dtype=np.dtype(jax.dtypes.canonicalize_dtype(dtype)),
+            )
+        self.mesh = mesh
+        self._chain_sharding = None
+        if mesh is not None:
+            from mcmcpp_tpu.parallel.mesh import walker_sharding
+
+            if self.n_chains % mesh.size != 0:
+                raise ValueError(
+                    f"n_chains={self.n_chains} not divisible by mesh "
+                    f"size {mesh.size}"
+                )
+            self._chain_sharding = walker_sharding(mesh)
+        self._run_cache = {}
+
+    # -- kernel --------------------------------------------------------------
+
+    def _constrain(self, state):
+        if self._chain_sharding is None:
+            return state
+        from mcmcpp_tpu.parallel.mesh import vector_sharding
+
+        c = lambda x: jax.lax.with_sharding_constraint(
+            x, self._chain_sharding
+        )
+        v = lambda x: jax.lax.with_sharding_constraint(
+            x, vector_sharding(self._chain_sharding)
+        )
+        return MCLMCState(c(state.position), c(state.momentum),
+                          v(state.logp), c(state.grad))
+
+    def _step(self, key, state, eps, length):
+        """One MCLMC transition; returns (state, ΔE (C,))."""
+        d = float(self.n_params)
+        state = self._constrain(state)
+        u, dk1 = _esh(state.momentum, state.grad, eps / 2.0, d)
+        x = state.position + eps * u
+        logp, grad = self._vg(x)
+        u, dk2 = _esh(u, grad, eps / 2.0, d)
+        # Langevin partial refresh (O-step)
+        nu = jnp.sqrt(jnp.expm1(2.0 * eps / length) / d)
+        z = jax.random.normal(key, u.shape, u.dtype)
+        un = u + nu * z
+        u = un / jnp.linalg.norm(un, axis=-1, keepdims=True)
+        d_energy = dk1 + dk2 - (logp - state.logp)
+        return self._constrain(MCLMCState(x, u, logp, grad)), d_energy
+
+    # -- init ----------------------------------------------------------------
+
+    def init(self, positions):
+        positions = jnp.asarray(positions, self.dtype)
+        if positions.shape != (self.n_chains, self.n_params):
+            raise ValueError(
+                f"positions must be ({self.n_chains}, {self.n_params})"
+            )
+        if self._chain_sharding is not None:
+            positions = jax.device_put(positions, self._chain_sharding)
+        self._key, k_u = jax.random.split(self._key)
+        u = jax.random.normal(k_u, positions.shape, self.dtype)
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+        logp, grad = self._vg(positions)
+        self.state = self._constrain(MCLMCState(positions, u, logp, grad))
+        return self
+
+    def init_ball(self, center, scale=1.0, seed=None):
+        key = self._key if seed is None else jax.random.key(seed)
+        key = jax.random.fold_in(key, 0x3C1)
+        center = jnp.asarray(center, self.dtype)
+        z = jax.random.normal(key, (self.n_chains, self.n_params),
+                              self.dtype)
+        return self.init(center[None, :] + scale * z)
+
+    # -- tuning --------------------------------------------------------------
+
+    def tune(self, n_steps=600, target_energy_var=5e-4, rounds=6):
+        """Two-stage automation (paper §3.3 / the Blackjax recipe,
+        simplified to a fixed-round multiplicative search):
+
+        1. step size: run ``n_steps/rounds`` steps per round, measure
+           Var[ΔE]/d over chains and steps, update
+           ``eps *= (target/measured)^{1/4}`` (ΔE ∝ eps², so Var ∝ eps⁴),
+           clipped to [½, 2] per round;
+        2. decoherence length: ``L = 1.6·sqrt(Σ_i Var[x_i])`` from the
+           final round's draws.
+
+        Leaves the chain store untouched. Returns self.
+        """
+        if self.state is None:
+            raise RuntimeError("call init/init_ball first")
+        leg = max(int(n_steps) // int(rounds), 10)
+
+        def run_leg(state, key, eps):
+            def body(carry, k):
+                st, _ = carry
+                st, de = self._step(k, st, eps, self.decoherence_length)
+                return (st, de), (de, st.position)
+
+            keys = jax.random.split(key, leg)
+            (state, _), (des, xs) = jax.lax.scan(
+                body, (state, jnp.zeros((self.n_chains,), self.dtype)),
+                keys,
+            )
+            return state, des, xs
+
+        run_leg = jax.jit(run_leg)
+        eps = self.step_size
+        xs = None
+        for _ in range(int(rounds)):
+            self._key, k = jax.random.split(self._key)
+            self.state, des, xs = run_leg(
+                self.state, k, jnp.asarray(eps, self.dtype)
+            )
+            var_e = float(jnp.var(des)) / self.n_params
+            self.energy_var = var_e
+            ratio = (target_energy_var / max(var_e, 1e-12)) ** 0.25
+            eps *= float(np.clip(ratio, 0.5, 2.0))
+        self.step_size = float(eps)
+        # stage 2: L from the spread of the last leg's draws
+        flat = np.asarray(xs, np.float64).reshape(-1, self.n_params)
+        self.decoherence_length = float(
+            1.6 * np.sqrt(flat.var(axis=0).sum())
+        )
+        return self
+
+    # -- run -----------------------------------------------------------------
+
+    def _run_scan(self, state, key, n_store, thin):
+        eps = jnp.asarray(self.step_size, self.dtype)
+        length = self.decoherence_length
+
+        def body(carry, k):
+            st = carry
+
+            def inner(j, sk):
+                s, kk = sk
+                kk, sub = jax.random.split(kk)
+                s, _ = self._step(sub, s, eps, length)
+                return (s, kk)
+
+            st, _ = jax.lax.fori_loop(0, thin, inner, (st, k))
+            return st, (st.position, st.logp)
+
+        keys = jax.random.split(key, n_store)
+        state, (pos, lps) = jax.lax.scan(body, state, keys)
+        return state, pos, lps
+
+    def run(self, n_steps, thin=1):
+        """Advance ``n_steps``, storing every thin-th (position, logp).
+        Pipelined device->host like the other drivers; False on the chain
+        byte cap (EndOfChain semantics)."""
+        if self.state is None:
+            raise RuntimeError("call init/init_ball first")
+        thin = int(thin)
+        n_store = int(n_steps) // thin
+        from mcmcpp_tpu.chain import default_chunk_steps, run_pipelined
+
+        chunk = default_chunk_steps(self.n_chains, self.n_params,
+                                    self.dtype)
+
+        def launch(take):
+            fn = self._run_cache.get((take, thin, self.step_size,
+                                      self.decoherence_length))
+            if fn is None:
+                fn = jax.jit(
+                    lambda st, k, t=take, th=thin: self._run_scan(
+                        st, k, t, th
+                    )
+                )
+                self._run_cache[(take, thin, self.step_size,
+                                 self.decoherence_length)] = fn
+            self._key, run_key = jax.random.split(self._key)
+            self.state, pos, lps = fn(self.state, run_key)
+            return (pos, lps)
+
+        def fetch(futures):
+            self.chain, appended = append_device_chunk(
+                self.chain, futures[0], futures[1]
+            )
+            return appended
+
+        return run_pipelined(n_store, chunk, launch, fetch)
+
+    def get_samples(self, burn_in=0, thin=1, flat=False):
+        return self.chain.get(burn_in=burn_in, thin=thin, flat=flat)
+
+    def get_log_probs(self, burn_in=0, thin=1, flat=False):
+        return self.chain.get_logp(burn_in=burn_in, thin=thin, flat=flat)
