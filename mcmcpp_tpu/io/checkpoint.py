@@ -72,6 +72,12 @@ def _is_elliptical(sampler):
     return isinstance(sampler, EllipticalSliceSampler)
 
 
+def _is_mclmc(sampler):
+    from mcmcpp_tpu.gradient.mclmc import MCLMCSampler
+
+    return isinstance(sampler, MCLMCSampler)
+
+
 def _is_nested(sampler):
     from mcmcpp_tpu.nested import NestedSampler
 
@@ -359,6 +365,27 @@ def save_checkpoint(sampler, path):
         arrays.update(
             position=np.asarray(s.position),
             loglike=np.asarray(s.loglike),
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
+    elif _is_mclmc(sampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="mclmc",
+            n_chains=sampler.n_chains,
+            step_size=float(sampler.step_size),
+            decoherence_length=float(sampler.decoherence_length),
+            energy_var=float(sampler.energy_var),
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            position=np.asarray(s.position),
+            momentum=np.asarray(s.momentum),
+            logp=np.asarray(s.logp),
+            grad=np.asarray(s.grad),
             key=_key_data(sampler._key),
             chain_samples=sampler.chain.get(),
             chain_logp=sampler.chain.get_logp(),
@@ -711,6 +738,28 @@ def load_checkpoint(sampler, path):
             loglike=jnp.asarray(arrays["loglike"]),
         )
         sampler.state = sampler._constrain(state)
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "mclmc":
+        from mcmcpp_tpu.gradient.mclmc import MCLMCState
+
+        if not _is_mclmc(sampler):
+            raise TypeError("checkpoint is for an MCLMCSampler")
+        if meta["n_chains"] != sampler.n_chains:
+            raise ValueError("chain count mismatch")
+        state = MCLMCState(
+            position=jnp.asarray(arrays["position"]),
+            momentum=jnp.asarray(arrays["momentum"]),
+            logp=jnp.asarray(arrays["logp"]),
+            grad=jnp.asarray(arrays["grad"]),
+        )
+        sampler.state = sampler._constrain(state)
+        sampler.step_size = float(meta["step_size"])
+        sampler.decoherence_length = float(meta["decoherence_length"])
+        sampler.energy_var = float(meta["energy_var"])
+        sampler._run_cache.clear()
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:

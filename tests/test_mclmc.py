@@ -1,0 +1,136 @@
+"""MCLMC (microcanonical Langevin MC): statistical oracles + invariants.
+
+Oracle pattern per SURVEY.md §4: analytic Gaussian moments, generous MC
+tolerances, fixed seeds. MCLMC is UNADJUSTED — the O(eps²) bias is
+controlled by the energy-error tuning target, so the moment tolerances
+here are wider than the exact engines' and one test pins the
+bias-vs-step-size direction instead of absolute exactness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcmcpp_tpu import MCLMCSampler
+
+D = 10
+
+
+def std_gauss(t):
+    return -0.5 * jnp.sum(t * t)
+
+
+@pytest.fixture(scope="module")
+def tuned():
+    s = MCLMCSampler(std_gauss, n_chains=64, n_params=D, seed=0)
+    s.init_ball(np.zeros(D), scale=1.0, seed=1)
+    s.tune(600)
+    s.run(3000, thin=2)
+    return s
+
+
+def test_gaussian_moments(tuned):
+    x = tuned.get_samples(burn_in=200, flat=True)
+    assert x.shape[0] > 50_000
+    np.testing.assert_allclose(x.mean(axis=0), np.zeros(D), atol=0.06)
+    np.testing.assert_allclose(x.var(axis=0), np.ones(D), rtol=0.08)
+    # cross-correlations vanish
+    c = np.corrcoef(x.T)
+    assert np.abs(c - np.eye(D)).max() < 0.05
+
+
+def test_tune_hits_energy_target(tuned):
+    assert 5e-5 < tuned.energy_var < 5e-3
+    # Gaussian-calibrated outputs land in sane ranges
+    assert 0.2 < tuned.step_size < 10.0
+    assert 1.0 < tuned.decoherence_length < 30.0
+
+
+def test_unit_momentum_invariant(tuned):
+    norms = np.asarray(jnp.linalg.norm(tuned.state.momentum, axis=-1))
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_logp_plane_matches_positions(tuned):
+    x = tuned.get_samples()
+    lp = tuned.get_log_probs()
+    expect = -0.5 * np.sum(np.asarray(x) ** 2, axis=-1)
+    np.testing.assert_allclose(lp, expect, atol=1e-3)
+
+
+def test_ill_conditioned_gaussian():
+    scales = jnp.asarray(np.array([1.0, 5.0, 0.5, 2.0]) ** 2)
+
+    def logp(t):
+        return -0.5 * jnp.sum(t * t / scales)
+
+    s = MCLMCSampler(logp, n_chains=64, n_params=4, seed=3)
+    s.init_ball(np.zeros(4), scale=1.0, seed=4)
+    s.tune(800)
+    s.run(4000, thin=2)
+    x = s.get_samples(burn_in=400, flat=True)
+    np.testing.assert_allclose(
+        x.var(axis=0), np.asarray(scales), rtol=0.15
+    )
+
+
+def test_energy_error_scales_down_with_step():
+    """ΔE ∝ eps² → Var[ΔE] drops ~16x when eps halves (the knob the
+    tuner turns; asserts the bias is controllable)."""
+
+    def var_e(eps):
+        s = MCLMCSampler(std_gauss, n_chains=32, n_params=D, seed=5,
+                         step_size=eps, decoherence_length=5.0)
+        s.init_ball(np.zeros(D), scale=1.0, seed=6)
+        s.tune(n_steps=200, rounds=1, target_energy_var=np.inf)  # no-op
+        return s.energy_var
+
+    v1, v2 = var_e(2.0), var_e(1.0)
+    assert v2 < v1 / 4.0, (v1, v2)
+
+
+def test_mesh_sharded_bitwise():
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    def build(mesh):
+        s = MCLMCSampler(std_gauss, n_chains=16, n_params=D, seed=7,
+                         mesh=mesh, step_size=1.0,
+                         decoherence_length=5.0)
+        s.init_ball(np.zeros(D), scale=1.0, seed=8)
+        s.run(50)
+        return np.asarray(s.get_samples())
+
+    np.testing.assert_array_equal(build(None), build(make_walker_mesh()))
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    def build(seed):
+        s = MCLMCSampler(std_gauss, n_chains=8, n_params=D, seed=seed,
+                         step_size=1.0, decoherence_length=5.0)
+        s.init_ball(np.zeros(D), scale=1.0, seed=seed + 1)
+        return s
+
+    a = build(0)
+    a.run(30)
+    ck = save_checkpoint(a, tmp_path / "mc.npz")
+    a.run(30)
+    b = build(9)
+    load_checkpoint(b, ck)
+    b.run(30)
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+    np.testing.assert_array_equal(a.get_log_probs(), b.get_log_probs())
+    assert a.step_size == b.step_size
+    assert a.decoherence_length == b.decoherence_length
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="n_params >= 2"):
+        MCLMCSampler(std_gauss, n_chains=4, n_params=1)
+    s = MCLMCSampler(std_gauss, n_chains=4, n_params=3)
+    with pytest.raises(RuntimeError, match="init"):
+        s.run(5)
+    with pytest.raises(ValueError, match="positions"):
+        s.init(np.zeros((3, 3)))
