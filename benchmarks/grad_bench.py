@@ -30,7 +30,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mcmcpp_tpu import CheesHMCSampler, MEADSSampler, NUTSSampler
+    from mcmcpp_tpu import (
+        CheesHMCSampler, MCLMCSampler, MEADSSampler, NUTSSampler,
+    )
     from mcmcpp_tpu.analysis import effective_sample_size
 
     dim, rho = 10, 0.5
@@ -44,11 +46,15 @@ def main():
         ("nuts", NUTSSampler, {"max_depth": 8}),
         ("chees", CheesHMCSampler, {}),
         ("meads", MEADSSampler, {}),
+        ("mclmc", MCLMCSampler, {}),
     ]
     for name, cls, kw in engines:
         s = cls(logp, n_chains=args.chains, n_params=dim, seed=0, **kw)
         s.init_ball(np.zeros(dim), scale=1.0, seed=1)
-        s.warmup(args.warmup)
+        if name == "mclmc":
+            s.tune(args.warmup)  # unadjusted: energy-error tuning, no MH warmup
+        else:
+            s.warmup(args.warmup)
         s.run(8)  # compile + warm the exact stored-run program
         s.chain.clear()
         t0 = time.perf_counter()

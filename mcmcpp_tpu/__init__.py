@@ -41,6 +41,7 @@ from mcmcpp_tpu.gradient import (
     SGHMCSampler, SGLDSampler,
 )
 from mcmcpp_tpu.smc import SMCSampler
+from mcmcpp_tpu.ibis import IBISSampler
 from mcmcpp_tpu.nested import NestedSampler
 from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
@@ -117,6 +118,7 @@ __all__ = [
     "NUTSSampler",
     "SGHMCSampler",
     "SGLDSampler",
+    "IBISSampler",
     "SMCSampler",
     "NestedSampler",
     "geometric_ladder",
