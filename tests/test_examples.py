@@ -107,6 +107,14 @@ def test_api_doc_generation():
 
 
 @pytest.mark.slow
+def test_streaming_example():
+    r = _run("streaming.py", "--quick")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "log BF" in r.stdout
+    assert "OK" in r.stdout
+
+
+@pytest.mark.slow
 def test_dp_mixture_example():
     r = _run("dp_mixture.py", "--quick", "--n", "120")
     assert r.returncode == 0, r.stderr[-2000:]
