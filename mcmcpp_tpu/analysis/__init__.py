@@ -18,6 +18,7 @@ from mcmcpp_tpu.analysis.model_compare import (
     compare,
     loo,
     pseudo_bma_weights,
+    stacked_predictive_resample,
     stacking_weights,
     waic,
 )
@@ -78,6 +79,7 @@ __all__ = [
     "compare",
     "loo",
     "pseudo_bma_weights",
+    "stacked_predictive_resample",
     "stacking_weights",
     "waic",
     "BridgeResult",

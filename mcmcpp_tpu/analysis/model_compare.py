@@ -190,6 +190,43 @@ def pseudo_bma_weights(results, bootstrap=True, n_boot=1000, seed=0):
     return dict(zip(names, (w / w.sum()).tolist()))
 
 
+def stacked_predictive_resample(draws_by_model, weights, n_draws=None,
+                                seed=0):
+    """Draw from the stacked posterior-predictive mixture: each returned
+    row comes from model k with probability ``weights[k]``.
+
+    draws_by_model : {name: (N_k, ...) array} — posterior(-predictive)
+        draws per model (trailing shapes must agree).
+    weights : {name: w} from :func:`stacking_weights` /
+        :func:`pseudo_bma_weights` (keys must match).
+    Returns an (n_draws, ...) array (default: the smallest N_k).
+    """
+    if set(draws_by_model) != set(weights):
+        raise ValueError(
+            f"model keys differ: draws {sorted(draws_by_model)} vs "
+            f"weights {sorted(weights)}"
+        )
+    names = list(draws_by_model)
+    arrs = [np.asarray(draws_by_model[k]) for k in names]
+    tails = {a.shape[1:] for a in arrs}
+    if len(tails) != 1:
+        raise ValueError(f"draw shapes beyond axis 0 differ: {tails}")
+    w = np.asarray([weights[k] for k in names], np.float64)
+    if np.any(w < 0) or not np.isclose(w.sum(), 1.0, atol=1e-6):
+        raise ValueError("weights must be a (near-)normalized simplex")
+    w = w / w.sum()
+    n = (min(a.shape[0] for a in arrs) if n_draws is None
+         else int(n_draws))
+    rng = np.random.default_rng(seed)
+    which = rng.choice(len(names), size=n, p=w)
+    out = np.empty((n,) + arrs[0].shape[1:], arrs[0].dtype)
+    for k, a in enumerate(arrs):
+        rows = np.flatnonzero(which == k)
+        if rows.size:
+            out[rows] = a[rng.integers(0, a.shape[0], rows.size)]
+    return out
+
+
 def compare(results):
     """Rank fitted models by elpd. ``results``: {name: ElpdResult} (same
     observations in the same order). Returns rows

@@ -202,3 +202,26 @@ def test_stacking_validation():
     with pytest.raises(ValueError, match="different observation"):
         pseudo_bma_weights(res)
     assert stacking_weights({"only": _elpd(np.zeros(5))}) == {"only": 1.0}
+
+
+def test_stacked_predictive_resample():
+    from mcmcpp_tpu.analysis import stacked_predictive_resample
+
+    rng = np.random.default_rng(0)
+    draws = {"a": rng.normal(-3.0, 0.1, (4000, 2)),
+             "b": rng.normal(3.0, 0.1, (6000, 2))}
+    w = {"a": 0.25, "b": 0.75}
+    out = stacked_predictive_resample(draws, w, seed=1)
+    assert out.shape == (4000, 2)
+    frac_b = (out[:, 0] > 0).mean()
+    assert abs(frac_b - 0.75) < 0.03
+    # mixture mean = Σ w_k μ_k
+    assert out.mean() == pytest.approx(0.25 * -3 + 0.75 * 3, abs=0.1)
+    with pytest.raises(ValueError, match="model keys"):
+        stacked_predictive_resample(draws, {"a": 1.0})
+    with pytest.raises(ValueError, match="simplex"):
+        stacked_predictive_resample(draws, {"a": 0.9, "b": 0.9})
+    with pytest.raises(ValueError, match="shapes"):
+        stacked_predictive_resample(
+            {"a": np.zeros((5, 2)), "b": np.zeros((5, 3))}, w
+        )
