@@ -31,7 +31,8 @@ def main():
     import jax.numpy as jnp
 
     from mcmcpp_tpu import (
-        CheesHMCSampler, MCLMCSampler, MEADSSampler, NUTSSampler,
+        CheesHMCSampler, MAMSSampler, MCLMCSampler, MEADSSampler,
+        NUTSSampler,
     )
     from mcmcpp_tpu.analysis import effective_sample_size
 
@@ -47,12 +48,13 @@ def main():
         ("chees", CheesHMCSampler, {}),
         ("meads", MEADSSampler, {}),
         ("mclmc", MCLMCSampler, {}),
+        ("mams", MAMSSampler, {}),
     ]
     for name, cls, kw in engines:
         s = cls(logp, n_chains=args.chains, n_params=dim, seed=0, **kw)
         s.init_ball(np.zeros(dim), scale=1.0, seed=1)
-        if name == "mclmc":
-            s.tune(args.warmup)  # unadjusted: energy-error tuning, no MH warmup
+        if name in ("mclmc", "mams"):
+            s.tune(args.warmup)  # microcanonical tuners, no MH warmup
         else:
             s.warmup(args.warmup)
         s.run(8)  # compile + warm the exact stored-run program

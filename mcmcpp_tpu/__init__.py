@@ -36,7 +36,8 @@ from mcmcpp_tpu.parallel import (
 )
 from mcmcpp_tpu import gradient
 from mcmcpp_tpu.gradient import (
-    BarkerSampler, CheesHMCSampler, HMCSampler, MALASampler, MCLMCSampler,
+    BarkerSampler, CheesHMCSampler, HMCSampler, MALASampler, MAMSSampler,
+    MCLMCSampler,
     MEADSSampler, NUTSSampler,
     SGHMCSampler, SGLDSampler,
 )
@@ -113,6 +114,7 @@ __all__ = [
     "CheesHMCSampler",
     "HMCSampler",
     "MALASampler",
+    "MAMSSampler",
     "MCLMCSampler",
     "MEADSSampler",
     "NUTSSampler",

@@ -13,7 +13,7 @@ from mcmcpp_tpu.gradient.barker import BarkerSampler, barker_kernel
 from mcmcpp_tpu.gradient.chees import CheesHMCSampler, chees_batch_step
 from mcmcpp_tpu.gradient.hmc import HMCSampler, hmc_kernel
 from mcmcpp_tpu.gradient.mala import MALASampler, mala_kernel
-from mcmcpp_tpu.gradient.mclmc import MCLMCSampler
+from mcmcpp_tpu.gradient.mclmc import MAMSSampler, MCLMCSampler
 from mcmcpp_tpu.gradient.meads import MEADSSampler, ghmc_fold_step
 from mcmcpp_tpu.gradient.metric import DenseMassMatrix, dense_mass_from_cov
 from mcmcpp_tpu.gradient.nuts import NUTSSampler, nuts_kernel
@@ -30,6 +30,7 @@ __all__ = [
     "hmc_kernel",
     "MALASampler",
     "mala_kernel",
+    "MAMSSampler",
     "MCLMCSampler",
     "MEADSSampler",
     "ghmc_fold_step",

@@ -301,3 +301,138 @@ class MCLMCSampler:
 
     def get_log_probs(self, burn_in=0, thin=1, flat=False):
         return self.chain.get_logp(burn_in=burn_in, thin=thin, flat=flat)
+
+
+class MAMSSampler(MCLMCSampler):
+    """Metropolis-ADJUSTED microcanonical sampler (Robnik & Seljak 2024).
+
+    The exact sibling of :class:`MCLMCSampler`: each transition draws a
+    fresh uniform-sphere momentum, integrates the SAME isokinetic
+    leapfrog for a jittered number of steps (≈ L/eps, uniform jitter
+    breaking resonances), and Metropolis-accepts the whole trajectory
+    with ``min(1, exp(−ΔE))`` — the tracked energy error IS the correct
+    MH log-ratio because the (d−1)·log(cosh δ + u·e sinh δ) kinetic
+    terms are exactly the esh map's phase-space log-Jacobian. Rejection
+    keeps the current point; momentum is refreshed fully either way.
+
+    Zero asymptotic bias (unlike MCLMC) at the cost of the accept branch;
+    still branchless per INTEGRATION step and fixed-work per transition,
+    so the XLA program shape stays a scan over a `fori_loop` — the
+    jittered step count is drawn per transition and padded to the static
+    maximum with masked no-op steps.
+
+    ``tune()`` (inherited signature) targets acceptance ≈ 0.9 instead of
+    an energy-variance level, then sets L from the cloud spread like the
+    unadjusted tuner.
+    """
+
+    def __init__(self, *args, target_accept=0.9, **kw):
+        self.target_accept = float(target_accept)
+        super().__init__(*args, **kw)
+        self.last_mean_accept = float("nan")
+
+    def _trajectory(self, key, state, eps, n_max):
+        """Jittered-length isokinetic trajectory + MH accept.
+
+        n_max is the STATIC step cap; the live length is drawn uniform
+        in [1, n_max] per transition and later steps are masked no-ops.
+        """
+        d = float(self.n_params)
+        k_len, k_u, k_acc = jax.random.split(key, 3)
+        n_live = jax.random.randint(k_len, (), 1, n_max + 1)
+        u = jax.random.normal(k_u, state.position.shape, self.dtype)
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+
+        def body(i, carry):
+            x, u, logp, grad, de = carry
+            live = i < n_live
+            u2, dk1 = _esh(u, grad, eps / 2.0, d)
+            x2 = x + eps * u2
+            logp2, grad2 = self._vg(x2)
+            u2, dk2 = _esh(u2, grad2, eps / 2.0, d)
+            de2 = de + dk1 + dk2 - (logp2 - logp)
+            # masked no-op beyond the live length (static-shape jitter)
+            return (
+                jnp.where(live, x2, x), jnp.where(live, u2, u),
+                jnp.where(live, logp2, logp),
+                jnp.where(live, grad2, grad), jnp.where(live, de2, de),
+            )
+
+        x, u, logp, grad, de = jax.lax.fori_loop(
+            0, n_max, body,
+            (state.position, u, state.logp, state.grad,
+             jnp.zeros((self.n_chains,), self.dtype)),
+        )
+        accept = (
+            jnp.log(jax.random.uniform(k_acc, (self.n_chains,))) < -de
+        )
+        pos = jnp.where(accept[:, None], x, state.position)
+        new_logp = jnp.where(accept, logp, state.logp)
+        new_grad = jnp.where(accept[:, None], grad, state.grad)
+        new_state = self._constrain(
+            MCLMCState(pos, u, new_logp, new_grad)
+        )
+        return new_state, accept
+
+    def _n_max(self, eps):
+        return max(int(np.ceil(2.0 * self.decoherence_length / eps)), 2)
+
+    def tune(self, n_steps=600, target_energy_var=None, rounds=6):
+        """Acceptance-targeted step-size search + cloud-spread L (the
+        adjusted analogue of the unadjusted tuner; ``target_energy_var``
+        is ignored — acceptance is the natural adjusted target)."""
+        if self.state is None:
+            raise RuntimeError("call init/init_ball first")
+        leg = max(int(n_steps) // int(rounds), 5)
+        eps = self.step_size
+        xs = None
+        for _ in range(int(rounds)):
+            n_max = self._n_max(eps)
+
+            def run_leg(state, key, eps_v):
+                def body(carry, k):
+                    st, _ = carry
+                    st, acc = self._trajectory(k, st, eps_v, n_max)
+                    return (st, acc), (acc, st.position)
+
+                keys = jax.random.split(key, leg)
+                (state, _), (accs, xs) = jax.lax.scan(
+                    body,
+                    (state, jnp.zeros((self.n_chains,), bool)),
+                    keys,
+                )
+                return state, accs, xs
+
+            self._key, k = jax.random.split(self._key)
+            self.state, accs, xs = jax.jit(run_leg)(
+                self.state, k, jnp.asarray(eps, self.dtype)
+            )
+            acc = float(jnp.mean(accs))
+            self.last_mean_accept = acc
+            eps *= float(np.clip(np.exp(acc - self.target_accept),
+                                 0.5, 2.0))
+        self.step_size = float(eps)
+        flat = np.asarray(xs, np.float64).reshape(-1, self.n_params)
+        self.decoherence_length = float(
+            1.6 * np.sqrt(flat.var(axis=0).sum())
+        )
+        return self
+
+    def _run_scan(self, state, key, n_store, thin):
+        eps = jnp.asarray(self.step_size, self.dtype)
+        n_max = self._n_max(self.step_size)
+
+        def body(st, k):
+            def inner(j, sk):
+                s, kk = sk
+                kk, sub = jax.random.split(kk)
+                s, _ = self._trajectory(sub, s, eps, n_max)
+                return (s, kk)
+
+            st, _ = jax.lax.fori_loop(0, thin, inner, (st, k))
+            return st, (st.position, st.logp)
+
+        state, (pos, lps) = jax.lax.scan(
+            body, state, jax.random.split(key, n_store)
+        )
+        return state, pos, lps

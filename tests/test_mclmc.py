@@ -134,3 +134,85 @@ def test_validation():
         s.run(5)
     with pytest.raises(ValueError, match="positions"):
         s.init(np.zeros((3, 3)))
+
+
+# --- MAMS: the Metropolis-adjusted sibling ---------------------------------
+
+
+def test_mams_tuned_moments_and_acceptance():
+    from mcmcpp_tpu import MAMSSampler
+
+    s = MAMSSampler(std_gauss, n_chains=64, n_params=D, seed=0)
+    s.init_ball(np.zeros(D), scale=1.0, seed=1)
+    s.tune(300)
+    assert abs(s.last_mean_accept - s.target_accept) < 0.12
+    s.run(2000)
+    x = s.get_samples(burn_in=100, flat=True)
+    np.testing.assert_allclose(x.mean(axis=0), np.zeros(D), atol=0.05)
+    np.testing.assert_allclose(x.var(axis=0), np.ones(D), rtol=0.05)
+
+
+def test_mams_exact_at_coarse_step():
+    """THE point of the adjustment: a crude step size costs acceptance,
+    never correctness — variance stays unbiased where unadjusted MCLMC
+    at the same step measurably inflates it (1.04 measured)."""
+    from mcmcpp_tpu import MAMSSampler
+
+    s = MAMSSampler(std_gauss, n_chains=64, n_params=D, seed=2,
+                    step_size=2.5, decoherence_length=5.0)
+    s.init_ball(np.zeros(D), scale=1.0, seed=3)
+    s.run(3000)
+    x = s.get_samples(burn_in=300, flat=True)
+    assert abs(float(x.var(axis=0).mean()) - 1.0) < 0.02
+
+
+def test_mams_correlated_gaussian():
+    from mcmcpp_tpu import MAMSSampler
+
+    rho = 0.5
+    cov = rho * np.ones((4, 4)) + (1 - rho) * np.eye(4)
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+    def logp(t):
+        return -0.5 * t @ prec @ t
+
+    s = MAMSSampler(logp, n_chains=64, n_params=4, seed=4)
+    s.init_ball(np.zeros(4), scale=1.0, seed=5)
+    s.tune(300)
+    s.run(3000)
+    x = s.get_samples(burn_in=300, flat=True)
+    np.testing.assert_allclose(np.cov(x.T), cov, atol=0.06)
+
+
+def test_mams_checkpoint_resume_bitwise(tmp_path):
+    from mcmcpp_tpu import MAMSSampler
+    from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    def build(seed):
+        s = MAMSSampler(std_gauss, n_chains=8, n_params=D, seed=seed,
+                        step_size=1.0, decoherence_length=5.0)
+        s.init_ball(np.zeros(D), scale=1.0, seed=seed + 1)
+        return s
+
+    a = build(0)
+    a.run(20)
+    ck = save_checkpoint(a, tmp_path / "ma.npz")
+    a.run(20)
+    b = build(9)
+    load_checkpoint(b, ck)
+    b.run(20)
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+
+
+def test_mams_mesh_sharded_bitwise():
+    from mcmcpp_tpu import MAMSSampler
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    def build(mesh):
+        s = MAMSSampler(std_gauss, n_chains=16, n_params=D, seed=7,
+                        mesh=mesh, step_size=1.0, decoherence_length=5.0)
+        s.init_ball(np.zeros(D), scale=1.0, seed=8)
+        s.run(30)
+        return np.asarray(s.get_samples())
+
+    np.testing.assert_array_equal(build(None), build(make_walker_mesh()))
