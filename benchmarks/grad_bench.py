@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--chains", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--warmup", type=int, default=300)
+    ap.add_argument("--engines", default=None,
+                    help="comma list (nuts,chees,meads,mclmc,mams); "
+                    "default all")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +53,9 @@ def main():
         ("mclmc", MCLMCSampler, {}),
         ("mams", MAMSSampler, {}),
     ]
+    if args.engines:
+        keep = {e.strip() for e in args.engines.split(",")}
+        engines = [e for e in engines if e[0] in keep]
     for name, cls, kw in engines:
         s = cls(logp, n_chains=args.chains, n_params=dim, seed=0, **kw)
         s.init_ball(np.zeros(dim), scale=1.0, seed=1)

@@ -84,6 +84,12 @@ def _is_nested(sampler):
     return isinstance(sampler, NestedSampler)
 
 
+def _is_ibis(sampler):
+    from mcmcpp_tpu.ibis import IBISSampler
+
+    return isinstance(sampler, IBISSampler)
+
+
 def _is_neutra(sampler):
     from mcmcpp_tpu.neutra import NeuTra
 
@@ -423,6 +429,55 @@ def save_checkpoint(sampler, path):
                        if sampler._dead_logw else np.zeros((0,))),
             key=_key_data(sampler._key),
         )
+    elif _is_ibis(sampler):
+        if sampler.state is None:
+            raise RuntimeError(
+                "cannot checkpoint an IBISSampler before update()"
+            )
+        meta.update(
+            kind="ibis",
+            n_particles=sampler.n,
+            batch_size=sampler.batch_size,
+            n_resamples=sampler.n_resamples,
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            particles=np.asarray(s.particles),
+            log_prior=np.asarray(s.log_prior),
+            loglik_cum=np.asarray(s.loglik_cum),
+            log_w=np.asarray(s.log_w),
+            log_evidence=np.asarray(s.log_evidence),
+            n_included=np.asarray(s.n_included),
+            evidence_trace=np.asarray(sampler.log_evidence_trace,
+                                      np.float64),
+            key=_key_data(sampler._key),
+        )
+        # the absorbed stream travels with the state: move events
+        # re-score proposals against it, so resuming without it would
+        # silently break pi_t-invariance. No pickling -> the buffer must
+        # be an array or a flat dict of arrays (the supported layouts).
+        if isinstance(sampler._data, dict):
+            keys = sorted(sampler._data)
+            if any(not hasattr(sampler._data[k], "shape") for k in keys):
+                raise TypeError(
+                    "ibis checkpointing supports an array or a flat "
+                    "dict of arrays as the data buffer"
+                )
+            meta["data_format"] = "dict"
+            meta["data_keys"] = keys
+            arrays.update({
+                f"data_{i}": np.asarray(sampler._data[k])
+                for i, k in enumerate(keys)
+            })
+        elif hasattr(sampler._data, "shape"):
+            meta["data_format"] = "array"
+            arrays["data_0"] = np.asarray(sampler._data)
+        else:
+            raise TypeError(
+                "ibis checkpointing supports an array or a flat dict of "
+                f"arrays as the data buffer, got {type(sampler._data)}"
+            )
     elif _is_neutra(sampler):
         meta.update(
             kind="neutra",
@@ -796,6 +851,37 @@ def load_checkpoint(sampler, path):
         sampler._iters_done = int(meta["iters_done"])
         sampler._low_acc_warned = bool(meta["low_acc_warned"])
         sampler.result = None  # stale; run() re-finalizes
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+    elif meta["kind"] == "ibis":
+        from mcmcpp_tpu.ibis import IBISState
+
+        if not _is_ibis(sampler):
+            raise TypeError("checkpoint is for an IBISSampler")
+        if meta["n_particles"] != sampler.n:
+            raise ValueError("particle count mismatch")
+        if meta["batch_size"] != sampler.batch_size:
+            raise ValueError("batch_size mismatch")
+        state = IBISState(
+            particles=jnp.asarray(arrays["particles"]),
+            log_prior=jnp.asarray(arrays["log_prior"]),
+            loglik_cum=jnp.asarray(arrays["loglik_cum"]),
+            log_w=jnp.asarray(arrays["log_w"]),
+            log_evidence=jnp.asarray(arrays["log_evidence"]),
+            n_included=jnp.asarray(arrays["n_included"]),
+        )
+        sampler.state = sampler._constrain(state)
+        if meta["data_format"] == "dict":
+            sampler._data = {
+                k: jnp.asarray(arrays[f"data_{i}"])
+                for i, k in enumerate(meta["data_keys"])
+            }
+        else:
+            sampler._data = jnp.asarray(arrays["data_0"])
+        sampler.n_resamples = int(meta["n_resamples"])
+        sampler.log_evidence_trace = [
+            float(v) for v in arrays["evidence_trace"]
+        ]
+        sampler._stage_cache = {}
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
     elif meta["kind"] == "neutra":
         if not _is_neutra(sampler):

@@ -178,3 +178,64 @@ def test_validation():
     )
     with pytest.raises(ValueError, match="prior_sample"):
         bad.update(np.zeros(4, np.float32))
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    """Mid-stream save -> fresh-sampler load -> absorb the rest ==
+    the uninterrupted run, bit for bit (the engine-family contract)."""
+    from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    ys = _data(seed=9, n=40)
+    a = _sampler(seed=0, n_particles=512)
+    a.update(ys[:20])
+    ck = save_checkpoint(a, tmp_path / "ib.npz")
+    a.update(ys[20:])
+
+    b = _sampler(seed=7, n_particles=512)
+    load_checkpoint(b, ck)
+    b.update(ys[20:])
+
+    np.testing.assert_array_equal(
+        np.asarray(a.state.particles), np.asarray(b.state.particles)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.state.log_w), np.asarray(b.state.log_w)
+    )
+    assert a.log_evidence == b.log_evidence
+    assert a.log_evidence_trace == b.log_evidence_trace
+    assert a.n_resamples == b.n_resamples
+
+    wrong = _sampler(seed=0, n_particles=256)
+    with pytest.raises(ValueError, match="particle count"):
+        load_checkpoint(wrong, ck)
+
+
+def test_checkpoint_dict_data_roundtrip(tmp_path):
+    from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((20, 2)).astype(np.float32)
+    y = (X @ np.array([1.0, -0.5]) + 0.1 * rng.standard_normal(20)
+         ).astype(np.float32)
+
+    def build(seed):
+        return IBISSampler(
+            log_prior_fn=lambda t: -0.5 * jnp.sum(t * t),
+            loglike_point_fn=lambda t, row: -0.5 * (
+                row["y"] - jnp.dot(row["x"], t)
+            ) ** 2 / 0.25,
+            prior_sample_fn=lambda key, m: jax.random.normal(key, (m, 2)),
+            n_particles=256, n_params=2, batch_size=4, seed=seed,
+        )
+
+    a = build(0)
+    a.update({"x": X[:12], "y": y[:12]})
+    ck = save_checkpoint(a, tmp_path / "ib2.npz")
+    a.update({"x": X[12:], "y": y[12:]})
+    b = build(5)
+    load_checkpoint(b, ck)
+    b.update({"x": X[12:], "y": y[12:]})
+    np.testing.assert_array_equal(
+        np.asarray(a.state.particles), np.asarray(b.state.particles)
+    )
+    assert a.log_evidence == b.log_evidence
