@@ -76,6 +76,7 @@ from mcmcpp_tpu.particle import (
 from mcmcpp_tpu.chain_disk import DiskChain
 from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
 from mcmcpp_tpu.export import (
+    ibis_to_inference_dict,
     nested_to_inference_dict,
     to_arviz,
     to_inference_dict,
@@ -93,6 +94,7 @@ __all__ = [
     "IAF",
     "SplineCoupling",
     "to_inference_dict",
+    "ibis_to_inference_dict",
     "nested_to_inference_dict",
     "to_arviz",
     "StretchMove",

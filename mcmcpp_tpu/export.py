@@ -111,6 +111,37 @@ def nested_to_inference_dict(sampler_or_result, model=None, n_draws=2000,
     return {"posterior": posterior, "sample_stats": stats}
 
 
+def ibis_to_inference_dict(sampler, model=None, n_draws=2000, seed=0):
+    """``arviz.from_dict`` kwargs from an IBIS run's current state.
+
+    IBIS holds WEIGHTED particles; the posterior group is an equal-weight
+    categorical resample (one "chain" of ``n_draws``) and ``sample_stats``
+    carries the running evidence plus the prequential per-stage increments
+    (padded row). model: optional DSL Model/constrain for named params.
+    """
+    from mcmcpp_tpu.ibis import IBISSampler
+
+    if not isinstance(sampler, IBISSampler):
+        raise TypeError("expected an IBISSampler")
+    draws = sampler.posterior(n_draws=n_draws, seed=seed)  # (n, P)
+    n = draws.shape[0]
+    if model is not None:
+        constrain = model if not hasattr(model, "build") else model.build()[2]
+        named = constrain(draws)
+        posterior = {k: np.asarray(v)[None, ...] for k, v in named.items()}
+    else:
+        posterior = {"theta": draws[None, :, :]}
+    trace = np.asarray(sampler.log_evidence_trace, np.float64)
+    padded = np.full(n, np.nan)
+    padded[: min(trace.size, n)] = trace[:n]
+    stats = {
+        "log_evidence": np.full((1, n), sampler.log_evidence),
+        "prequential_logp": padded[None, :],
+        "n_resamples": np.full((1, n), float(sampler.n_resamples)),
+    }
+    return {"posterior": posterior, "sample_stats": stats}
+
+
 def to_arviz(sampler, model=None, burn_in=0, thin=1,
              posterior_predictive=None):
     """``arviz.InferenceData`` (requires arviz; actionable error if absent)."""

@@ -109,3 +109,21 @@ def test_mess_rule_gates_convergence():
     )
     assert not rep2.converged
     assert "mESS" in rep2.reason
+
+
+def test_microcanonical_engines_drive_the_gate():
+    """run_until_converged drives MAMS through the same run/get_samples
+    contract as every other engine (exact sampler -> rhat gate valid)."""
+    import jax.numpy as jnp
+
+    from mcmcpp_tpu import MAMSSampler
+    from mcmcpp_tpu.convergence import run_until_converged
+
+    s = MAMSSampler(lambda t: -0.5 * jnp.sum(t * t), n_chains=32,
+                    n_params=3, seed=0, step_size=1.2,
+                    decoherence_length=3.0)
+    s.init_ball(np.zeros(3), scale=1.0, seed=1)
+    rep = run_until_converged(s, max_steps=4000, check_every=1000,
+                              rhat_threshold=1.05)
+    assert rep.converged, rep
+    assert np.all(rep.rhat < 1.05)

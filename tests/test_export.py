@@ -102,3 +102,29 @@ def test_nested_to_inference_dict():
         nested_to_inference_dict(ns2)
     with pytest.raises(TypeError, match="NestedSampler"):
         nested_to_inference_dict(42)
+
+
+def test_ibis_export_groups():
+    import jax
+
+    from mcmcpp_tpu import IBISSampler
+    from mcmcpp_tpu.export import ibis_to_inference_dict
+
+    rng = np.random.default_rng(0)
+    ys = (0.5 + rng.standard_normal(20)).astype(np.float32)
+    s = IBISSampler(
+        log_prior_fn=lambda t: -0.5 * t[0] ** 2 / 4.0,
+        loglike_point_fn=lambda t, y: -0.5 * (y - t[0]) ** 2,
+        prior_sample_fn=lambda key, n: 2.0 * jax.random.normal(key, (n, 1)),
+        n_particles=512, n_params=1, batch_size=4, seed=0,
+    )
+    s.update(ys)
+    d = ibis_to_inference_dict(s, n_draws=500, seed=1)
+    assert d["posterior"]["theta"].shape == (1, 500, 1)
+    assert d["sample_stats"]["log_evidence"].shape == (1, 500)
+    trace = d["sample_stats"]["prequential_logp"][0]
+    n_stages = len(s.log_evidence_trace)
+    assert np.isfinite(trace[:n_stages]).all()
+    assert np.isnan(trace[n_stages:]).all()
+    with pytest.raises(TypeError, match="IBISSampler"):
+        ibis_to_inference_dict(object())
