@@ -83,8 +83,8 @@ class MCLMCSampler:
 
     def __init__(self, logp_fn, n_chains, n_params, seed=0,
                  dtype=jnp.float32, step_size=None,
-                 decoherence_length=None, max_chain_bytes=2 << 30,
-                 mesh=None, chain=None):
+                 decoherence_length=None, inv_mass=None,
+                 max_chain_bytes=2 << 30, mesh=None, chain=None):
         if int(n_params) < 2:
             raise ValueError("MCLMC needs n_params >= 2 (isokinetic map "
                              "divides by d-1)")
@@ -104,6 +104,18 @@ class MCLMCSampler:
         self._key = jax.random.key(seed)
         self.state = None
         self.energy_var = float("nan")  # Var[ΔE]/d from the last tune leg
+        # diagonal preconditioner: the dynamics run in whitened z = x/s
+        # coordinates (s = sqrt(inv_mass)), implemented without a
+        # reparametrized target — gradients scale by s, position steps by
+        # s·u (exactly the dense-metric trick restricted to a diagonal)
+        self.inv_mass = (None if inv_mass is None
+                         else jnp.asarray(inv_mass, dtype))
+        if self.inv_mass is not None and self.inv_mass.shape != (
+            self.n_params,
+        ):
+            raise ValueError(
+                f"inv_mass must be ({self.n_params},) diagonal"
+            )
         if chain is not None:
             if (chain.n_walkers, chain.n_params) != (
                 self.n_chains, self.n_params,
@@ -145,14 +157,22 @@ class MCLMCSampler:
         return MCLMCState(c(state.position), c(state.momentum),
                           v(state.logp), c(state.grad))
 
+    def _scale(self):
+        """Whitening scale s = sqrt(inv_mass) (None -> identity)."""
+        return (None if self.inv_mass is None
+                else jnp.sqrt(self.inv_mass)[None, :])
+
     def _step(self, key, state, eps, length):
         """One MCLMC transition; returns (state, ΔE (C,))."""
         d = float(self.n_params)
+        s = self._scale()
         state = self._constrain(state)
-        u, dk1 = _esh(state.momentum, state.grad, eps / 2.0, d)
-        x = state.position + eps * u
+        g0 = state.grad if s is None else state.grad * s
+        u, dk1 = _esh(state.momentum, g0, eps / 2.0, d)
+        x = state.position + eps * (u if s is None else u * s)
         logp, grad = self._vg(x)
-        u, dk2 = _esh(u, grad, eps / 2.0, d)
+        g1 = grad if s is None else grad * s
+        u, dk2 = _esh(u, g1, eps / 2.0, d)
         # Langevin partial refresh (O-step)
         nu = jnp.sqrt(jnp.expm1(2.0 * eps / length) / d)
         z = jax.random.normal(key, u.shape, u.dtype)
@@ -188,22 +208,10 @@ class MCLMCSampler:
 
     # -- tuning --------------------------------------------------------------
 
-    def tune(self, n_steps=600, target_energy_var=5e-4, rounds=6):
-        """Two-stage automation (paper §3.3 / the Blackjax recipe,
-        simplified to a fixed-round multiplicative search):
-
-        1. step size: run ``n_steps/rounds`` steps per round, measure
-           Var[ΔE]/d over chains and steps, update
-           ``eps *= (target/measured)^{1/4}`` (ΔE ∝ eps², so Var ∝ eps⁴),
-           clipped to [½, 2] per round;
-        2. decoherence length: ``L = 1.6·sqrt(Σ_i Var[x_i])`` from the
-           final round's draws.
-
-        Leaves the chain store untouched. Returns self.
-        """
-        if self.state is None:
-            raise RuntimeError("call init/init_ball first")
-        leg = max(int(n_steps) // int(rounds), 10)
+    def _tune_eps_rounds(self, leg, rounds, target_energy_var):
+        """Multiplicative eps search against the energy-error target;
+        one jitted leg program per call (re-call after changing the
+        metric). Returns the last leg's draws."""
 
         def run_leg(state, key, eps):
             def body(carry, k):
@@ -231,10 +239,48 @@ class MCLMCSampler:
             ratio = (target_energy_var / max(var_e, 1e-12)) ** 0.25
             eps *= float(np.clip(ratio, 0.5, 2.0))
         self.step_size = float(eps)
-        # stage 2: L from the spread of the last leg's draws
+        return xs
+
+    def tune(self, n_steps=600, target_energy_var=5e-4, rounds=6,
+             precondition=False):
+        """Automation (paper §3.3 / the Blackjax recipe, simplified to a
+        fixed-round multiplicative search):
+
+        1. step size: run ``n_steps/rounds`` steps per round, measure
+           Var[ΔE]/d over chains and steps, update
+           ``eps *= (target/measured)^{1/4}`` (ΔE ∝ eps², so Var ∝ eps⁴),
+           clipped to [½, 2] per round;
+        2. (``precondition=True``) diagonal metric: after the first half
+           of the rounds, ``inv_mass = Var[x_i]`` per dimension from the
+           adaptation draws — the dynamics then run in whitened
+           coordinates (gradient × s, position step × s, s = √inv_mass)
+           and the remaining rounds re-find eps under the new metric;
+        3. decoherence length: ``L = 1.6·sqrt(Σ_i Var[z_i])`` from the
+           final round's WHITENED draws.
+
+        Leaves the chain store untouched. Returns self.
+        """
+        if self.state is None:
+            raise RuntimeError("call init/init_ball first")
+        leg = max(int(n_steps) // int(rounds), 10)
+        if precondition:
+            rounds_a = max(int(rounds) // 2, 1)
+            xs = self._tune_eps_rounds(leg, rounds_a, target_energy_var)
+            flat = np.asarray(xs, np.float64).reshape(-1, self.n_params)
+            var = np.maximum(flat.var(axis=0), 1e-12)
+            self.inv_mass = jnp.asarray(var, self.dtype)
+            # whitened space is ~unit scale: reset L for the re-search
+            self.decoherence_length = 1.6 * float(np.sqrt(self.n_params))
+            xs = self._tune_eps_rounds(
+                leg, max(int(rounds) - rounds_a, 2), target_energy_var
+            )
+        else:
+            xs = self._tune_eps_rounds(leg, int(rounds), target_energy_var)
         flat = np.asarray(xs, np.float64).reshape(-1, self.n_params)
+        scale2 = (np.ones(self.n_params) if self.inv_mass is None
+                  else np.asarray(self.inv_mass, np.float64))
         self.decoherence_length = float(
-            1.6 * np.sqrt(flat.var(axis=0).sum())
+            1.6 * np.sqrt((flat.var(axis=0) / scale2).sum())
         )
         return self
 
@@ -274,16 +320,18 @@ class MCLMCSampler:
                                     self.dtype)
 
         def launch(take):
-            fn = self._run_cache.get((take, thin, self.step_size,
-                                      self.decoherence_length))
+            metric_key = (None if self.inv_mass is None
+                          else tuple(np.asarray(self.inv_mass).tolist()))
+            cache_key = (take, thin, self.step_size,
+                         self.decoherence_length, metric_key)
+            fn = self._run_cache.get(cache_key)
             if fn is None:
                 fn = jax.jit(
                     lambda st, k, t=take, th=thin: self._run_scan(
                         st, k, t, th
                     )
                 )
-                self._run_cache[(take, thin, self.step_size,
-                                 self.decoherence_length)] = fn
+                self._run_cache[cache_key] = fn
             self._key, run_key = jax.random.split(self._key)
             self.state, pos, lps = fn(self.state, run_key)
             return (pos, lps)
@@ -343,13 +391,17 @@ class MAMSSampler(MCLMCSampler):
         u = jax.random.normal(k_u, state.position.shape, self.dtype)
         u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
 
+        s = self._scale()
+
         def body(i, carry):
             x, u, logp, grad, de = carry
             live = i < n_live
-            u2, dk1 = _esh(u, grad, eps / 2.0, d)
-            x2 = x + eps * u2
+            g0 = grad if s is None else grad * s
+            u2, dk1 = _esh(u, g0, eps / 2.0, d)
+            x2 = x + eps * (u2 if s is None else u2 * s)
             logp2, grad2 = self._vg(x2)
-            u2, dk2 = _esh(u2, grad2, eps / 2.0, d)
+            g1 = grad2 if s is None else grad2 * s
+            u2, dk2 = _esh(u2, g1, eps / 2.0, d)
             de2 = de + dk1 + dk2 - (logp2 - logp)
             # masked no-op beyond the live length (static-shape jitter)
             return (
@@ -377,16 +429,30 @@ class MAMSSampler(MCLMCSampler):
     def _n_max(self, eps):
         return max(int(np.ceil(2.0 * self.decoherence_length / eps)), 2)
 
-    def tune(self, n_steps=600, target_energy_var=None, rounds=6):
+    def tune(self, n_steps=600, target_energy_var=None, rounds=6,
+             precondition=False):
         """Acceptance-targeted step-size search + cloud-spread L (the
         adjusted analogue of the unadjusted tuner; ``target_energy_var``
-        is ignored — acceptance is the natural adjusted target)."""
+        is ignored — acceptance is the natural adjusted target).
+        ``precondition=True`` inserts the same mid-tune diagonal-metric
+        estimation as the unadjusted tuner."""
         if self.state is None:
             raise RuntimeError("call init/init_ball first")
         leg = max(int(n_steps) // int(rounds), 5)
         eps = self.step_size
         xs = None
-        for _ in range(int(rounds)):
+        switch_at = max(int(rounds) // 2, 1) if precondition else None
+        for r in range(int(rounds)):
+            if switch_at is not None and r == switch_at and xs is not None:
+                flat = np.asarray(xs, np.float64).reshape(
+                    -1, self.n_params
+                )
+                self.inv_mass = jnp.asarray(
+                    np.maximum(flat.var(axis=0), 1e-12), self.dtype
+                )
+                self.decoherence_length = (
+                    1.6 * float(np.sqrt(self.n_params))
+                )
             n_max = self._n_max(eps)
 
             def run_leg(state, key, eps_v):
@@ -413,8 +479,10 @@ class MAMSSampler(MCLMCSampler):
                                  0.5, 2.0))
         self.step_size = float(eps)
         flat = np.asarray(xs, np.float64).reshape(-1, self.n_params)
+        scale2 = (np.ones(self.n_params) if self.inv_mass is None
+                  else np.asarray(self.inv_mass, np.float64))
         self.decoherence_length = float(
-            1.6 * np.sqrt(flat.var(axis=0).sum())
+            1.6 * np.sqrt((flat.var(axis=0) / scale2).sum())
         )
         return self
 

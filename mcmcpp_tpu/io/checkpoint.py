@@ -396,6 +396,8 @@ def save_checkpoint(sampler, path):
             chain_samples=sampler.chain.get(),
             chain_logp=sampler.chain.get_logp(),
         )
+        if sampler.inv_mass is not None:
+            arrays["inv_mass"] = np.asarray(sampler.inv_mass)
     elif _is_nested(sampler):
         if sampler._live is None:
             raise RuntimeError(
@@ -814,6 +816,8 @@ def load_checkpoint(sampler, path):
         sampler.step_size = float(meta["step_size"])
         sampler.decoherence_length = float(meta["decoherence_length"])
         sampler.energy_var = float(meta["energy_var"])
+        sampler.inv_mass = (jnp.asarray(arrays["inv_mass"])
+                            if "inv_mass" in arrays else None)
         sampler._run_cache.clear()
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()

@@ -216,3 +216,70 @@ def test_mams_mesh_sharded_bitwise():
         return np.asarray(s.get_samples())
 
     np.testing.assert_array_equal(build(None), build(make_walker_mesh()))
+
+
+# --- diagonal preconditioning ----------------------------------------------
+
+
+def _aniso_logp(scales2):
+    s2 = jnp.asarray(scales2)
+
+    def logp(t):
+        return -0.5 * jnp.sum(t * t / s2)
+
+    return logp
+
+
+def test_precondition_recovers_metric_and_moments():
+    """tune(precondition=True) learns inv_mass ≈ the per-dim variances
+    and the whitened run recovers a badly-scaled Gaussian."""
+    scales2 = np.array([1.0, 100.0, 0.04, 9.0])
+    s = MCLMCSampler(_aniso_logp(scales2), n_chains=64, n_params=4,
+                     seed=0)
+    s.init_ball(np.zeros(4), scale=1.0, seed=1)
+    s.tune(1200, precondition=True)
+    assert s.inv_mass is not None
+    np.testing.assert_allclose(
+        np.asarray(s.inv_mass), scales2, rtol=0.5
+    )
+    s.run(4000, thin=2)
+    x = s.get_samples(burn_in=400, flat=True)
+    np.testing.assert_allclose(x.var(axis=0), scales2, rtol=0.2)
+
+
+def test_mams_precondition_exact_on_anisotropic():
+    from mcmcpp_tpu import MAMSSampler
+
+    scales2 = np.array([1.0, 64.0, 0.25])
+    s = MAMSSampler(_aniso_logp(scales2), n_chains=64, n_params=3,
+                    seed=2)
+    s.init_ball(np.zeros(3), scale=1.0, seed=3)
+    s.tune(400, precondition=True)
+    assert s.inv_mass is not None
+    s.run(3000)
+    x = s.get_samples(burn_in=300, flat=True)
+    np.testing.assert_allclose(x.var(axis=0), scales2, rtol=0.12)
+
+
+def test_precondition_checkpoint_roundtrip(tmp_path):
+    from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    scales2 = np.array([1.0, 25.0])
+    a = MCLMCSampler(_aniso_logp(scales2), n_chains=8, n_params=2, seed=0)
+    a.init_ball(np.zeros(2), scale=1.0, seed=1)
+    a.tune(200, precondition=True)
+    a.run(20)
+    ck = save_checkpoint(a, tmp_path / "pm.npz")
+    a.run(20)
+    b = MCLMCSampler(_aniso_logp(scales2), n_chains=8, n_params=2, seed=9)
+    load_checkpoint(b, ck)
+    np.testing.assert_array_equal(np.asarray(a.inv_mass),
+                                  np.asarray(b.inv_mass))
+    b.run(20)
+    np.testing.assert_array_equal(a.get_samples(), b.get_samples())
+
+
+def test_inv_mass_validation():
+    with pytest.raises(ValueError, match="inv_mass"):
+        MCLMCSampler(std_gauss, n_chains=4, n_params=3,
+                     inv_mass=np.ones(2))
