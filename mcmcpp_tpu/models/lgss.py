@@ -56,36 +56,70 @@ from jax.scipy.linalg import cho_factor, cho_solve
 
 
 class LGSSParams(NamedTuple):
-    """Time-invariant model matrices (shapes: D latent, E observed)."""
+    """Model matrices (shapes: D latent, E observed).
+
+    The OBSERVATION side may be time-varying: ``H`` of shape (T, E, D)
+    and/or ``c`` of shape (T, E) — the dynamic-regression / BSTS-with-
+    regressors case (H_t = the step's covariate row). The state dynamics
+    (A, b, Q) and R stay time-invariant; the backward passes (RTS, FFBS)
+    never touch H, so smoothing and exact trajectory draws work
+    unchanged over the time-varying filters.
+    """
 
     A: jnp.ndarray   # (D, D) transition
     b: jnp.ndarray   # (D,)   transition offset
     Q: jnp.ndarray   # (D, D) transition noise covariance
-    H: jnp.ndarray   # (E, D) observation
-    c: jnp.ndarray   # (E,)   observation offset
+    H: jnp.ndarray   # (E, D) observation — or (T, E, D) time-varying
+    c: jnp.ndarray   # (E,)   observation offset — or (T, E)
     R: jnp.ndarray   # (E, E) observation noise covariance
     m0: jnp.ndarray  # (D,)   initial mean (of x_1 or x_0 — see `initial`)
     P0: jnp.ndarray  # (D, D) initial covariance
 
 
+def _is_tv(p: LGSSParams):
+    return p.H.ndim == 3
+
+
+def _tv_obs(p: LGSSParams, t_n):
+    """(T, E, D) H and (T, E) c views for the time-varying paths."""
+    if p.H.shape[0] != t_n:
+        raise ValueError(
+            f"time-varying H has T={p.H.shape[0]} but ys has T={t_n}"
+        )
+    e = p.H.shape[1]
+    c = (jnp.broadcast_to(p.c, (t_n, e)) if p.c.ndim == 1 else p.c)
+    if c.shape != (t_n, e):
+        raise ValueError(f"c must be ({e},) or ({t_n}, {e})")
+    return p.H, c
+
+
 def lgss_params(A, b, Q, H, c, R, m0, P0, dtype=jnp.float32):
-    """Build :class:`LGSSParams`, promoting scalars/1-D shorthands."""
+    """Build :class:`LGSSParams`, promoting scalars/1-D shorthands.
+
+    Pass ``H`` with three axes (T, E, D) (and optionally ``c`` as
+    (T, E)) for a time-varying observation model.
+    """
     A = jnp.atleast_2d(jnp.asarray(A, dtype))
     d = A.shape[0]
     Q = jnp.asarray(Q, dtype)
     Q = Q * jnp.eye(d, dtype=dtype) if Q.ndim == 0 else jnp.atleast_2d(Q)
-    H = jnp.atleast_2d(jnp.asarray(H, dtype))
-    e = H.shape[0]
+    H = jnp.asarray(H, dtype)
+    if H.ndim != 3:
+        H = jnp.atleast_2d(H)
+    e = H.shape[-2]
     R = jnp.asarray(R, dtype)
     R = R * jnp.eye(e, dtype=dtype) if R.ndim == 0 else jnp.atleast_2d(R)
     P0 = jnp.asarray(P0, dtype)
     P0 = P0 * jnp.eye(d, dtype=dtype) if P0.ndim == 0 else jnp.atleast_2d(P0)
+    c = jnp.asarray(c, dtype)
+    if c.ndim < 2:
+        c = jnp.broadcast_to(c, (e,))
     return LGSSParams(
         A=A,
         b=jnp.broadcast_to(jnp.asarray(b, dtype), (d,)),
         Q=Q,
         H=H,
-        c=jnp.broadcast_to(jnp.asarray(c, dtype), (e,)),
+        c=c,
         R=R,
         m0=jnp.broadcast_to(jnp.asarray(m0, dtype), (d,)),
         P0=P0,
@@ -144,6 +178,50 @@ def _seq_filter(p: LGSSParams, ys, initial, mask):
         return (m, P), (m, P, ll)
 
     (_, _), (ms, Ps, lls) = jax.lax.scan(step, (m1, P1), (ys[1:], mask[1:]))
+    means = jnp.concatenate([m1[None], ms], axis=0)
+    covs = jnp.concatenate([P1[None], Ps], axis=0)
+    return FilterResult(means, covs, ll1 + jnp.sum(lls))
+
+
+def _seq_filter_tv(p: LGSSParams, ys, initial, mask):
+    """Sequential filter with per-step H_t / c_t (dynamic regression)."""
+    t_n = ys.shape[0]
+    Hs, cs = _tv_obs(p, t_n)
+    e = Hs.shape[1]
+    cst = e * np.log(2.0 * np.pi)
+    m1p, P1p = _first_pred(p, initial)
+
+    def measure(mp, Pp, y, obs, h, cc):
+        S = h @ Pp @ h.T + p.R
+        cf = cho_factor(S, lower=True)
+        innov = y - h @ mp - cc
+        K = cho_solve(cf, h @ Pp).T
+        m = jnp.where(obs, mp + K @ innov, mp)
+        P = jnp.where(obs, Pp - K @ (h @ Pp), Pp)
+        ll = jnp.where(
+            obs,
+            -0.5 * (
+                cst
+                + 2.0 * jnp.sum(jnp.log(jnp.diagonal(cf[0])))
+                + innov @ cho_solve(cf, innov)
+            ),
+            0.0,
+        )
+        return m, P, ll
+
+    m1, P1, ll1 = measure(m1p, P1p, ys[0], mask[0], Hs[0], cs[0])
+
+    def step(carry, inp):
+        y, obs, h, cc = inp
+        m, P = carry
+        mp = p.A @ m + p.b
+        Pp = p.A @ P @ p.A.T + p.Q
+        m, P, ll = measure(mp, Pp, y, obs, h, cc)
+        return (m, P), (m, P, ll)
+
+    (_, _), (ms, Ps, lls) = jax.lax.scan(
+        step, (m1, P1), (ys[1:], mask[1:], Hs[1:], cs[1:])
+    )
     means = jnp.concatenate([m1[None], ms], axis=0)
     covs = jnp.concatenate([P1[None], Ps], axis=0)
     return FilterResult(means, covs, ll1 + jnp.sum(lls))
@@ -256,6 +334,83 @@ def _parallel_filter(p: LGSSParams, ys, initial, mask):
     return FilterResult(means, covs, loglik)
 
 
+def _parallel_filter_tv(p: LGSSParams, ys, initial, mask):
+    """Associative-scan filter with per-step H_t / c_t: the Särkkä &
+    García-Fernández elements are per-step constructions anyway, so the
+    time-varying case just builds them with a vmap over t instead of a
+    broadcast."""
+    t_n = ys.shape[0]
+    Hs, cs = _tv_obs(p, t_n)
+    e = Hs.shape[1]
+    d = p.A.shape[0]
+    dt = ys.dtype
+
+    def generic(h, cc, y):
+        S = h @ p.Q @ h.T + p.R
+        cf = cho_factor(S, lower=True)
+        K = cho_solve(cf, h @ p.Q).T
+        ImKH = jnp.eye(d, dtype=dt) - K @ h
+        HtSinv = cho_solve(cf, h).T
+        resid = y - h @ p.b - cc
+        return (
+            ImKH @ p.A,
+            p.b + K @ resid,
+            ImKH @ p.Q,
+            (p.A.T @ HtSinv) @ resid,
+            p.A.T @ HtSinv @ h @ p.A,
+        )
+
+    A_g, b_g, C_g, eta_g, J_g = jax.vmap(generic)(Hs, cs, ys)
+
+    m3 = mask[:, None, None]
+    m2 = mask[:, None]
+    A_g = jnp.where(m3, A_g, jnp.broadcast_to(p.A, (t_n, d, d)))
+    b_g = jnp.where(m2, b_g, jnp.broadcast_to(p.b, (t_n, d)))
+    C_g = jnp.where(m3, C_g, jnp.broadcast_to(p.Q, (t_n, d, d)))
+    eta_g = jnp.where(m2, eta_g, jnp.zeros((t_n, d), dt))
+    J_g = jnp.where(m3, J_g, jnp.zeros((t_n, d, d), dt))
+
+    m1p, P1p = _first_pred(p, initial)
+    S1 = Hs[0] @ P1p @ Hs[0].T + p.R
+    cf1 = cho_factor(S1, lower=True)
+    K1 = cho_solve(cf1, Hs[0] @ P1p).T
+    b_1 = jnp.where(
+        mask[0], m1p + K1 @ (ys[0] - Hs[0] @ m1p - cs[0]), m1p
+    )
+    C_1 = jnp.where(mask[0], P1p - K1 @ (Hs[0] @ P1p), P1p)
+    zero_d = jnp.zeros((d, d), dt)
+
+    elems = _FilterElem(
+        A=A_g.at[0].set(zero_d),
+        b=b_g.at[0].set(b_1),
+        C=C_g.at[0].set(C_1),
+        eta=eta_g.at[0].set(jnp.zeros(d, dt)),
+        J=J_g.at[0].set(zero_d),
+    )
+    pref = jax.lax.associative_scan(_combine_filter, elems)
+    means, covs = pref.b, pref.C
+
+    m_prev = jnp.concatenate([jnp.zeros((1, d), dt), means[:-1]], axis=0)
+    P_prev = jnp.concatenate([jnp.zeros((1, d, d), dt), covs[:-1]], axis=0)
+    m_pred = m_prev @ p.A.T + p.b
+    P_pred = jnp.einsum("ij,tjk,lk->til", p.A, P_prev, p.A) + p.Q
+    m_pred = m_pred.at[0].set(m1p)
+    P_pred = P_pred.at[0].set(P1p)
+    S_all = jnp.einsum("tij,tjk,tlk->til", Hs, P_pred, Hs) + p.R
+    innov = ys - jnp.einsum("tij,tj->ti", Hs, m_pred) - cs
+
+    def one_ll(Sk, ik):
+        cfk = cho_factor(Sk, lower=True)
+        return -0.5 * (
+            e * np.log(2.0 * np.pi)
+            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(cfk[0])))
+            + ik @ cho_solve(cfk, ik)
+        )
+
+    loglik = jnp.sum(jnp.where(mask, jax.vmap(one_ll)(S_all, innov), 0.0))
+    return FilterResult(means, covs, loglik)
+
+
 def kalman_filter(params: LGSSParams, ys, method="parallel",
                   initial="state", mask=None):
     """Filtered means/covariances and the marginal log-likelihood.
@@ -281,10 +436,15 @@ def kalman_filter(params: LGSSParams, ys, method="parallel",
             raise ValueError(f"mask must be ({ys.shape[0]},)")
     # scrub NaNs so masked arithmetic can't poison the observed path
     ys = jnp.where(mask[:, None], jnp.where(jnp.isfinite(ys), ys, 0.0), 0.0)
+    tv = _is_tv(params)
     if method == "parallel":
-        return _parallel_filter(params, ys, initial, mask)
+        return (_parallel_filter_tv if tv else _parallel_filter)(
+            params, ys, initial, mask
+        )
     if method == "sequential":
-        return _seq_filter(params, ys, initial, mask)
+        return (_seq_filter_tv if tv else _seq_filter)(
+            params, ys, initial, mask
+        )
     raise ValueError(f"method must be 'parallel'|'sequential', got {method!r}")
 
 
@@ -401,6 +561,16 @@ def forecast(params: LGSSParams, ys=None, filtered: FilterResult = None,
     obs_means (h, E), obs_covs (h, E, E))`` for horizons 1..h — the
     exact Gaussian forecast distribution p(x_{T+k} | y_{1:T}) and
     p(y_{T+k} | y_{1:T})."""
+    if _is_tv(params):
+        raise ValueError(
+            "forecast() needs observation matrices for FUTURE steps, "
+            "which a (T, E, D) time-varying H does not carry. Forecast a "
+            "dynamic-regression model by filtering with the horizon "
+            "appended: extend H with the future covariate rows, append "
+            "NaN rows to ys (mask=False) — the filter coasts on "
+            "prediction steps, so the filtered moments AT those rows are "
+            "exactly p(x_{T+k} | y_{1:T})."
+        )
     if filtered is None:
         filtered = kalman_filter(params, ys, method=method, initial=initial,
                                  mask=mask)

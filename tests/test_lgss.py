@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from mcmcpp_tpu.models.lgss import (
     LGSSKernel,
     ffbs_sample,
+    forecast,
     kalman_filter,
     lgss_loglik,
     lgss_params,
@@ -427,3 +428,128 @@ def test_lgss_kernel_mesh_sharded_bitwise():
     a = build(None)
     b = build(make_walker_mesh())
     np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+
+
+# --- time-varying observation model (dynamic regression; round 4) ----------
+
+
+def _tv_case(seed=21):
+    rng = np.random.default_rng(seed)
+    Hs = rng.standard_normal((T, E, D)).astype(np.float32)
+    cs = rng.standard_normal((T, E)).astype(np.float32) * 0.3
+    _, (A, b, Q, _, _, R, m0, P0) = _params()
+    p = lgss_params(A, b, Q, Hs, cs, R, m0, P0)
+    ys = _ys()
+    return p, (A, b, Q, Hs, cs, R, m0, P0), ys
+
+
+def _tv_dense_obs(mx, cov, Hs, cs, R):
+    from scipy.linalg import block_diag
+
+    Hbig = block_diag(*[np.asarray(h, np.float64) for h in Hs])
+    my = Hbig @ mx + np.asarray(cs, np.float64).reshape(-1)
+    cov_yy = Hbig @ cov @ Hbig.T + np.kron(np.eye(T), R)
+    return my, cov_yy, cov @ Hbig.T
+
+
+def test_tv_parallel_matches_sequential():
+    p, _, ys = _tv_case()
+    fp = kalman_filter(p, ys, method="parallel")
+    fs = kalman_filter(p, ys, method="sequential")
+    np.testing.assert_allclose(fp.means, fs.means, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(fp.covs, fs.covs, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(fp.loglik, fs.loglik, rtol=2e-5)
+
+
+def test_tv_loglik_and_smoother_vs_dense_joint():
+    p, (A, b, Q, Hs, cs, R, m0, P0), ys = _tv_case()
+    # state-chain moments are H-independent: reuse the invariant builder
+    mx, cov, _, _, _ = _dense_joint(A, b, Q, np.zeros((E, D)), np.zeros(E),
+                                    R, m0, P0)
+    my, cov_yy, cov_xy = _tv_dense_obs(mx, cov, Hs, cs, R)
+    resid = ys.reshape(-1) - my
+    sign, logdet = np.linalg.slogdet(cov_yy)
+    ll_dense = -0.5 * (
+        T * E * np.log(2 * np.pi) + logdet
+        + resid @ np.linalg.solve(cov_yy, resid)
+    )
+    for method in ("parallel", "sequential"):
+        np.testing.assert_allclose(
+            float(lgss_loglik(p, ys, method=method)), ll_dense, rtol=2e-4
+        )
+    # smoothing == conditioning the dense joint on ALL observations
+    # (exercises the H-free backward pass over the tv filter)
+    mean_post, cov_post = _dense_condition(
+        mx, cov, my, cov_yy, cov_xy, ys.reshape(-1)
+    )
+    ms, Ps = rts_smoother(p, ys)
+    np.testing.assert_allclose(ms, mean_post, rtol=3e-3, atol=3e-4)
+    for t in range(T):
+        np.testing.assert_allclose(
+            Ps[t], cov_post[t * D:(t + 1) * D, t * D:(t + 1) * D],
+            rtol=3e-3, atol=3e-4,
+        )
+
+
+def test_tv_ffbs_moments():
+    """Vmapped FFBS draws under time-varying H match the smoothed
+    moments (the exact-conditional contract)."""
+    p, _, ys = _tv_case(seed=5)
+    ms, Ps = rts_smoother(p, ys)
+    keys = jax.random.split(jax.random.key(0), 3000)
+    draws = jax.vmap(lambda k: ffbs_sample(k, p, ys))(keys)
+    np.testing.assert_allclose(
+        np.asarray(draws).mean(axis=0), ms, atol=0.08
+    )
+    emp_var = np.asarray(draws).var(axis=0)
+    np.testing.assert_allclose(
+        emp_var, np.asarray(Ps)[:, np.arange(D), np.arange(D)],
+        rtol=0.25, atol=0.01,
+    )
+
+
+def test_dynamic_regression_recovers_coefficients():
+    """y_t = x_t · β_t + noise with slowly-drifting β (the canonical
+    time-varying-H model): the smoothed state tracks the true path."""
+    rng = np.random.default_rng(9)
+    t_n, k = 150, 2
+    X = rng.standard_normal((t_n, k)).astype(np.float32)
+    beta = np.cumsum(rng.normal(0, 0.08, (t_n, k)), axis=0) + [1.0, -0.5]
+    y = (np.sum(X * beta, axis=1) + 0.3 * rng.standard_normal(t_n)
+         ).astype(np.float32)
+    p = lgss_params(
+        A=np.eye(k), b=np.zeros(k), Q=0.08**2 * np.eye(k),
+        H=X[:, None, :], c=0.0, R=np.array([[0.09]]),
+        m0=np.zeros(k), P0=4.0 * np.eye(k),
+    )
+    ms, _ = rts_smoother(p, y[:, None])
+    rmse = float(np.sqrt(((np.asarray(ms) - beta) ** 2).mean()))
+    assert rmse < 0.25, rmse
+    corr = np.corrcoef(np.asarray(ms)[:, 0], beta[:, 0])[0, 1]
+    assert corr > 0.8, corr
+
+
+def test_tv_forecast_via_masked_future_rows():
+    """The documented tv forecasting recipe is EXACT: broadcast an
+    invariant H to (T+h, E, D), append NaN rows, and the filtered
+    moments at the future rows equal forecast() on the invariant model."""
+    p, raw = _params()
+    ys = _ys()
+    h = 3
+    A, b, Q, H, c, R, m0, P0 = raw
+    Hs = np.broadcast_to(H, (T + h, E, D))
+    p_tv = lgss_params(A, b, Q, Hs, c, R, m0, P0)
+    ys_ext = np.concatenate([ys, np.full((h, E), np.nan, np.float32)])
+    f = kalman_filter(p_tv, ys_ext)
+    sm, sP, _, _ = forecast(p, ys, horizon=h)
+    np.testing.assert_allclose(f.means[T:], sm, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(f.covs[T:], sP, rtol=2e-4, atol=2e-5)
+    with pytest.raises(ValueError, match="FUTURE steps"):
+        forecast(p_tv, ys_ext, horizon=2)
+
+
+def test_tv_validation():
+    _, (A, b, Q, Hs, cs, R, m0, P0), ys = _tv_case()
+    p_bad = lgss_params(A, b, Q, Hs[:3], cs[:3], R, m0, P0)
+    with pytest.raises(ValueError, match="time-varying H has T"):
+        kalman_filter(p_bad, ys)
