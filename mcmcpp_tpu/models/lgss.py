@@ -58,65 +58,104 @@ from jax.scipy.linalg import cho_factor, cho_solve
 class LGSSParams(NamedTuple):
     """Model matrices (shapes: D latent, E observed).
 
-    The OBSERVATION side may be time-varying: ``H`` of shape (T, E, D)
-    and/or ``c`` of shape (T, E) — the dynamic-regression / BSTS-with-
-    regressors case (H_t = the step's covariate row). The state dynamics
-    (A, b, Q) and R stay time-invariant; the backward passes (RTS, FFBS)
-    never touch H, so smoothing and exact trajectory draws work
-    unchanged over the time-varying filters.
+    ANY subset of A/b/Q/H/c/R may carry a leading time axis:
+
+    - ``H`` (T, E, D) / ``c`` (T, E): dynamic regression (H_t = the
+      step's covariate row), BSTS with regressors;
+    - ``A``/``Q`` (T, D, D), ``b`` (T, D), ``R`` (T, E, E): switching /
+      regime-dependent dynamics — e.g. build ``A_t = A[z_t]`` from a
+      sampled HMM regime path and alternate :class:`LGSSKernel` with an
+      :class:`~mcmcpp_tpu.models.hmm.HMMKernel` block (switching SSM).
+
+    Convention: ``A_t/b_t/Q_t`` govern the transition INTO step t
+    (index 0 only used by ``initial="prior"``); ``H_t/c_t/R_t`` observe
+    step t. The backward passes (RTS, FFBS) consume per-step A/b/Q but
+    never H, so smoothing and exact trajectory draws work unchanged.
     """
 
-    A: jnp.ndarray   # (D, D) transition
-    b: jnp.ndarray   # (D,)   transition offset
-    Q: jnp.ndarray   # (D, D) transition noise covariance
-    H: jnp.ndarray   # (E, D) observation — or (T, E, D) time-varying
+    A: jnp.ndarray   # (D, D) transition — or (T, D, D) time-varying
+    b: jnp.ndarray   # (D,)   transition offset — or (T, D)
+    Q: jnp.ndarray   # (D, D) transition noise covariance — or (T, D, D)
+    H: jnp.ndarray   # (E, D) observation — or (T, E, D)
     c: jnp.ndarray   # (E,)   observation offset — or (T, E)
-    R: jnp.ndarray   # (E, E) observation noise covariance
+    R: jnp.ndarray   # (E, E) observation noise covariance — or (T, E, E)
     m0: jnp.ndarray  # (D,)   initial mean (of x_1 or x_0 — see `initial`)
     P0: jnp.ndarray  # (D, D) initial covariance
 
 
 def _is_tv(p: LGSSParams):
-    return p.H.ndim == 3
+    return (p.H.ndim == 3 or p.A.ndim == 3 or p.Q.ndim == 3
+            or p.R.ndim == 3 or p.b.ndim == 2 or p.c.ndim == 2)
+
+
+def _tv_view(p: LGSSParams, t_n):
+    """Broadcast every matrix to a leading time axis for the tv paths:
+    (As (T,D,D), bs (T,D), Qs (T,D,D), Hs (T,E,D), cs (T,E),
+    Rs (T,E,E)). Convention: ``As[k]/bs[k]/Qs[k]`` govern the transition
+    INTO step k (so index 0 is used only by ``initial="prior"``);
+    ``Hs[k]/cs[k]/Rs[k]`` observe step k.
+    """
+    d = p.A.shape[-1]
+    e = p.H.shape[-2]
+
+    def bc(x, shape, name):
+        x = jnp.asarray(x)
+        if x.ndim == len(shape) - 1:
+            return jnp.broadcast_to(x, (t_n,) + x.shape)
+        if x.shape != (t_n,) + shape[1:]:
+            raise ValueError(
+                f"time-varying {name} has shape {x.shape}; expected "
+                f"{shape[1:]} or {(t_n,) + shape[1:]} (ys has T={t_n})"
+            )
+        return x
+
+    return (
+        bc(p.A, (t_n, d, d), "A"), bc(p.b, (t_n, d), "b"),
+        bc(p.Q, (t_n, d, d), "Q"), bc(p.H, (t_n, e, d), "H"),
+        bc(p.c, (t_n, e), "c"), bc(p.R, (t_n, e, e), "R"),
+    )
 
 
 def _tv_obs(p: LGSSParams, t_n):
-    """(T, E, D) H and (T, E) c views for the time-varying paths."""
-    if p.H.shape[0] != t_n:
-        raise ValueError(
-            f"time-varying H has T={p.H.shape[0]} but ys has T={t_n}"
-        )
-    e = p.H.shape[1]
-    c = (jnp.broadcast_to(p.c, (t_n, e)) if p.c.ndim == 1 else p.c)
-    if c.shape != (t_n, e):
-        raise ValueError(f"c must be ({e},) or ({t_n}, {e})")
-    return p.H, c
+    """(T, E, D) H and (T, E) c views (observation side only)."""
+    _, _, _, Hs, cs, _ = _tv_view(p, t_n)
+    return Hs, cs
 
 
 def lgss_params(A, b, Q, H, c, R, m0, P0, dtype=jnp.float32):
     """Build :class:`LGSSParams`, promoting scalars/1-D shorthands.
 
-    Pass ``H`` with three axes (T, E, D) (and optionally ``c`` as
-    (T, E)) for a time-varying observation model.
+    Any of A/b/Q/H/c/R may carry a leading time axis (see
+    :class:`LGSSParams`) — three-axis matrices / two-axis vectors are
+    passed through as time-varying.
     """
-    A = jnp.atleast_2d(jnp.asarray(A, dtype))
-    d = A.shape[0]
+    A = jnp.asarray(A, dtype)
+    if A.ndim < 2:
+        A = jnp.atleast_2d(A)
+    d = A.shape[-1]
     Q = jnp.asarray(Q, dtype)
-    Q = Q * jnp.eye(d, dtype=dtype) if Q.ndim == 0 else jnp.atleast_2d(Q)
+    Q = Q * jnp.eye(d, dtype=dtype) if Q.ndim == 0 else Q
+    if Q.ndim == 1:
+        Q = jnp.atleast_2d(Q)
     H = jnp.asarray(H, dtype)
-    if H.ndim != 3:
+    if H.ndim < 2:
         H = jnp.atleast_2d(H)
     e = H.shape[-2]
     R = jnp.asarray(R, dtype)
-    R = R * jnp.eye(e, dtype=dtype) if R.ndim == 0 else jnp.atleast_2d(R)
+    R = R * jnp.eye(e, dtype=dtype) if R.ndim == 0 else R
+    if R.ndim == 1:
+        R = jnp.atleast_2d(R)
     P0 = jnp.asarray(P0, dtype)
     P0 = P0 * jnp.eye(d, dtype=dtype) if P0.ndim == 0 else jnp.atleast_2d(P0)
+    b = jnp.asarray(b, dtype)
+    if b.ndim < 2:
+        b = jnp.broadcast_to(b, (d,))
     c = jnp.asarray(c, dtype)
     if c.ndim < 2:
         c = jnp.broadcast_to(c, (e,))
     return LGSSParams(
         A=A,
-        b=jnp.broadcast_to(jnp.asarray(b, dtype), (d,)),
+        b=b,
         Q=Q,
         H=H,
         c=c,
@@ -183,16 +222,27 @@ def _seq_filter(p: LGSSParams, ys, initial, mask):
     return FilterResult(means, covs, ll1 + jnp.sum(lls))
 
 
+def _first_pred_tv(p, As, bs, Qs, initial):
+    """x_1 predictive under per-step matrices (index 0 = into step 1)."""
+    if initial == "state":
+        return p.m0, p.P0
+    if initial == "prior":
+        return (As[0] @ p.m0 + bs[0],
+                As[0] @ p.P0 @ As[0].T + Qs[0])
+    raise ValueError(f"initial must be 'state' or 'prior', got {initial!r}")
+
+
 def _seq_filter_tv(p: LGSSParams, ys, initial, mask):
-    """Sequential filter with per-step H_t / c_t (dynamic regression)."""
+    """Sequential filter with per-step matrices (dynamic regression,
+    switching dynamics — any subset of A/b/Q/H/c/R time-varying)."""
     t_n = ys.shape[0]
-    Hs, cs = _tv_obs(p, t_n)
+    As, bs, Qs, Hs, cs, Rs = _tv_view(p, t_n)
     e = Hs.shape[1]
     cst = e * np.log(2.0 * np.pi)
-    m1p, P1p = _first_pred(p, initial)
+    m1p, P1p = _first_pred_tv(p, As, bs, Qs, initial)
 
-    def measure(mp, Pp, y, obs, h, cc):
-        S = h @ Pp @ h.T + p.R
+    def measure(mp, Pp, y, obs, h, cc, r):
+        S = h @ Pp @ h.T + r
         cf = cho_factor(S, lower=True)
         innov = y - h @ mp - cc
         K = cho_solve(cf, h @ Pp).T
@@ -209,18 +259,19 @@ def _seq_filter_tv(p: LGSSParams, ys, initial, mask):
         )
         return m, P, ll
 
-    m1, P1, ll1 = measure(m1p, P1p, ys[0], mask[0], Hs[0], cs[0])
+    m1, P1, ll1 = measure(m1p, P1p, ys[0], mask[0], Hs[0], cs[0], Rs[0])
 
     def step(carry, inp):
-        y, obs, h, cc = inp
+        y, obs, a, bv, q, h, cc, r = inp
         m, P = carry
-        mp = p.A @ m + p.b
-        Pp = p.A @ P @ p.A.T + p.Q
-        m, P, ll = measure(mp, Pp, y, obs, h, cc)
+        mp = a @ m + bv
+        Pp = a @ P @ a.T + q
+        m, P, ll = measure(mp, Pp, y, obs, h, cc, r)
         return (m, P), (m, P, ll)
 
     (_, _), (ms, Ps, lls) = jax.lax.scan(
-        step, (m1, P1), (ys[1:], mask[1:], Hs[1:], cs[1:])
+        step, (m1, P1),
+        (ys[1:], mask[1:], As[1:], bs[1:], Qs[1:], Hs[1:], cs[1:], Rs[1:]),
     )
     means = jnp.concatenate([m1[None], ms], axis=0)
     covs = jnp.concatenate([P1[None], Ps], axis=0)
@@ -335,43 +386,45 @@ def _parallel_filter(p: LGSSParams, ys, initial, mask):
 
 
 def _parallel_filter_tv(p: LGSSParams, ys, initial, mask):
-    """Associative-scan filter with per-step H_t / c_t: the Särkkä &
+    """Associative-scan filter with per-step matrices: the Särkkä &
     García-Fernández elements are per-step constructions anyway, so the
     time-varying case just builds them with a vmap over t instead of a
-    broadcast."""
+    broadcast. Any subset of A/b/Q/H/c/R may carry a time axis."""
     t_n = ys.shape[0]
-    Hs, cs = _tv_obs(p, t_n)
+    As, bs, Qs, Hs, cs, Rs = _tv_view(p, t_n)
     e = Hs.shape[1]
-    d = p.A.shape[0]
+    d = As.shape[-1]
     dt = ys.dtype
 
-    def generic(h, cc, y):
-        S = h @ p.Q @ h.T + p.R
+    def generic(a, bv, q, h, cc, r, y):
+        S = h @ q @ h.T + r
         cf = cho_factor(S, lower=True)
-        K = cho_solve(cf, h @ p.Q).T
+        K = cho_solve(cf, h @ q).T
         ImKH = jnp.eye(d, dtype=dt) - K @ h
         HtSinv = cho_solve(cf, h).T
-        resid = y - h @ p.b - cc
+        resid = y - h @ bv - cc
         return (
-            ImKH @ p.A,
-            p.b + K @ resid,
-            ImKH @ p.Q,
-            (p.A.T @ HtSinv) @ resid,
-            p.A.T @ HtSinv @ h @ p.A,
+            ImKH @ a,
+            bv + K @ resid,
+            ImKH @ q,
+            (a.T @ HtSinv) @ resid,
+            a.T @ HtSinv @ h @ a,
         )
 
-    A_g, b_g, C_g, eta_g, J_g = jax.vmap(generic)(Hs, cs, ys)
+    A_g, b_g, C_g, eta_g, J_g = jax.vmap(generic)(
+        As, bs, Qs, Hs, cs, Rs, ys
+    )
 
     m3 = mask[:, None, None]
     m2 = mask[:, None]
-    A_g = jnp.where(m3, A_g, jnp.broadcast_to(p.A, (t_n, d, d)))
-    b_g = jnp.where(m2, b_g, jnp.broadcast_to(p.b, (t_n, d)))
-    C_g = jnp.where(m3, C_g, jnp.broadcast_to(p.Q, (t_n, d, d)))
+    A_g = jnp.where(m3, A_g, As)
+    b_g = jnp.where(m2, b_g, bs)
+    C_g = jnp.where(m3, C_g, Qs)
     eta_g = jnp.where(m2, eta_g, jnp.zeros((t_n, d), dt))
     J_g = jnp.where(m3, J_g, jnp.zeros((t_n, d, d), dt))
 
-    m1p, P1p = _first_pred(p, initial)
-    S1 = Hs[0] @ P1p @ Hs[0].T + p.R
+    m1p, P1p = _first_pred_tv(p, As, bs, Qs, initial)
+    S1 = Hs[0] @ P1p @ Hs[0].T + Rs[0]
     cf1 = cho_factor(S1, lower=True)
     K1 = cho_solve(cf1, Hs[0] @ P1p).T
     b_1 = jnp.where(
@@ -392,11 +445,11 @@ def _parallel_filter_tv(p: LGSSParams, ys, initial, mask):
 
     m_prev = jnp.concatenate([jnp.zeros((1, d), dt), means[:-1]], axis=0)
     P_prev = jnp.concatenate([jnp.zeros((1, d, d), dt), covs[:-1]], axis=0)
-    m_pred = m_prev @ p.A.T + p.b
-    P_pred = jnp.einsum("ij,tjk,lk->til", p.A, P_prev, p.A) + p.Q
+    m_pred = jnp.einsum("tij,tj->ti", As, m_prev) + bs
+    P_pred = jnp.einsum("tij,tjk,tlk->til", As, P_prev, As) + Qs
     m_pred = m_pred.at[0].set(m1p)
     P_pred = P_pred.at[0].set(P1p)
-    S_all = jnp.einsum("tij,tjk,tlk->til", Hs, P_pred, Hs) + p.R
+    S_all = jnp.einsum("tij,tjk,tlk->til", Hs, P_pred, Hs) + Rs
     innov = ys - jnp.einsum("tij,tj->ti", Hs, m_pred) - cs
 
     def one_ll(Sk, ik):
@@ -470,18 +523,22 @@ def rts_smoother(params: LGSSParams, ys=None, filtered: FilterResult = None,
                                  mask=mask)
     p = params
     ms, Ps = filtered.means, filtered.covs
+    t_n = ms.shape[0]
+    # the transition from t to t+1 uses the step-(t+1) matrices
+    As, bs, Qs, _, _, _ = _tv_view(p, t_n)
 
-    def step(carry, mP):
+    def step(carry, inp):
         ms_next, Ps_next = carry
-        m, P = mP
-        Pp = p.A @ P @ p.A.T + p.Q
-        G = jnp.linalg.solve(Pp, p.A @ P).T  # P Aᵀ Pp⁻¹
-        m_s = m + G @ (ms_next - p.A @ m - p.b)
+        m, P, a, bv, q = inp
+        Pp = a @ P @ a.T + q
+        G = jnp.linalg.solve(Pp, a @ P).T  # P Aᵀ Pp⁻¹
+        m_s = m + G @ (ms_next - a @ m - bv)
         P_s = P + G @ (Ps_next - Pp) @ G.T
         return (m_s, P_s), (m_s, P_s)
 
     (_, _), (ms_s, Ps_s) = jax.lax.scan(
-        step, (ms[-1], Ps[-1]), (ms[:-1], Ps[:-1]), reverse=True
+        step, (ms[-1], Ps[-1]),
+        (ms[:-1], Ps[:-1], As[1:], bs[1:], Qs[1:]), reverse=True
     )
     means = jnp.concatenate([ms_s, ms[-1][None]], axis=0)
     covs = jnp.concatenate([Ps_s, Ps[-1][None]], axis=0)
@@ -513,16 +570,22 @@ def ffbs_sample(key, params: LGSSParams, ys=None,
     dt = ms.dtype
     eye_j = jitter * jnp.eye(d, dtype=dt)
 
+    # the t -> t+1 transition uses the step-(t+1) matrices (identical
+    # broadcast views in the time-invariant case)
+    As, bs, Qs, _, _, _ = _tv_view(p, t_n)
+
     # per-step conditional x_t | x_{t+1}, y_{1:t} = N(G x_{t+1} + d_t, Σ_t)
-    def gains(m, P):
-        Pp = p.A @ P @ p.A.T + p.Q
-        G = jnp.linalg.solve(Pp, p.A @ P).T
-        cond_cov = P - G @ (p.A @ P)
-        dvec = m - G @ (p.A @ m + p.b)
+    def gains(m, P, a, bv, q):
+        Pp = a @ P @ a.T + q
+        G = jnp.linalg.solve(Pp, a @ P).T
+        cond_cov = P - G @ (a @ P)
+        dvec = m - G @ (a @ m + bv)
         L = jnp.linalg.cholesky(cond_cov + eye_j)
         return G, dvec, L
 
-    Gs, dvecs, Ls = jax.vmap(gains)(ms[:-1], Ps[:-1])  # (T-1, ...)
+    Gs, dvecs, Ls = jax.vmap(gains)(
+        ms[:-1], Ps[:-1], As[1:], bs[1:], Qs[1:]
+    )  # (T-1, ...)
     z = jax.random.normal(key, (t_n, d), dt)
     L_T = jnp.linalg.cholesky(Ps[-1] + eye_j)
     x_T = ms[-1] + L_T @ z[-1]

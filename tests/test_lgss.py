@@ -551,5 +551,163 @@ def test_tv_forecast_via_masked_future_rows():
 def test_tv_validation():
     _, (A, b, Q, Hs, cs, R, m0, P0), ys = _tv_case()
     p_bad = lgss_params(A, b, Q, Hs[:3], cs[:3], R, m0, P0)
-    with pytest.raises(ValueError, match="time-varying H has T"):
+    with pytest.raises(ValueError, match="time-varying H has shape"):
         kalman_filter(p_bad, ys)
+
+
+# --- fully time-varying dynamics (switching SSMs; round 4) -----------------
+
+
+def _full_tv_case(seed=33):
+    rng = np.random.default_rng(seed)
+    As = np.stack([
+        0.8 * _rot(rng.uniform(-0.4, 0.4)) for _ in range(T)
+    ]).astype(np.float32)
+    bs = rng.standard_normal((T, D)).astype(np.float32) * 0.2
+    Qs = np.stack([
+        (lambda q: q @ q.T + 0.05 * np.eye(D))(
+            rng.standard_normal((D, D)) * 0.25
+        ) for _ in range(T)
+    ]).astype(np.float32)
+    Hs = rng.standard_normal((T, E, D)).astype(np.float32)
+    cs = rng.standard_normal((T, E)).astype(np.float32) * 0.3
+    Rs = np.stack([
+        np.array([[0.2 + rng.uniform(0, 0.5)]]) for _ in range(T)
+    ]).astype(np.float32)
+    m0 = np.array([0.5, -0.5])
+    P0 = np.array([[0.8, 0.1], [0.1, 0.6]])
+    p = lgss_params(As, bs, Qs, Hs, cs, Rs, m0, P0)
+    return p, (As, bs, Qs, Hs, cs, Rs, m0, P0), _ys()
+
+
+def _rot(theta):
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s], [s, c]])
+
+
+def _dense_joint_full_tv(As, bs, Qs, Hs, cs, Rs, m0, P0, initial="state"):
+    """float64 joint with per-step matrices (A_t transitions INTO t)."""
+    from scipy.linalg import block_diag
+
+    mx = np.zeros((T, D))
+    cov = np.zeros((T * D, T * D))
+    if initial == "state":
+        mx[0] = m0
+        cov[:D, :D] = P0
+    else:
+        mx[0] = As[0] @ m0 + bs[0]
+        cov[:D, :D] = As[0] @ P0 @ As[0].T + Qs[0]
+    for t in range(1, T):
+        a = np.asarray(As[t], np.float64)
+        mx[t] = a @ mx[t - 1] + bs[t]
+        for s in range(t):
+            blk = a @ cov[(t - 1) * D:t * D, s * D:(s + 1) * D]
+            cov[t * D:(t + 1) * D, s * D:(s + 1) * D] = blk
+            cov[s * D:(s + 1) * D, t * D:(t + 1) * D] = blk.T
+        cov[t * D:(t + 1) * D, t * D:(t + 1) * D] = (
+            a @ cov[(t - 1) * D:t * D, (t - 1) * D:t * D] @ a.T + Qs[t]
+        )
+    Hbig = block_diag(*[np.asarray(h, np.float64) for h in Hs])
+    my = Hbig @ mx.reshape(-1) + np.asarray(cs, np.float64).reshape(-1)
+    cov_yy = Hbig @ cov @ Hbig.T + block_diag(
+        *[np.asarray(r, np.float64) for r in Rs]
+    )
+    return mx.reshape(-1), cov, my, cov_yy, cov @ Hbig.T
+
+
+@pytest.mark.parametrize("initial", ["state", "prior"])
+def test_full_tv_filter_loglik_smoother_vs_dense(initial):
+    p, raw, ys = _full_tv_case()
+    fp = kalman_filter(p, ys, method="parallel", initial=initial)
+    fs = kalman_filter(p, ys, method="sequential", initial=initial)
+    np.testing.assert_allclose(fp.means, fs.means, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(fp.loglik, fs.loglik, rtol=2e-5)
+    mx, cov, my, cov_yy, cov_xy = _dense_joint_full_tv(*raw,
+                                                       initial=initial)
+    resid = ys.reshape(-1) - my
+    _, logdet = np.linalg.slogdet(cov_yy)
+    ll_dense = -0.5 * (
+        T * E * np.log(2 * np.pi) + logdet
+        + resid @ np.linalg.solve(cov_yy, resid)
+    )
+    np.testing.assert_allclose(float(fp.loglik), ll_dense, rtol=2e-4)
+    mean_post, cov_post = _dense_condition(
+        mx, cov, my, cov_yy, cov_xy, ys.reshape(-1)
+    )
+    ms, Ps = rts_smoother(p, ys, initial=initial)
+    np.testing.assert_allclose(ms, mean_post, rtol=4e-3, atol=4e-4)
+    for t in range(T):
+        np.testing.assert_allclose(
+            Ps[t], cov_post[t * D:(t + 1) * D, t * D:(t + 1) * D],
+            rtol=4e-3, atol=4e-4,
+        )
+
+
+def test_full_tv_ffbs_moments():
+    p, _, ys = _full_tv_case(seed=4)
+    ms, Ps = rts_smoother(p, ys)
+    keys = jax.random.split(jax.random.key(2), 3000)
+    draws = np.asarray(jax.vmap(lambda k: ffbs_sample(k, p, ys))(keys))
+    np.testing.assert_allclose(draws.mean(axis=0), ms, atol=0.08)
+
+
+def test_switching_ssm_gibbs_recovers_regimes():
+    """Flagship composition: switching linear dynamics as BlockedGibbs of
+    an HMMKernel regime path + an LGSSKernel whose per-step A_t/Q_t are
+    built FROM the sampled path (time-varying-params bridge). The
+    sticky 2-regime AR(1) truth must be decoded from noisy observations.
+    """
+    from mcmcpp_tpu import BlockedGibbsSampler
+    from mcmcpp_tpu.models.hmm import HMMKernel
+
+    rng = np.random.default_rng(17)
+    t_n = 120
+    a_reg = np.array([0.98, 0.45])     # persistent vs mean-reverting
+    q_reg = np.array([0.05**2, 0.4**2])
+    gam = np.array([[0.97, 0.03], [0.05, 0.95]])
+    z = np.zeros(t_n, int)
+    x = np.zeros(t_n)
+    for t in range(1, t_n):
+        z[t] = rng.choice(2, p=gam[z[t - 1]])
+        x[t] = a_reg[z[t]] * x[t - 1] + np.sqrt(q_reg[z[t]]) * rng.normal()
+    ys = (x + 0.15 * rng.standard_normal(t_n)).astype(np.float32)
+
+    a_j = jnp.asarray(a_reg, jnp.float32)
+    q_j = jnp.asarray(q_reg, jnp.float32)
+
+    def params_fn(others):
+        zi = others["z"].astype(jnp.int32)
+        return lgss_params(
+            A=a_j[zi][:, None, None], b=jnp.zeros((t_n, 1)),
+            Q=q_j[zi][:, None, None],
+            H=jnp.ones((1, 1)), c=0.0, R=np.array([[0.15**2]]),
+            m0=np.zeros(1), P0=np.array([[1.0]]),
+        )
+
+    def log_obs_fn(others):
+        # z_t's emission: p(x_t | x_{t-1}, z_t) under each regime
+        xs = others["x"]
+        prev = jnp.concatenate([jnp.zeros(1), xs[:-1]])
+        resid = xs[:, None] - a_j[None, :] * prev[:, None]  # (T, K)
+        return (-0.5 * resid * resid / q_j[None, :]
+                - 0.5 * jnp.log(2 * jnp.pi * q_j)[None, :])
+
+    gb = BlockedGibbsSampler(
+        [
+            ("x", t_n, LGSSKernel(ys, params_fn)),
+            ("z", t_n, HMMKernel(
+                log_obs_fn, np.log(np.array([0.5, 0.5], np.float32)),
+                jnp.asarray(np.log(gam), jnp.float32))),
+        ],
+        n_chains=8, seed=0,
+    )
+    gb.init({"x": np.zeros(t_n, np.float32),
+             "z": np.zeros(t_n, np.float32)})
+    gb.run(150)
+    z_draws = np.asarray(gb.get_block("z"))[50:]
+    z_hat = (z_draws.mean((0, 1)) > 0.5).astype(int)
+    acc = (z_hat == z).mean()
+    assert acc > 0.8, acc
+    x_draws = np.asarray(gb.get_block("x"))[50:]
+    rmse = float(np.sqrt(((x_draws.mean((0, 1)) - x) ** 2).mean()))
+    assert rmse < 0.15, rmse
