@@ -59,15 +59,32 @@ class MCLMCState(NamedTuple):
 
 
 def _esh(u, g, dt, d):
-    """Exact isokinetic momentum update; returns (u', ΔK per chain)."""
+    """Exact isokinetic momentum update; returns (u', ΔK per chain).
+
+    Evaluated in exp(−δ) factors, NOT raw sinh/cosh: δ = dt·|g|/(d−1)
+    overflows float32 cosh at δ ≳ 89 (sharp targets hit that on step
+    one), silently turning the chain into NaNs. Multiplying numerator
+    and denominator by 2e^{−δ} gives the overflow-free form
+        u' ∝ 2ζu + e(1−ζ)(1+ζ+u·e(1−ζ)),   ζ = e^{−δ},
+        ΔK = (d−1)[δ − log2 + log((1+u·e) + (1−u·e)ζ²)],
+    and normalizing u' to the sphere replaces the division entirely.
+    """
     g_norm = jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-30)
     e = g / g_norm
     ue = jnp.sum(u * e, axis=-1, keepdims=True)
     delta = dt * g_norm / (d - 1.0)
-    sh, ch = jnp.sinh(delta), jnp.cosh(delta)
-    denom = ch + ue * sh
-    u_new = (u + e * (sh + ue * (ch - 1.0))) / denom
-    dk = (d - 1.0) * jnp.log(denom[..., 0])
+    zeta = jnp.exp(-delta)
+    uu = e * (1.0 - zeta) * (1.0 + zeta + ue * (1.0 - zeta)) + 2.0 * zeta * u
+    u_new = uu / jnp.maximum(
+        jnp.linalg.norm(uu, axis=-1, keepdims=True), 1e-30
+    )
+    dk = (d - 1.0) * (
+        delta[..., 0] - np.log(2.0)
+        + jnp.log(jnp.maximum(
+            (1.0 + ue[..., 0]) + (1.0 - ue[..., 0]) * zeta[..., 0] ** 2,
+            1e-30,
+        ))
+    )
     return u_new, dk
 
 
@@ -116,6 +133,11 @@ class MCLMCSampler:
             raise ValueError(
                 f"inv_mass must be ({self.n_params},) diagonal"
             )
+        # bumped whenever inv_mass is (re)assigned — run-program cache key
+        self._metric_version = 0
+        # per-launch stored-step cap (None = the 64 MB default only);
+        # heavy-trajectory subclasses set it (CLAUDE.md launch ceiling)
+        self.max_chunk_steps = None
         if chain is not None:
             if (chain.n_walkers, chain.n_params) != (
                 self.n_chains, self.n_params,
@@ -269,6 +291,7 @@ class MCLMCSampler:
             flat = np.asarray(xs, np.float64).reshape(-1, self.n_params)
             var = np.maximum(flat.var(axis=0), 1e-12)
             self.inv_mass = jnp.asarray(var, self.dtype)
+            self._metric_version += 1
             # whitened space is ~unit scale: reset L for the re-search
             self.decoherence_length = 1.6 * float(np.sqrt(self.n_params))
             xs = self._tune_eps_rounds(
@@ -318,12 +341,14 @@ class MCLMCSampler:
 
         chunk = default_chunk_steps(self.n_chains, self.n_params,
                                     self.dtype)
+        if self.max_chunk_steps is not None:
+            # heavy-trajectory drivers: bound the per-launch work so one
+            # launch stays under the tunneled worker's ~2 min ceiling
+            chunk = min(chunk, int(self.max_chunk_steps))
 
         def launch(take):
-            metric_key = (None if self.inv_mass is None
-                          else tuple(np.asarray(self.inv_mass).tolist()))
             cache_key = (take, thin, self.step_size,
-                         self.decoherence_length, metric_key)
+                         self.decoherence_length, self._metric_version)
             fn = self._run_cache.get(cache_key)
             if fn is None:
                 fn = jax.jit(
@@ -374,10 +399,15 @@ class MAMSSampler(MCLMCSampler):
     unadjusted tuner.
     """
 
-    def __init__(self, *args, target_accept=0.9, **kw):
+    def __init__(self, *args, target_accept=0.9, max_chunk_steps=128,
+                 **kw):
         self.target_accept = float(target_accept)
         super().__init__(*args, **kw)
         self.last_mean_accept = float("nan")
+        # each stored step is up to ceil(2L/eps) gradient evals — cap the
+        # per-launch work like PMMH does (CLAUDE.md launch ceiling)
+        self.max_chunk_steps = (None if max_chunk_steps is None
+                                else int(max_chunk_steps))
 
     def _trajectory(self, key, state, eps, n_max):
         """Jittered-length isokinetic trajectory + MH accept.
@@ -442,19 +472,9 @@ class MAMSSampler(MCLMCSampler):
         eps = self.step_size
         xs = None
         switch_at = max(int(rounds) // 2, 1) if precondition else None
-        for r in range(int(rounds)):
-            if switch_at is not None and r == switch_at and xs is not None:
-                flat = np.asarray(xs, np.float64).reshape(
-                    -1, self.n_params
-                )
-                self.inv_mass = jnp.asarray(
-                    np.maximum(flat.var(axis=0), 1e-12), self.dtype
-                )
-                self.decoherence_length = (
-                    1.6 * float(np.sqrt(self.n_params))
-                )
-            n_max = self._n_max(eps)
+        leg_cache = {}  # (n_max, metric_version) -> jitted leg program
 
+        def make_leg(n_max):
             def run_leg(state, key, eps_v):
                 def body(carry, k):
                     st, _ = carry
@@ -469,8 +489,28 @@ class MAMSSampler(MCLMCSampler):
                 )
                 return state, accs, xs
 
+            return jax.jit(run_leg)
+
+        for r in range(int(rounds)):
+            if switch_at is not None and r == switch_at and xs is not None:
+                flat = np.asarray(xs, np.float64).reshape(
+                    -1, self.n_params
+                )
+                self.inv_mass = jnp.asarray(
+                    np.maximum(flat.var(axis=0), 1e-12), self.dtype
+                )
+                self._metric_version += 1
+                self.decoherence_length = (
+                    1.6 * float(np.sqrt(self.n_params))
+                )
+            n_max = self._n_max(eps)
+            leg_key = (n_max, self._metric_version)
+            run_leg = leg_cache.get(leg_key)
+            if run_leg is None:
+                run_leg = leg_cache[leg_key] = make_leg(n_max)
+
             self._key, k = jax.random.split(self._key)
-            self.state, accs, xs = jax.jit(run_leg)(
+            self.state, accs, xs = run_leg(
                 self.state, k, jnp.asarray(eps, self.dtype)
             )
             acc = float(jnp.mean(accs))

@@ -22,9 +22,10 @@ TPU-first shape: all per-stage work is STATIC-SHAPED masked evaluation
 over the absorbed data buffer — the new-batch reweight uses a
 ``[start, start+take)`` row mask, the move kernel's proposal re-scoring
 uses the ``rows < n_included`` prefix mask, and the resample-or-not
-decision is a `lax.cond` whose untaken branch never executes. One trace
-per :meth:`update` call (the buffer length is the only static), NOT per
-stage. The move kernel is the classic IBIS choice: ``n_mcmc`` adaptive
+decision is a `lax.cond` whose untaken branch never executes. The
+buffer is padded to power-of-two capacities (the only static), so a
+whole stream compiles O(log T) stage programs — not one per update()
+or per stage. The move kernel is the classic IBIS choice: ``n_mcmc`` adaptive
 Gaussian random-walk MH steps with proposal covariance 2.38²/P × the
 post-resample particle cloud's (Chopin 2002 §4.1 — the covariance is
 measurable wrt the pre-move state, so π_t-invariance is exact). The
@@ -253,15 +254,27 @@ class IBISSampler:
             lambda a, b: jnp.concatenate([a, b], axis=0), self._data, data
         ))
         n_rows = start0 + n_new
-        stage = self._stage_cache.get(n_rows)
+        # pad the buffer to the next power of two: the stage program is
+        # traced per CAPACITY, not per length, so a long stream compiles
+        # O(log T) programs instead of one per update() (padding rows are
+        # never selected — every mask is bounded by start+take <= n_rows)
+        capacity = 1 << max(int(np.ceil(np.log2(max(n_rows, 1)))), 3)
+        padded = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], capacity - x.shape[0], axis=0)],
+                axis=0,
+            ) if x.shape[0] < capacity else x,
+            self._data,
+        )
+        stage = self._stage_cache.get(capacity)
         if stage is None:
             stage = jax.jit(self._stage_impl)
-            self._stage_cache[n_rows] = stage
+            self._stage_cache[capacity] = stage
         for start in range(start0, n_rows, self.batch_size):
             take = min(self.batch_size, n_rows - start)
             self._key, k = jax.random.split(self._key)
             self.state, stage_logz, resampled, _ = stage(
-                k, self.state, self._data,
+                k, self.state, padded,
                 jnp.asarray(start, jnp.int32), jnp.asarray(take, jnp.int32),
             )
             self.log_evidence_trace.append(float(stage_logz))

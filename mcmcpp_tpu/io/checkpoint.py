@@ -78,6 +78,12 @@ def _is_mclmc(sampler):
     return isinstance(sampler, MCLMCSampler)
 
 
+def _is_mams(sampler):
+    from mcmcpp_tpu.gradient.mclmc import MAMSSampler
+
+    return isinstance(sampler, MAMSSampler)
+
+
 def _is_nested(sampler):
     from mcmcpp_tpu.nested import NestedSampler
 
@@ -379,13 +385,19 @@ def save_checkpoint(sampler, path):
         if sampler.state is None:
             raise RuntimeError("cannot checkpoint an uninitialized sampler")
         meta.update(
-            kind="mclmc",
+            # distinct kinds: resuming an adjusted run under the
+            # unadjusted algorithm (or vice versa) silently changes the
+            # sampler's exactness contract
+            kind="mams" if _is_mams(sampler) else "mclmc",
             n_chains=sampler.n_chains,
             step_size=float(sampler.step_size),
             decoherence_length=float(sampler.decoherence_length),
             energy_var=float(sampler.energy_var),
             prng_impl=_key_impl_name(sampler._key),
         )
+        if _is_mams(sampler):
+            meta["target_accept"] = float(sampler.target_accept)
+            meta["last_mean_accept"] = float(sampler.last_mean_accept)
         s = sampler.state
         arrays.update(
             position=np.asarray(s.position),
@@ -799,11 +811,18 @@ def load_checkpoint(sampler, path):
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:
             sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
-    elif meta["kind"] == "mclmc":
+    elif meta["kind"] in ("mclmc", "mams"):
         from mcmcpp_tpu.gradient.mclmc import MCLMCState
 
-        if not _is_mclmc(sampler):
-            raise TypeError("checkpoint is for an MCLMCSampler")
+        if meta["kind"] == "mams":
+            if not _is_mams(sampler):
+                raise TypeError("checkpoint is for a MAMSSampler")
+        elif not _is_mclmc(sampler) or _is_mams(sampler):
+            raise TypeError(
+                "checkpoint is for an (unadjusted) MCLMCSampler — "
+                "resuming it under MAMS would silently change the "
+                "algorithm"
+            )
         if meta["n_chains"] != sampler.n_chains:
             raise ValueError("chain count mismatch")
         state = MCLMCState(
@@ -818,6 +837,10 @@ def load_checkpoint(sampler, path):
         sampler.energy_var = float(meta["energy_var"])
         sampler.inv_mass = (jnp.asarray(arrays["inv_mass"])
                             if "inv_mass" in arrays else None)
+        sampler._metric_version += 1
+        if meta["kind"] == "mams":
+            sampler.target_accept = float(meta["target_accept"])
+            sampler.last_mean_accept = float(meta["last_mean_accept"])
         sampler._run_cache.clear()
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()

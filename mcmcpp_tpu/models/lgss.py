@@ -116,12 +116,6 @@ def _tv_view(p: LGSSParams, t_n):
     )
 
 
-def _tv_obs(p: LGSSParams, t_n):
-    """(T, E, D) H and (T, E) c views (observation side only)."""
-    _, _, _, Hs, cs, _ = _tv_view(p, t_n)
-    return Hs, cs
-
-
 def lgss_params(A, b, Q, H, c, R, m0, P0, dtype=jnp.float32):
     """Build :class:`LGSSParams`, promoting scalars/1-D shorthands.
 

@@ -239,3 +239,16 @@ def test_checkpoint_dict_data_roundtrip(tmp_path):
         np.asarray(a.state.particles), np.asarray(b.state.particles)
     )
     assert a.log_evidence == b.log_evidence
+
+
+def test_stream_compiles_o_log_t_programs():
+    """Many small updates must trace per CAPACITY (power-of-two padded
+    buffer), not per buffer length — the online use case would otherwise
+    accumulate one executable per chunk (round-4 review)."""
+    ys = _data(seed=13, n=60)
+    s = _sampler(seed=5, n_particles=256, batch_size=3)
+    for i in range(0, 60, 6):
+        s.update(ys[i:i + 6])
+    # lengths 6,12,...,60 -> capacities {8,16,32,64}: at most 4 programs
+    assert len(s._stage_cache) <= 4, sorted(s._stage_cache)
+    assert s.log_evidence == pytest.approx(_log_marginal(ys), abs=0.2)
