@@ -43,6 +43,7 @@ from mcmcpp_tpu.gradient import (
 )
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.ibis import IBISSampler
+from mcmcpp_tpu.smc2 import SMC2Sampler
 from mcmcpp_tpu.nested import NestedSampler
 from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
@@ -148,6 +149,7 @@ __all__ = [
     "HMCKernel",
     "MALAKernel",
     "RWMKernel",
+    "SMC2Sampler",
     "StateSpaceModel",
     "particle_filter",
     "PMMHSampler",

@@ -96,6 +96,12 @@ def _is_ibis(sampler):
     return isinstance(sampler, IBISSampler)
 
 
+def _is_smc2(sampler):
+    from mcmcpp_tpu.smc2 import SMC2Sampler
+
+    return isinstance(sampler, SMC2Sampler)
+
+
 def _is_neutra(sampler):
     from mcmcpp_tpu.neutra import NeuTra
 
@@ -492,6 +498,36 @@ def save_checkpoint(sampler, path):
                 "ibis checkpointing supports an array or a flat dict of "
                 f"arrays as the data buffer, got {type(sampler._data)}"
             )
+    elif _is_smc2(sampler):
+        if sampler.state is None:
+            raise RuntimeError(
+                "cannot checkpoint an SMC2Sampler before update()"
+            )
+        meta.update(
+            kind="smc2",
+            n_theta=sampler.m,
+            n_x=sampler.n_x,
+            n_resamples=sampler.n_resamples,
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            theta=np.asarray(s.theta),
+            log_prior=np.asarray(s.log_prior),
+            loglik_hat=np.asarray(s.loglik_hat),
+            xs=np.asarray(s.xs),
+            x_logw=np.asarray(s.x_logw),
+            log_w=np.asarray(s.log_w),
+            log_evidence=np.asarray(s.log_evidence),
+            n_included=np.asarray(s.n_included),
+            evidence_trace=np.asarray(sampler.log_evidence_trace,
+                                      np.float64),
+            # rejuvenation moves re-filter the absorbed prefix, so the
+            # observation buffer must travel with the state (the IBIS
+            # rationale; here it is always a plain (T, E) array)
+            ys=np.asarray(sampler._ys),
+            key=_key_data(sampler._key),
+        )
     elif _is_neutra(sampler):
         meta.update(
             kind="neutra",
@@ -904,6 +940,33 @@ def load_checkpoint(sampler, path):
             }
         else:
             sampler._data = jnp.asarray(arrays["data_0"])
+        sampler.n_resamples = int(meta["n_resamples"])
+        sampler.log_evidence_trace = [
+            float(v) for v in arrays["evidence_trace"]
+        ]
+        sampler._stage_cache = {}
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+    elif meta["kind"] == "smc2":
+        from mcmcpp_tpu.smc2 import SMC2State
+
+        if not _is_smc2(sampler):
+            raise TypeError("checkpoint is for an SMC2Sampler")
+        if meta["n_theta"] != sampler.m:
+            raise ValueError("theta-particle count mismatch")
+        if meta["n_x"] != sampler.n_x:
+            raise ValueError("state-particle count mismatch")
+        state = SMC2State(
+            theta=jnp.asarray(arrays["theta"]),
+            log_prior=jnp.asarray(arrays["log_prior"]),
+            loglik_hat=jnp.asarray(arrays["loglik_hat"]),
+            xs=jnp.asarray(arrays["xs"]),
+            x_logw=jnp.asarray(arrays["x_logw"]),
+            log_w=jnp.asarray(arrays["log_w"]),
+            log_evidence=jnp.asarray(arrays["log_evidence"]),
+            n_included=jnp.asarray(arrays["n_included"]),
+        )
+        sampler.state = sampler._constrain(state)
+        sampler._ys = jnp.asarray(arrays["ys"])
         sampler.n_resamples = int(meta["n_resamples"])
         sampler.log_evidence_trace = [
             float(v) for v in arrays["evidence_trace"]
