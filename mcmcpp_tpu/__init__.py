@@ -44,6 +44,9 @@ from mcmcpp_tpu.gradient import (
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.ibis import IBISSampler
 from mcmcpp_tpu.smc2 import SMC2Sampler
+from mcmcpp_tpu.rbpf import (
+    RaoBlackwellSSM, rao_blackwell_filter, switching_model,
+)
 from mcmcpp_tpu.nested import NestedSampler
 from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
@@ -151,6 +154,9 @@ __all__ = [
     "RWMKernel",
     "SMC2Sampler",
     "StateSpaceModel",
+    "RaoBlackwellSSM",
+    "rao_blackwell_filter",
+    "switching_model",
     "particle_filter",
     "PMMHSampler",
     "ParticleGibbsKernel",

@@ -161,9 +161,21 @@ class PMMHSampler:
     def __init__(self, ssm: StateSpaceModel, ys, log_prior, n_params,
                  n_particles=256, proposal_scale=0.1, n_chains=16, seed=0,
                  ess_frac=0.5, dtype=jnp.float32, max_chain_bytes=2 << 30,
-                 mesh=None, chain=None, max_chunk_steps=128):
+                 mesh=None, chain=None, max_chunk_steps=128,
+                 loglik_fn=None):
+        """``loglik_fn``: optional ``(key, theta) -> scalar`` override of
+        the likelihood estimator (pass ``ssm=None, ys=None`` with it).
+        Any non-negatively-biased estimator keeps the pseudo-marginal
+        chain exact: a Rao-Blackwellised filter
+        (:func:`mcmcpp_tpu.rbpf.rao_blackwell_filter` — lower-variance,
+        hence better acceptance at the same cost), or the EXACT
+        likelihood (e.g. :func:`mcmcpp_tpu.models.lgss.lgss_loglik`),
+        which degenerates to plain MH on the hyperparameter posterior."""
+        if loglik_fn is None and ssm is None:
+            raise ValueError("need either an ssm or a loglik_fn")
+        self._loglik_fn = loglik_fn
         self.ssm = ssm
-        self.ys = jnp.asarray(ys)
+        self.ys = None if ys is None else jnp.asarray(ys)
         self.log_prior = log_prior
         self.n_params = int(n_params)
         self.n_particles = int(n_particles)
@@ -224,6 +236,8 @@ class PMMHSampler:
         )
 
     def _pf_loglik(self, key, theta):
+        if self._loglik_fn is not None:
+            return self._loglik_fn(key, theta)
         return particle_filter(
             key, self.ssm, theta, self.ys, self.n_particles,
             ess_frac=self.ess_frac,
