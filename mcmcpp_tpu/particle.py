@@ -63,6 +63,24 @@ class StateSpaceModel(NamedTuple):
     trans_sample: Callable
     obs_logpdf: Callable
     trans_logpdf: Optional[Callable] = None
+    trans_mean: Optional[Callable] = None
+    """trans_mean(x, t, theta) -> (n, D): a point lookahead (the
+    transition mean) — the auxiliary filter's first-stage weights are
+    ``obs_logpdf(y, trans_mean(x))`` when no ``lookahead_logpdf`` is
+    given (Pitt & Shephard's original point-lookahead)."""
+    lookahead_logpdf: Optional[Callable] = None
+    """lookahead_logpdf(y, x, t, theta) -> (n,): log p̂(y_t | x_{t-1}) —
+    the auxiliary filter's first-stage weights; supply the EXACT
+    predictive where available (fully-adapted APF)."""
+    prop_sample: Optional[Callable] = None
+    """prop_sample(key, x, y, t, theta) -> (n, D): guided-filter
+    proposal q(x_t | x_{t-1}, y_t); with it the weight increment becomes
+    ``obs + trans_logpdf − prop_logpdf`` (locally-optimal proposals give
+    near-zero-variance increments). Requires prop_logpdf AND
+    trans_logpdf."""
+    prop_logpdf: Optional[Callable] = None
+    """prop_logpdf(x_next, x, y, t, theta) -> (n,): density of
+    ``prop_sample``."""
 
 
 class PFResult(NamedTuple):
@@ -72,13 +90,34 @@ class PFResult(NamedTuple):
 
 
 def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
-                    ess_frac=0.5):
+                    ess_frac=0.5, auxiliary=False):
     """Bootstrap particle filter (Gordon, Salmond & Smith 1993) with
-    adaptive systematic resampling.
+    adaptive systematic resampling, or — ``auxiliary=True`` — the
+    auxiliary particle filter (Pitt & Shephard 1999).
 
     ys: (T, E) observations (a (T,) vector is promoted to (T, 1)).
     Resampling triggers when ESS < ``ess_frac * n_particles``
     (``ess_frac=1.0`` resamples every step, ``0.0`` never).
+
+    ``auxiliary=True`` requires ``ssm.trans_mean`` and resamples EVERY
+    step from first-stage weights tilted by the lookahead likelihood
+    λ_i = log p(y_t | trans_mean(x_{t-1,i})); the second-stage correction
+    ``ll − λ_anc`` keeps the evidence estimate unbiased (the combined
+    increment is logΣ w_i e^{λ_i} + logΣ_j e^{ll_j − λ_aj} − log N).
+    Worth it when the lookahead predicts the realized weight well
+    (tight transitions; Johansen & Doucet 2008 show the point-lookahead
+    variant can LOSE when the transition is diffuse — measured, not
+    assumed, in tests/test_particle.py).
+
+    Guided mode: supplying ``ssm.prop_sample``/``prop_logpdf`` (with
+    ``trans_logpdf``) replaces the bootstrap proposal with
+    q(x_t | x_{t-1}, y_t) and corrects the weight by
+    ``obs + trans − prop``. The locally-optimal proposal
+    p(x_t | x_{t-1}, y_t) plus the exact ``lookahead_logpdf``
+    p(y_t | x_{t-1}) is the FULLY-ADAPTED auxiliary filter: its weight
+    increments are deterministic given the ancestors, collapsing the
+    estimator variance (the dramatic, stable win the point-lookahead
+    APF only approximates).
 
     Returns :class:`PFResult`; ``loglik`` is the unbiased-in-expectation
     evidence estimate (see module docstring). Fully differentiable in
@@ -90,9 +129,38 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
     ys = jnp.asarray(ys)
     if ys.ndim == 1:
         ys = ys[:, None]
+    if auxiliary and ssm.trans_mean is None \
+            and ssm.lookahead_logpdf is None:
+        raise ValueError(
+            "auxiliary=True needs ssm.trans_mean or ssm.lookahead_logpdf"
+        )
+    guided = ssm.prop_sample is not None
+    if guided and (ssm.prop_logpdf is None or ssm.trans_logpdf is None):
+        raise ValueError(
+            "a guided filter (ssm.prop_sample) needs ssm.prop_logpdf "
+            "and ssm.trans_logpdf"
+        )
     n = int(n_particles)
     logn = jnp.log(jnp.asarray(float(n)))
     k_init, k_scan = jax.random.split(key)
+
+    def propagate(k, x_r, y, t):
+        """(x', per-particle log weight increment) under the bootstrap
+        or guided proposal."""
+        if not guided:
+            xn = ssm.trans_sample(k, x_r, t, theta)
+            return xn, ssm.obs_logpdf(y, xn, t, theta)
+        xn = ssm.prop_sample(k, x_r, y, t, theta)
+        return xn, (
+            ssm.obs_logpdf(y, xn, t, theta)
+            + ssm.trans_logpdf(xn, x_r, t, theta)
+            - ssm.prop_logpdf(xn, x_r, y, t, theta)
+        )
+
+    def lookahead(y, x, t):
+        if ssm.lookahead_logpdf is not None:
+            return ssm.lookahead_logpdf(y, x, t, theta)
+        return ssm.obs_logpdf(y, ssm.trans_mean(x, t, theta), t, theta)
 
     x0 = ssm.init_sample(k_init, n, theta)
     dt = x0.dtype
@@ -113,16 +181,36 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
         idx = jnp.where(do_rs, idx, jnp.arange(n, dtype=jnp.int32))
         x = jnp.take(x, idx, axis=0)
         lw = jnp.where(do_rs, jnp.full((n,), -logn, lw.dtype), lw)
-        x = ssm.trans_sample(k_prop, x, t, theta)
-        ll = ssm.obs_logpdf(y, x, t, theta)
+        x, ll = propagate(k_prop, x, y, t)
         incr = jax.scipy.special.logsumexp(lw + ll)
         lw = lw + ll - incr
         w = jnp.exp(lw)
         return (x, lw, key), (incr, w @ x, ess_from_log_weights(lw))
 
+    def step_aux(carry, inp):
+        x, lw, key = carry
+        y, t = inp
+        key, k_rs, k_prop = jax.random.split(key, 3)
+        lam = lookahead(y, x, t)
+        first = lw + lam
+        norm1 = jax.scipy.special.logsumexp(first)
+        idx = systematic_resample(k_rs, first, n)
+        x_r = jnp.take(x, idx, axis=0)
+        lam_r = jnp.take(lam, idx, axis=0)
+        xn, ll = propagate(k_prop, x_r, y, t)
+        second = ll - lam_r
+        norm2 = jax.scipy.special.logsumexp(second)
+        incr = norm1 + norm2 - logn
+        lw_new = second - norm2
+        w = jnp.exp(lw_new)
+        return (xn, lw_new, key), (
+            incr, w @ xn, ess_from_log_weights(lw_new),
+        )
+
     t_idx = jnp.arange(1, ys.shape[0])
     (_, _, _), (incrs, means, esss) = jax.lax.scan(
-        step, (x0, lw0, k_scan), (ys[1:], t_idx)
+        step_aux if auxiliary else step, (x0, lw0, k_scan),
+        (ys[1:], t_idx)
     )
     loglik = incr0 + jnp.sum(incrs)
     return PFResult(
@@ -162,7 +250,7 @@ class PMMHSampler:
                  n_particles=256, proposal_scale=0.1, n_chains=16, seed=0,
                  ess_frac=0.5, dtype=jnp.float32, max_chain_bytes=2 << 30,
                  mesh=None, chain=None, max_chunk_steps=128,
-                 loglik_fn=None):
+                 loglik_fn=None, auxiliary=False):
         """``loglik_fn``: optional ``(key, theta) -> scalar`` override of
         the likelihood estimator (pass ``ssm=None, ys=None`` with it).
         Any non-negatively-biased estimator keeps the pseudo-marginal
@@ -174,6 +262,7 @@ class PMMHSampler:
         if loglik_fn is None and ssm is None:
             raise ValueError("need either an ssm or a loglik_fn")
         self._loglik_fn = loglik_fn
+        self.auxiliary = bool(auxiliary)
         self.ssm = ssm
         self.ys = None if ys is None else jnp.asarray(ys)
         self.log_prior = log_prior
@@ -240,7 +329,7 @@ class PMMHSampler:
             return self._loglik_fn(key, theta)
         return particle_filter(
             key, self.ssm, theta, self.ys, self.n_particles,
-            ess_frac=self.ess_frac,
+            ess_frac=self.ess_frac, auxiliary=self.auxiliary,
         ).loglik
 
     def init(self, positions, seed=None):

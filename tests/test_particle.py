@@ -370,3 +370,129 @@ def test_stochastic_volatility_smoke():
     # filtered log-vol correlates with the latent truth
     c = np.corrcoef(est, x)[0, 1]
     assert c > 0.5, c
+
+
+def _local_level_data(t_n, sig_q, sig_r, seed):
+    rng = np.random.default_rng(seed)
+    x = np.empty(t_n)
+    x[0] = M0 + np.sqrt(P0) * rng.standard_normal()
+    for t in range(1, t_n):
+        x[t] = x[t - 1] + sig_q * rng.standard_normal()
+    return (x + sig_r * rng.standard_normal(t_n)).astype(np.float32)
+
+
+def test_apf_point_lookahead_unbiased():
+    """Auxiliary PF (Pitt & Shephard 1999), point lookahead, in its
+    favorable regime (tight transition, diffuse likelihood): the
+    evidence estimate must stay unbiased against the exact Kalman
+    value. (The variance ORDERING vs bootstrap is regime-dependent —
+    Johansen & Doucet 2008 — so only unbiasedness is asserted here; the
+    dramatic, stable variance win is the fully-adapted test below.)"""
+    sig_q, sig_r = 0.15, 0.5
+    ys = _local_level_data(30, sig_q, sig_r, seed=4)
+    exact = float(lgss_loglik(lgss_params(
+        A=1.0, b=0.0, Q=sig_q**2, H=1.0, c=0.0, R=sig_r**2,
+        m0=M0, P0=P0,
+    ), ys))
+
+    def trans_sample(key, xp, t, th):
+        return xp + sig_q * jax.random.normal(key, xp.shape)
+
+    def obs_logpdf(y, xp, t, th):
+        z = (y[0] - xp[:, 0]) / sig_r
+        return -0.5 * z * z - np.log(sig_r) - 0.5 * np.log(2 * np.pi)
+
+    ssm = StateSpaceModel(
+        _local_level_ssm(sig_r).init_sample, trans_sample, obs_logpdf,
+        trans_mean=lambda xp, t, th: xp,
+    )
+    reps = 96
+    keys = jax.random.split(jax.random.key(11), reps)
+    ll_apf = np.asarray(jax.vmap(
+        lambda k: particle_filter(k, ssm, None, ys, 128, auxiliary=True)
+        .loglik
+    )(keys), np.float64)
+    ratio = np.exp(ll_apf - exact)
+    se = ratio.std(ddof=1) / np.sqrt(reps)
+    assert abs(ratio.mean() - 1.0) < max(4.0 * se, 0.05), (
+        ratio.mean(), se,
+    )
+
+
+def test_fully_adapted_apf_collapses_variance():
+    """Guided filter with the locally-optimal proposal
+    p(x_t | x_{t-1}, y_t) + exact predictive lookahead
+    p(y_t | x_{t-1}) = the FULLY-ADAPTED auxiliary filter: for the
+    linear-Gaussian model its weight increments are deterministic given
+    the ancestors, so the loglik-estimator variance must collapse
+    relative to bootstrap (and stay unbiased)."""
+    sig_q, sig_r = SIG_Q, 0.3
+    q, r = sig_q**2, sig_r**2
+    ys = _local_level_data(40, sig_q, sig_r, seed=8)
+    exact = float(lgss_loglik(lgss_params(
+        A=1.0, b=0.0, Q=q, H=1.0, c=0.0, R=r, m0=M0, P0=P0,
+    ), ys))
+
+    base = _local_level_ssm(sig_r)
+    prec = 1.0 / q + 1.0 / r
+    post_sd = np.sqrt(1.0 / prec)
+    pred_sd = np.sqrt(q + r)
+
+    def prop_sample(key, xp, y, t, th):
+        mean = (xp / q + y[0] / r) / prec
+        return mean + post_sd * jax.random.normal(key, xp.shape)
+
+    def prop_logpdf(xn, xp, y, t, th):
+        mean = (xp[:, 0] / q + y[0] / r) / prec
+        z = (xn[:, 0] - mean) / post_sd
+        return -0.5 * z * z - np.log(post_sd) - 0.5 * np.log(2 * np.pi)
+
+    def lookahead_logpdf(y, xp, t, th):
+        z = (y[0] - xp[:, 0]) / pred_sd
+        return -0.5 * z * z - np.log(pred_sd) - 0.5 * np.log(2 * np.pi)
+
+    ssm = base._replace(
+        prop_sample=prop_sample, prop_logpdf=prop_logpdf,
+        lookahead_logpdf=lookahead_logpdf,
+    )
+    reps = 64
+    keys = jax.random.split(jax.random.key(3), reps)
+    ll_fa = np.asarray(jax.vmap(
+        lambda k: particle_filter(k, ssm, None, ys, 128, auxiliary=True)
+        .loglik
+    )(keys), np.float64)
+    ll_boot = np.asarray(jax.vmap(
+        lambda k: particle_filter(k, base, None, ys, 128).loglik
+    )(keys), np.float64)
+    # measured ~4-5x collapse on both CPU and TPU; 0.3 leaves margin for
+    # backend-dependent resampling branches at this rep count
+    assert ll_fa.var(ddof=1) < 0.3 * ll_boot.var(ddof=1), (
+        ll_fa.var(ddof=1), ll_boot.var(ddof=1),
+    )
+    ratio = np.exp(ll_fa - exact)
+    se = max(ratio.std(ddof=1) / np.sqrt(reps), 1e-6)
+    assert abs(ratio.mean() - 1.0) < max(4.0 * se, 0.02), (
+        ratio.mean(), se,
+    )
+    # guided WITHOUT the aux stage is also valid and low-variance
+    ll_g = np.asarray(jax.vmap(
+        lambda k: particle_filter(
+            k, ssm._replace(lookahead_logpdf=None, trans_mean=None),
+            None, ys, 128,
+        ).loglik
+    )(keys), np.float64)
+    assert ll_g.var(ddof=1) < 0.5 * ll_boot.var(ddof=1), (
+        ll_g.var(ddof=1), ll_boot.var(ddof=1),
+    )
+
+
+def test_filter_hook_validation():
+    _, ys = _data(10)
+    with pytest.raises(ValueError, match="trans_mean"):
+        particle_filter(jax.random.key(0), _local_level_ssm(SIG_R), None,
+                        ys, 32, auxiliary=True)
+    bad = _local_level_ssm(SIG_R)._replace(
+        prop_sample=lambda key, xp, y, t, th: xp
+    )
+    with pytest.raises(ValueError, match="prop_logpdf"):
+        particle_filter(jax.random.key(0), bad, None, ys, 32)
