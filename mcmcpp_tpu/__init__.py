@@ -76,6 +76,7 @@ from mcmcpp_tpu.particle import (
     PMMHSampler,
     StateSpaceModel,
     particle_filter,
+    particle_smoother,
 )
 from mcmcpp_tpu.chain_disk import DiskChain
 from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
@@ -158,6 +159,7 @@ __all__ = [
     "rao_blackwell_filter",
     "switching_model",
     "particle_filter",
+    "particle_smoother",
     "PMMHSampler",
     "ParticleGibbsKernel",
     "ShardedEnsembleSampler",

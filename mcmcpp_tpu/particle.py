@@ -87,10 +87,13 @@ class PFResult(NamedTuple):
     loglik: jnp.ndarray         # scalar log p_hat(y_{1:T} | theta)
     filter_means: jnp.ndarray   # (T, D) self-normalized filtered means
     ess: jnp.ndarray            # (T,) effective sample size per step
+    particles: Optional[jnp.ndarray] = None    # (T, N, D) clouds
+    log_weights: Optional[jnp.ndarray] = None  # (T, N) normalized
 
 
 def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
-                    ess_frac=0.5, auxiliary=False):
+                    ess_frac=0.5, auxiliary=False,
+                    return_particles=False):
     """Bootstrap particle filter (Gordon, Salmond & Smith 1993) with
     adaptive systematic resampling, or — ``auxiliary=True`` — the
     auxiliary particle filter (Pitt & Shephard 1999).
@@ -185,7 +188,10 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
         incr = jax.scipy.special.logsumexp(lw + ll)
         lw = lw + ll - incr
         w = jnp.exp(lw)
-        return (x, lw, key), (incr, w @ x, ess_from_log_weights(lw))
+        out = (incr, w @ x, ess_from_log_weights(lw))
+        if return_particles:
+            out = out + (x, lw)
+        return (x, lw, key), out
 
     def step_aux(carry, inp):
         x, lw, key = carry
@@ -203,21 +209,97 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
         incr = norm1 + norm2 - logn
         lw_new = second - norm2
         w = jnp.exp(lw_new)
-        return (xn, lw_new, key), (
-            incr, w @ xn, ess_from_log_weights(lw_new),
-        )
+        out = (incr, w @ xn, ess_from_log_weights(lw_new))
+        if return_particles:
+            out = out + (xn, lw_new)
+        return (xn, lw_new, key), out
 
     t_idx = jnp.arange(1, ys.shape[0])
-    (_, _, _), (incrs, means, esss) = jax.lax.scan(
+    (_, _, _), outs = jax.lax.scan(
         step_aux if auxiliary else step, (x0, lw0, k_scan),
         (ys[1:], t_idx)
     )
+    incrs, means, esss = outs[:3]
     loglik = incr0 + jnp.sum(incrs)
+    particles = log_weights = None
+    if return_particles:
+        particles = jnp.concatenate([x0[None], outs[3]], axis=0)
+        log_weights = jnp.concatenate([lw0[None], outs[4]], axis=0)
     return PFResult(
         loglik.astype(dt),
         jnp.concatenate([mean0[None], means], axis=0),
         jnp.concatenate([ess0[None], esss], axis=0),
+        particles, log_weights,
     )
+
+
+class SmootherResult(NamedTuple):
+    trajectories: jnp.ndarray     # (J, T, D) joint smoothing draws
+    smoothed_means: jnp.ndarray   # (T, D) pooled E[x_t | y_{1:T}]
+    loglik: jnp.ndarray           # scalar, from the forward filter
+
+
+def particle_smoother(key, ssm: StateSpaceModel, theta, ys, n_particles,
+                      n_draws, ess_frac=0.5, auxiliary=False):
+    """Forward-filter backward-simulation smoother (Godsill, Doucet &
+    West 2004): ``n_draws`` joint draws from p(x_{1:T} | y_{1:T}, θ).
+
+    Requires ``ssm.trans_logpdf``. The forward pass is one
+    :func:`particle_filter` keeping the (T, N, D) clouds; the backward
+    pass re-weights each stored cloud by the transition density to the
+    already-sampled next state and draws categorically — all ``n_draws``
+    paths advance together, so each backward step evaluates one
+    (J, N) ``trans_logpdf`` block (batched work, not a per-draw loop)
+    inside a single reverse `lax.scan`.
+
+    Complements :class:`ParticleGibbsKernel` (which targets the joint
+    with θ inside a Gibbs sweep): this is the fixed-θ smoother for
+    state estimation and EM-style algorithms. Per-draw cost is O(T·N);
+    degeneracy-free unlike genealogy tracing because every backward
+    step resamples against the FULL stored cloud.
+
+    Returns :class:`SmootherResult`; pooled moments of ``trajectories``
+    estimate the marginal smoothing distributions (RTS-oracle-tested on
+    the linear-Gaussian model, tests/test_particle.py).
+    """
+    if ssm.trans_logpdf is None:
+        raise ValueError("particle_smoother needs ssm.trans_logpdf")
+    ys = jnp.asarray(ys)
+    if ys.ndim == 1:
+        ys = ys[:, None]
+    j_n = int(n_draws)
+    k_fwd, k_last, k_back = jax.random.split(key, 3)
+    res = particle_filter(
+        k_fwd, ssm, theta, ys, n_particles, ess_frac=ess_frac,
+        auxiliary=auxiliary, return_particles=True,
+    )
+    xs, lws = res.particles, res.log_weights          # (T, N, D), (T, N)
+    t_n = xs.shape[0]
+
+    b_last = jax.random.categorical(k_last, lws[-1], shape=(j_n,))
+    x_last = jnp.take(xs[-1], b_last, axis=0)          # (J, D)
+
+    def back(carry, inp):
+        x_next, key = carry                            # (J, D)
+        x_t, lw_t, t = inp                             # (N, D), (N,)
+        key, k = jax.random.split(key)
+        lp = jax.vmap(
+            lambda xn: ssm.trans_logpdf(
+                jnp.broadcast_to(xn[None, :], x_t.shape), x_t,
+                t + 1, theta,
+            )
+        )(x_next)                                      # (J, N)
+        b = jax.random.categorical(k, lw_t[None, :] + lp, axis=-1)
+        x_sel = jnp.take(x_t, b, axis=0)
+        return (x_sel, key), x_sel
+
+    t_idx = jnp.arange(t_n - 1)
+    (_, _), sel = jax.lax.scan(
+        back, (x_last, k_back), (xs[:-1], lws[:-1], t_idx), reverse=True
+    )                                                  # (T-1, J, D)
+    traj = jnp.concatenate([sel, x_last[None]], axis=0)
+    traj = jnp.swapaxes(traj, 0, 1)                    # (J, T, D)
+    return SmootherResult(traj, jnp.mean(traj, axis=0), res.loglik)
 
 
 class PMMHState(NamedTuple):

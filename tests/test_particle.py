@@ -496,3 +496,55 @@ def test_filter_hook_validation():
     )
     with pytest.raises(ValueError, match="prop_logpdf"):
         particle_filter(jax.random.key(0), bad, None, ys, 32)
+
+
+def test_particle_smoother_matches_rts():
+    """FFBS backward-simulation draws on the linear-Gaussian local level
+    must reproduce the exact RTS marginal smoothing moments, and beat
+    the FILTERED means on mid-sequence states (smoothing uses future
+    data; filtering cannot)."""
+    t_n = 25
+    _, ys = _data(t_n, seed=29)
+    means, covs = rts_smoother(_lgss(), ys)
+    means = np.asarray(means)[:, 0]
+    sds = np.sqrt(np.asarray(covs)[:, 0, 0])
+
+    from mcmcpp_tpu import particle_smoother
+
+    res = particle_smoother(
+        jax.random.key(5), _local_level_ssm(SIG_R), None, ys,
+        n_particles=2048, n_draws=512,
+    )
+    traj = np.asarray(res.trajectories)[:, :, 0]     # (J, T)
+    assert traj.shape == (512, t_n)
+    # backward draws share forward-cloud support: effective independent
+    # draws < J, so use a conservative n_eff for the tolerance
+    n_eff = 64.0
+    tol = 5.0 * sds / np.sqrt(n_eff) + 0.02
+    assert (np.abs(traj.mean(0) - means) < tol).all(), (
+        np.abs(traj.mean(0) - means).max(), tol.max(),
+    )
+    np.testing.assert_allclose(traj.std(0), sds, rtol=0.4, atol=0.03)
+    # the smoother must beat the filter's RMSE against the exact
+    # smoothing means on interior states
+    filt = particle_filter(
+        jax.random.key(5), _local_level_ssm(SIG_R), None, ys, 2048
+    )
+    rmse_s = np.sqrt(((res.smoothed_means[:, 0] - means) ** 2).mean())
+    rmse_f = np.sqrt(
+        ((np.asarray(filt.filter_means)[:-1, 0] - means[:-1]) ** 2).mean()
+    )
+    assert rmse_s < rmse_f, (rmse_s, rmse_f)
+
+
+def test_particle_smoother_requires_trans_logpdf():
+    _, ys = _data(8)
+    from mcmcpp_tpu import particle_smoother
+
+    ssm = StateSpaceModel(
+        _local_level_ssm(SIG_R).init_sample,
+        _local_level_ssm(SIG_R).trans_sample,
+        _local_level_ssm(SIG_R).obs_logpdf,
+    )
+    with pytest.raises(ValueError, match="trans_logpdf"):
+        particle_smoother(jax.random.key(0), ssm, None, ys, 32, 8)
