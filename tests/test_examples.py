@@ -159,3 +159,11 @@ def test_state_space_example(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "OK" in out
     assert "sticky diagonal" in out
+
+
+@pytest.mark.slow
+def test_regime_switching_example():
+    r = _run("regime_switching.py", "--quick")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "regime-classification" in r.stdout
+    assert "PMMH (RB'd likelihood)" in r.stdout
