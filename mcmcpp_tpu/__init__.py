@@ -83,6 +83,7 @@ from mcmcpp_tpu.neutra import NeuTra, RealNVP, IAF, SplineCoupling
 from mcmcpp_tpu.export import (
     ibis_to_inference_dict,
     nested_to_inference_dict,
+    smc2_to_inference_dict,
     to_arviz,
     to_inference_dict,
 )
@@ -100,6 +101,7 @@ __all__ = [
     "SplineCoupling",
     "to_inference_dict",
     "ibis_to_inference_dict",
+    "smc2_to_inference_dict",
     "nested_to_inference_dict",
     "to_arviz",
     "StretchMove",

@@ -142,6 +142,41 @@ def ibis_to_inference_dict(sampler, model=None, n_draws=2000, seed=0):
     return {"posterior": posterior, "sample_stats": stats}
 
 
+def smc2_to_inference_dict(sampler, model=None, n_draws=2000, seed=0):
+    """``arviz.from_dict`` kwargs from an SMC² run's current state.
+
+    Same shape contract as :func:`ibis_to_inference_dict`: the θ-cloud
+    is weight-resampled to one equal-weight "chain"; ``sample_stats``
+    carries the running evidence, the prequential per-observation
+    increments (padded row), the rejuvenation count, and the current
+    marginal filtered-state estimate (one column per state dim).
+    """
+    from mcmcpp_tpu.smc2 import SMC2Sampler
+
+    if not isinstance(sampler, SMC2Sampler):
+        raise TypeError("expected an SMC2Sampler")
+    draws = sampler.posterior(n_draws=n_draws, seed=seed)  # (n, P)
+    n = draws.shape[0]
+    if model is not None:
+        constrain = model if not hasattr(model, "build") else model.build()[2]
+        named = constrain(draws)
+        posterior = {k: np.asarray(v)[None, ...] for k, v in named.items()}
+    else:
+        posterior = {"theta": draws[None, :, :]}
+    trace = np.asarray(sampler.log_evidence_trace, np.float64)
+    padded = np.full(n, np.nan)
+    padded[: min(trace.size, n)] = trace[:n]
+    stats = {
+        "log_evidence": np.full((1, n), sampler.log_evidence),
+        "prequential_logp": padded[None, :],
+        "n_rejuvenations": np.full((1, n), float(sampler.n_resamples)),
+    }
+    est = sampler.state_estimate()
+    for d in range(est.shape[0]):
+        stats[f"filtered_state_{d}"] = np.full((1, n), est[d])
+    return {"posterior": posterior, "sample_stats": stats}
+
+
 def to_arviz(sampler, model=None, burn_in=0, thin=1,
              posterior_predictive=None):
     """``arviz.InferenceData`` (requires arviz; actionable error if absent)."""

@@ -229,3 +229,17 @@ def test_validation_errors():
             n_theta=13, n_params=1, n_particles=8,
             mesh=make_walker_mesh(),
         )
+
+
+def test_smc2_arviz_export_shapes():
+    from mcmcpp_tpu import smc2_to_inference_dict
+
+    _, ys = _data(12, seed=1)
+    s = _sampler(ys, seed=0, m=64, nx=16)
+    d = smc2_to_inference_dict(s, n_draws=100)
+    assert d["posterior"]["theta"].shape == (1, 100, 1)
+    assert d["sample_stats"]["log_evidence"].shape == (1, 100)
+    assert np.isfinite(d["sample_stats"]["prequential_logp"][0, :12]).all()
+    assert d["sample_stats"]["filtered_state_0"].shape == (1, 100)
+    with pytest.raises(TypeError, match="SMC2Sampler"):
+        smc2_to_inference_dict(object())
