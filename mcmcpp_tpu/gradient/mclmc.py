@@ -121,20 +121,16 @@ class MCLMCSampler:
         self._key = jax.random.key(seed)
         self.state = None
         self.energy_var = float("nan")  # Var[ΔE]/d from the last tune leg
+        # bumped whenever inv_mass is (re)assigned — run-program cache key
+        # (the metric is baked into the jitted programs as a constant, so
+        # a stale cache entry would silently sample with the OLD metric)
+        self._metric_version = 0
         # diagonal preconditioner: the dynamics run in whitened z = x/s
         # coordinates (s = sqrt(inv_mass)), implemented without a
         # reparametrized target — gradients scale by s, position steps by
         # s·u (exactly the dense-metric trick restricted to a diagonal)
         self.inv_mass = (None if inv_mass is None
                          else jnp.asarray(inv_mass, dtype))
-        if self.inv_mass is not None and self.inv_mass.shape != (
-            self.n_params,
-        ):
-            raise ValueError(
-                f"inv_mass must be ({self.n_params},) diagonal"
-            )
-        # bumped whenever inv_mass is (re)assigned — run-program cache key
-        self._metric_version = 0
         # per-launch stored-step cap (None = the 64 MB default only);
         # heavy-trajectory subclasses set it (CLAUDE.md launch ceiling)
         self.max_chunk_steps = None
@@ -162,6 +158,25 @@ class MCLMCSampler:
                 )
             self._chain_sharding = walker_sharding(mesh)
         self._run_cache = {}
+
+    @property
+    def inv_mass(self):
+        """Diagonal inverse mass (whitening scales²), or None. Setting
+        it bumps the internal metric version so cached run programs —
+        which bake the metric in as a trace-time constant — are never
+        reused with a stale value."""
+        return self._inv_mass
+
+    @inv_mass.setter
+    def inv_mass(self, value):
+        if value is not None:
+            value = jnp.asarray(value, self.dtype)
+            if value.shape != (self.n_params,):
+                raise ValueError(
+                    f"inv_mass must be ({self.n_params},) diagonal"
+                )
+        self._inv_mass = value
+        self._metric_version += 1
 
     # -- kernel --------------------------------------------------------------
 
@@ -291,7 +306,6 @@ class MCLMCSampler:
             flat = np.asarray(xs, np.float64).reshape(-1, self.n_params)
             var = np.maximum(flat.var(axis=0), 1e-12)
             self.inv_mass = jnp.asarray(var, self.dtype)
-            self._metric_version += 1
             # whitened space is ~unit scale: reset L for the re-search
             self.decoherence_length = 1.6 * float(np.sqrt(self.n_params))
             xs = self._tune_eps_rounds(
@@ -499,7 +513,6 @@ class MAMSSampler(MCLMCSampler):
                 self.inv_mass = jnp.asarray(
                     np.maximum(flat.var(axis=0), 1e-12), self.dtype
                 )
-                self._metric_version += 1
                 self.decoherence_length = (
                     1.6 * float(np.sqrt(self.n_params))
                 )

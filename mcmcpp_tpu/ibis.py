@@ -258,14 +258,9 @@ class IBISSampler:
         # traced per CAPACITY, not per length, so a long stream compiles
         # O(log T) programs instead of one per update() (padding rows are
         # never selected — every mask is bounded by start+take <= n_rows)
-        capacity = 1 << max(int(np.ceil(np.log2(max(n_rows, 1)))), 3)
-        padded = jax.tree.map(
-            lambda x: jnp.concatenate(
-                [x, jnp.repeat(x[-1:], capacity - x.shape[0], axis=0)],
-                axis=0,
-            ) if x.shape[0] < capacity else x,
-            self._data,
-        )
+        from mcmcpp_tpu.utils.buffers import pad_to_capacity
+
+        padded, capacity = pad_to_capacity(self._data, n_rows)
         stage = self._stage_cache.get(capacity)
         if stage is None:
             stage = jax.jit(self._stage_impl)

@@ -395,6 +395,10 @@ def save_checkpoint(sampler, path):
             # unadjusted algorithm (or vice versa) silently changes the
             # sampler's exactness contract
             kind="mams" if _is_mams(sampler) else "mclmc",
+            # marks the adjusted/unadjusted split as EXPLICIT (round-4
+            # format): legacy checkpoints carry kind="mclmc" for both
+            # algorithms and are migrated leniently on load
+            adjusted=_is_mams(sampler),
             n_chains=sampler.n_chains,
             step_size=float(sampler.step_size),
             decoherence_length=float(sampler.decoherence_length),
@@ -499,7 +503,10 @@ def save_checkpoint(sampler, path):
                 f"arrays as the data buffer, got {type(sampler._data)}"
             )
     elif _is_smc2(sampler):
-        if sampler.state is None:
+        # state alone is not enough: init() sets state while leaving the
+        # observation buffer None, and np.asarray(None) would silently
+        # pickle an object array the (allow_pickle=False) loader rejects
+        if sampler.state is None or sampler._ys is None:
             raise RuntimeError(
                 "cannot checkpoint an SMC2Sampler before update()"
             )
@@ -850,7 +857,19 @@ def load_checkpoint(sampler, path):
     elif meta["kind"] in ("mclmc", "mams"):
         from mcmcpp_tpu.gradient.mclmc import MCLMCState
 
-        if meta["kind"] == "mams":
+        if "adjusted" not in meta:
+            # legacy (pre-split) checkpoint: kind="mclmc" was written for
+            # BOTH algorithms, so the class cannot be validated — accept
+            # either, keeping the live sampler's MAMS tuning fields
+            if _is_mams(sampler):
+                import warnings
+
+                warnings.warn(
+                    "legacy MCLMC checkpoint without an adjusted/"
+                    "unadjusted marker: resuming under MAMS with the "
+                    "sampler's current target_accept", UserWarning,
+                )
+        elif meta["kind"] == "mams":
             if not _is_mams(sampler):
                 raise TypeError("checkpoint is for a MAMSSampler")
         elif not _is_mclmc(sampler) or _is_mams(sampler):
@@ -873,7 +892,6 @@ def load_checkpoint(sampler, path):
         sampler.energy_var = float(meta["energy_var"])
         sampler.inv_mass = (jnp.asarray(arrays["inv_mass"])
                             if "inv_mass" in arrays else None)
-        sampler._metric_version += 1
         if meta["kind"] == "mams":
             sampler.target_accept = float(meta["target_accept"])
             sampler.last_mean_accept = float(meta["last_mean_accept"])

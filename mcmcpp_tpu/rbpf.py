@@ -95,8 +95,12 @@ def _kalman_observe(m, P, H, c, R, y):
         - 0.5 * e * np.log(2.0 * np.pi)
     )
     pht = jnp.einsum("nij,nkj->nik", P, H)            # (n, D, E)
+    # S⁻¹ via the Cholesky already in hand (one factorization per step,
+    # not a second LU inside linalg.solve)
     gain = jnp.swapaxes(
-        jnp.linalg.solve(S, jnp.swapaxes(pht, -1, -2)), -1, -2
+        jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.swapaxes(pht, -1, -2)
+        ), -1, -2,
     )                                                  # (n, D, E)
     m_new = m + jnp.einsum("nde,ne->nd", gain, innov)
     d = m.shape[-1]
@@ -126,9 +130,12 @@ def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
         ys = ys[:, None]
     n = int(n_particles)
     logn = jnp.log(jnp.asarray(float(n)))
-    zstat = model.z_stat_fn or (
-        lambda z: jnp.asarray(z, jnp.float32).reshape(n, -1)
-    )
+    # default z statistic: all leaves flattened side by side — the
+    # resample path supports pytree z, so the default must too
+    zstat = model.z_stat_fn or (lambda z: jnp.concatenate(
+        [jnp.asarray(leaf, jnp.float32).reshape(n, -1)
+         for leaf in jax.tree.leaves(z)], axis=1,
+    ))
     k_init, k_scan = jax.random.split(key)
 
     m0 = jnp.asarray(model.m0)

@@ -346,11 +346,9 @@ class SMC2Sampler:
         n_rows = self._ys.shape[0]
         # IBIS capacity trick: pad to the next power of two so a stream
         # compiles O(log T) programs; padding rows are masked everywhere
-        capacity = 1 << max(int(np.ceil(np.log2(max(n_rows, 1)))), 3)
-        padded = (self._ys if n_rows == capacity else jnp.concatenate(
-            [self._ys,
-             jnp.repeat(self._ys[-1:], capacity - n_rows, axis=0)], axis=0
-        ))
+        from mcmcpp_tpu.utils.buffers import pad_to_capacity
+
+        padded, capacity = pad_to_capacity(self._ys, n_rows)
         stage = self._stage_cache.get(capacity)
         if stage is None:
             stage = jax.jit(self._stage_impl)

@@ -324,3 +324,68 @@ def test_mams_mclmc_checkpoints_not_interchangeable(tmp_path):
     ck2 = save_checkpoint(u, tmp_path / "mc.npz")
     with pytest.raises(TypeError, match="unadjusted"):
         load_checkpoint(m, ck2)
+
+
+def test_inv_mass_reassignment_invalidates_cached_programs():
+    """inv_mass is baked into the jitted run program as a trace-time
+    constant; direct reassignment between run() calls must retrace (the
+    round-4 review found the version-keyed cache silently reusing the
+    OLD metric)."""
+    def build():
+        s = MCLMCSampler(std_gauss, n_chains=8, n_params=D, seed=0,
+                         step_size=0.5, decoherence_length=3.0)
+        s.init_ball(np.zeros(D), scale=1.0, seed=1)
+        s.run(5)
+        return s
+
+    a, b = build(), build()
+    np.testing.assert_array_equal(
+        np.asarray(a.state.position), np.asarray(b.state.position)
+    )
+    v0 = b._metric_version
+    b.inv_mass = np.full(D, 25.0)     # drastic whitening change
+    assert b._metric_version > v0
+    a.run(5)
+    b.run(5)
+    assert not np.array_equal(
+        np.asarray(a.state.position), np.asarray(b.state.position)
+    ), "reassigned inv_mass was ignored by a stale cached program"
+    with pytest.raises(ValueError, match="inv_mass"):
+        b.inv_mass = np.ones(D + 1)
+
+
+def test_legacy_mclmc_checkpoint_loads_into_mams(tmp_path):
+    """Pre-split checkpoints carry kind='mclmc' for BOTH algorithms;
+    they must still resume under MAMS (with a warning), instead of
+    being permanently unloadable."""
+    import json
+    import warnings
+
+    from mcmcpp_tpu import MAMSSampler
+    from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    u = MCLMCSampler(std_gauss, n_chains=8, n_params=D, seed=0,
+                     step_size=0.5, decoherence_length=3.0)
+    u.init_ball(np.zeros(D), scale=1.0, seed=1)
+    u.run(5)
+    ck = save_checkpoint(u, tmp_path / "legacy.npz")
+    # rewrite as a legacy archive: no adjusted marker
+    with np.load(ck) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays["__meta__"]).decode())
+    del meta["adjusted"]
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), np.uint8
+    )
+    np.savez_compressed(ck, **arrays)
+
+    m = MAMSSampler(std_gauss, n_chains=8, n_params=D, seed=3,
+                    step_size=0.5, decoherence_length=3.0,
+                    target_accept=0.8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_checkpoint(m, ck)
+    assert any("legacy" in str(x.message) for x in w)
+    assert m.target_accept == 0.8  # live settings kept
+    m.run(3)  # resumes and runs
+    assert np.isfinite(np.asarray(m.state.position)).all()

@@ -243,3 +243,15 @@ def test_smc2_arviz_export_shapes():
     assert d["sample_stats"]["filtered_state_0"].shape == (1, 100)
     with pytest.raises(TypeError, match="SMC2Sampler"):
         smc2_to_inference_dict(object())
+
+
+def test_checkpoint_before_update_raises(tmp_path):
+    """init() sets state but no observation buffer; saving then would
+    write a pickled object array the loader rejects (round-4 review) —
+    must raise the actionable error instead."""
+    from mcmcpp_tpu.io.checkpoint import save_checkpoint
+
+    s = _sampler(None, m=32, nx=8)
+    s.init()
+    with pytest.raises(RuntimeError, match="before update"):
+        save_checkpoint(s, tmp_path / "early.npz")
