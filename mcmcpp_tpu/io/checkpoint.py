@@ -515,6 +515,7 @@ def save_checkpoint(sampler, path):
             n_theta=sampler.m,
             n_x=sampler.n_x,
             n_resamples=sampler.n_resamples,
+            n_growths=sampler.n_growths,
             prng_impl=_key_impl_name(sampler._key),
         )
         s = sampler.state
@@ -971,8 +972,10 @@ def load_checkpoint(sampler, path):
             raise TypeError("checkpoint is for an SMC2Sampler")
         if meta["n_theta"] != sampler.m:
             raise ValueError("theta-particle count mismatch")
-        if meta["n_x"] != sampler.n_x:
-            raise ValueError("state-particle count mismatch")
+        # n_x is RUNTIME state (the grow step doubles it mid-stream), so
+        # the checkpoint's value is adopted rather than validated
+        sampler.n_x = int(meta["n_x"])
+        sampler.n_growths = int(meta.get("n_growths", 0))
         state = SMC2State(
             theta=jnp.asarray(arrays["theta"]),
             log_prior=jnp.asarray(arrays["log_prior"]),

@@ -89,7 +89,17 @@ class SMC2Sampler:
     def __init__(self, ssm: StateSpaceModel, log_prior_fn, prior_sample_fn,
                  n_theta, n_params, n_particles=128, n_mcmc=3,
                  target_ess=0.5, ess_frac_x=0.5, rw_scale=1.0, seed=0,
-                 dtype=jnp.float32, mesh=None):
+                 dtype=jnp.float32, mesh=None, grow_particles=False,
+                 grow_threshold=0.15, max_particles=None):
+        """``grow_particles=True`` enables the Chopin et al. (2013, §3.5)
+        exchange step: when a rejuvenation sweep's mean PMMH acceptance
+        falls below ``grow_threshold`` (evidence the likelihood-estimate
+        variance has outgrown Nx), every θ-particle's x-system is
+        replaced by a FRESH filter at 2·Nx over the absorbed prefix and
+        the θ-weights are importance-corrected by the new/old estimate
+        ratio — exactly valid, and it keeps acceptance healthy as t
+        grows instead of letting the sampler silently degenerate.
+        ``max_particles`` caps the doubling (default 16× the start)."""
         self.ssm = ssm
         self.log_prior_fn = log_prior_fn
         self.prior_sample_fn = prior_sample_fn
@@ -122,6 +132,13 @@ class SMC2Sampler:
         self.n_resamples = 0
         self.log_evidence_trace = []   # per-obs log p̂(y_t | y_{1:t-1})
         self._stage_cache = {}         # capacity -> jitted stage program
+        self.grow_particles = bool(grow_particles)
+        self.grow_threshold = float(grow_threshold)
+        self.max_particles = (16 * self.n_x if max_particles is None
+                              else int(max_particles))
+        self.n_growths = 0
+        self.last_rejuvenation_accept = float("nan")
+        self._grow_cache = {}          # capacity -> jitted exchange step
 
     # -- internals -----------------------------------------------------------
 
@@ -183,13 +200,14 @@ class SMC2Sampler:
 
         return jax.lax.cond(t == jnp.int32(0), first, later, None)
 
-    def _masked_pf(self, key, theta, ys, n_incl):
+    def _masked_pf(self, key, theta, ys, n_incl, n=None):
         """Fresh bootstrap filter over rows [0, n_incl) of the PADDED
         buffer: explicit step 0 + one scan over rows 1..capacity−1 with
         ``row < n_incl`` masking (state and increments frozen on padding
         rows). Returns (cum_loglik, x_final, lw_final) so an accepted
-        rejuvenation proposal can keep filtering."""
-        n = self.n_x
+        rejuvenation proposal can keep filtering. ``n`` overrides the
+        particle count (the grow step traces at the NEW size)."""
+        n = self.n_x if n is None else int(n)
         logn = jnp.log(jnp.asarray(float(n)))
         k0, k_scan = jax.random.split(key)
         x = self.ssm.init_sample(k0, n, theta).astype(self.dtype)
@@ -263,7 +281,7 @@ class SMC2Sampler:
             )
 
             def mh_step(i, carry):
-                theta, log_prior, loglik_hat, xs, x_logw, key = carry
+                theta, log_prior, loglik_hat, xs, x_logw, n_acc, key = carry
                 key, k_prop, k_pf, k_u = jax.random.split(key, 4)
                 z = jax.random.normal(k_prop, theta.shape, theta.dtype)
                 prop = theta + z @ chol.T
@@ -280,21 +298,29 @@ class SMC2Sampler:
                 loglik_hat = jnp.where(ok, ll_new, loglik_hat)
                 xs = jnp.where(ok[:, None, None], x_new, xs)
                 x_logw = jnp.where(ok[:, None], xw_new, x_logw)
-                return theta, log_prior, loglik_hat, xs, x_logw, key
+                n_acc = n_acc + jnp.sum(ok.astype(jnp.int32))
+                return theta, log_prior, loglik_hat, xs, x_logw, n_acc, key
 
-            theta, log_prior, loglik_hat, xs, x_logw, _ = jax.lax.fori_loop(
+            (theta, log_prior, loglik_hat, xs, x_logw, n_acc,
+             _) = jax.lax.fori_loop(
                 0, self.n_mcmc, mh_step,
-                (theta, log_prior, loglik_hat, xs, x_logw, k_move),
+                (theta, log_prior, loglik_hat, xs, x_logw,
+                 jnp.zeros((), jnp.int32), k_move),
+            )
+            acc_rate = n_acc / jnp.asarray(
+                float(m * max(self.n_mcmc, 1)), jnp.float32
             )
             return (theta, log_prior, loglik_hat, xs, x_logw,
-                    jnp.zeros(m, log_w.dtype), jnp.ones((), jnp.int32))
+                    jnp.zeros(m, log_w.dtype), jnp.ones((), jnp.int32),
+                    acc_rate)
 
         def no_move(args):
             theta, log_prior, loglik_hat, xs, x_logw, log_w = args
             return (theta, log_prior, loglik_hat, xs, x_logw, log_w,
-                    jnp.zeros((), jnp.int32))
+                    jnp.zeros((), jnp.int32), jnp.full((), jnp.nan))
 
-        theta, log_prior, loglik_hat, xs, x_logw, log_w, moved = jax.lax.cond(
+        (theta, log_prior, loglik_hat, xs, x_logw, log_w, moved,
+         acc_rate) = jax.lax.cond(
             ess < self.target_ess * m,
             do_move, no_move,
             (state.theta, state.log_prior, loglik_hat, xs, x_logw, log_w),
@@ -303,7 +329,23 @@ class SMC2Sampler:
             theta, log_prior, loglik_hat, xs, x_logw, log_w,
             state.log_evidence + stage_logz, n_incl,
         )
-        return self._constrain(new_state), stage_logz, moved, ess
+        return self._constrain(new_state), stage_logz, moved, acc_rate
+
+    def _grow_impl(self, key, state, ys, new_nx):
+        """Chopin et al. (2013, §3.5) exchange step: replace every
+        θ-particle's x-system by a FRESH filter at ``new_nx`` over the
+        absorbed prefix, importance-correcting the θ-weights by the
+        new/old likelihood-estimate ratio. Exactly valid for any Nx."""
+        ll_new, x_new, xw_new = jax.vmap(
+            lambda k, th: self._masked_pf(
+                k, th, ys, state.n_included, n=new_nx
+            )
+        )(jax.random.split(key, self.m), state.theta)
+        return SMC2State(
+            state.theta, state.log_prior, ll_new, x_new, xw_new,
+            state.log_w + (ll_new - state.loglik_hat),
+            state.log_evidence, state.n_included,
+        )
 
     # -- public API ----------------------------------------------------------
 
@@ -355,12 +397,34 @@ class SMC2Sampler:
             self._stage_cache[capacity] = stage
         for t in range(start0, n_rows):
             self._key, k = jax.random.split(self._key)
-            self.state, stage_logz, moved, _ = stage(
+            self.state, stage_logz, moved, acc_rate = stage(
                 k, self.state, padded, jnp.asarray(t, jnp.int32)
             )
             self.log_evidence_trace.append(float(stage_logz))
-            self.n_resamples += int(moved)
+            if int(moved):
+                self.n_resamples += 1
+                self.last_rejuvenation_accept = float(acc_rate)
+                if (self.grow_particles
+                        and self.last_rejuvenation_accept
+                        < self.grow_threshold
+                        and 2 * self.n_x <= self.max_particles):
+                    self._grow(padded)
         return self
+
+    def _grow(self, padded):
+        new_nx = 2 * self.n_x
+        fn = self._grow_cache.get(new_nx)
+        if fn is None:
+            fn = jax.jit(
+                lambda key, st, ys, n=new_nx: self._grow_impl(
+                    key, st, ys, n
+                )
+            )
+            self._grow_cache[new_nx] = fn
+        self._key, k = jax.random.split(self._key)
+        self.state = self._constrain(fn(k, self.state, padded))
+        self.n_x = new_nx
+        self.n_growths += 1
 
     # -- readout -------------------------------------------------------------
 

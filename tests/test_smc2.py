@@ -255,3 +255,40 @@ def test_checkpoint_before_update_raises(tmp_path):
     s.init()
     with pytest.raises(RuntimeError, match="before update"):
         save_checkpoint(s, tmp_path / "early.npz")
+
+
+def test_particle_growth_exchange_step(tmp_path):
+    """grow_particles: starting from a hopelessly small Nx=2, low
+    rejuvenation acceptance must trigger the Chopin §3.5 exchange step
+    (fresh filters at 2Nx + importance-corrected θ-weights) until
+    acceptance recovers or the cap binds — and the posterior must stay
+    consistent with the exact grid truth."""
+    from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    _, ys = _data(40, seed=11)
+    mean_true, sd_true, _ = _grid_truth(ys)
+    s = _sampler(None, seed=5, m=256, nx=2, grow_particles=True,
+                 grow_threshold=0.4, max_particles=64)
+    s.update(ys)
+    assert s.n_growths >= 1, s.last_rejuvenation_accept
+    assert s.n_x == 2 * 2 ** s.n_growths and s.n_x <= 64
+    assert np.asarray(s.state.xs).shape[1] == s.n_x
+    assert np.isfinite(s.log_evidence)
+    mean, _ = s.moments()
+    assert abs(mean[0] - mean_true) < 8.0 * sd_true / np.sqrt(32.0) + 0.1
+
+    # grown n_x survives checkpoint/resume (adopted, not validated)
+    ck = save_checkpoint(s, tmp_path / "grown.npz")
+    b = _sampler(None, seed=1, m=256, nx=2, grow_particles=True,
+                 grow_threshold=0.4, max_particles=64)
+    load_checkpoint(b, ck)
+    assert b.n_x == s.n_x and b.n_growths == s.n_growths
+    b.update(_data(50, seed=12)[1][:5])  # stream continues at grown size
+    assert np.isfinite(b.log_evidence)
+
+
+def test_no_growth_when_disabled():
+    _, ys = _data(30, seed=11)
+    s = _sampler(None, seed=5, m=128, nx=4)
+    s.update(ys)
+    assert s.n_growths == 0 and s.n_x == 4
