@@ -47,6 +47,7 @@ from mcmcpp_tpu.smc2 import SMC2Sampler
 from mcmcpp_tpu.rbpf import (
     RaoBlackwellSSM, rao_blackwell_filter, switching_model,
 )
+from mcmcpp_tpu.enkf import EnKFModel, ensemble_kalman_filter
 from mcmcpp_tpu.nested import NestedSampler
 from mcmcpp_tpu.vi import ADVI
 from mcmcpp_tpu import dsl
@@ -160,6 +161,8 @@ __all__ = [
     "RaoBlackwellSSM",
     "rao_blackwell_filter",
     "switching_model",
+    "EnKFModel",
+    "ensemble_kalman_filter",
     "particle_filter",
     "particle_smoother",
     "PMMHSampler",
