@@ -275,7 +275,15 @@ class SMC2Sampler:
             mean = jnp.mean(theta, axis=0)
             centered = theta - mean
             cov = centered.T @ centered / (m - 1.0)
-            cov = cov + 1e-8 * jnp.eye(self.n_params, dtype=cov.dtype)
+            # degenerate-cloud guard (PMMH tune()'s spread check, trace-
+            # safe form): a collapsed cloud (resampling duplicated one
+            # survivor) would yield ~zero proposals — acceptance ≈ 1,
+            # rejuvenation a no-op, the collapse permanent. Floor the
+            # proposal at a small isotropic scale instead.
+            degenerate = jnp.trace(cov) < self.n_params * 1e-10
+            cov = cov + jnp.where(degenerate, 1e-2, 1e-8) * jnp.eye(
+                self.n_params, dtype=cov.dtype
+            )
             chol = jnp.linalg.cholesky(
                 (self.rw_scale ** 2) * (2.38 ** 2 / self.n_params) * cov
             )

@@ -292,3 +292,55 @@ def test_no_growth_when_disabled():
     s = _sampler(None, seed=5, m=128, nx=4)
     s.update(ys)
     assert s.n_growths == 0 and s.n_x == 4
+
+
+def test_degenerate_cloud_guard_keeps_rejuvenation_alive():
+    """A collapsed θ-cloud (here: a deterministic prior_sample, so ALL
+    particles identical) would make the proposal covariance ~zero and
+    rejuvenation a permanent no-op; the floor must let the cloud
+    re-spread through the PMMH moves."""
+    _, ys = _data(20, seed=3)
+    s = SMC2Sampler(
+        _ssm(sig_r=None), _log_prior,
+        lambda key, n: jnp.zeros((n, 1)),   # degenerate prior draws
+        n_theta=64, n_params=1, n_particles=32, seed=0,
+        target_ess=1.0, n_mcmc=5,           # rejuvenate every step
+    )
+    s.update(ys)
+    spread = float(np.std(np.asarray(s.state.theta)))
+    assert spread > 1e-3, spread
+
+
+def test_pf_loglik_gradient_matches_kalman_score():
+    """The PF evidence estimate is differentiable in theta (gradients
+    flow through the weights; resampling indices are int-valued and
+    contribute none): on the linear-Gaussian model, grad of the PF
+    loglik at the truth must approximate the EXACT Kalman score
+    d/d(log sig_r) lgss_loglik. Certifies the differentiable-PF path
+    for gradient-based SSM fitting."""
+    from mcmcpp_tpu import particle_filter
+
+    _, ys = _data(30, seed=5)
+
+    def exact(th):
+        return lgss_loglik(lgss_params(
+            A=1.0, b=0.0, Q=SIG_Q**2, H=1.0, c=0.0,
+            R=jnp.exp(2.0 * th), m0=M0, P0=P0,
+        ), ys)
+
+    score_true = float(jax.grad(exact)(jnp.float32(np.log(SIG_R))))
+
+    def pf_ll(th, key):
+        return particle_filter(
+            key, _ssm(sig_r=None), jnp.asarray([th]), ys, 512,
+        ).loglik
+
+    g = jax.vmap(
+        jax.grad(pf_ll), in_axes=(None, 0)
+    )(jnp.float32(np.log(SIG_R)), jax.random.split(jax.random.key(2), 32))
+    g = np.asarray(g, np.float64)
+    assert np.isfinite(g).all()
+    se = g.std(ddof=1) / np.sqrt(32.0)
+    assert abs(g.mean() - score_true) < max(6.0 * se, 0.15 * abs(
+        score_true
+    ) + 0.3), (g.mean(), score_true, se)
