@@ -65,7 +65,7 @@ class EnKFResult(NamedTuple):
 
 
 def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
-                           inflation=1.0):
+                           inflation=1.0, mesh=None):
     """Stochastic EnKF over ``ys`` ((T, E); (T,) promoted to (T, 1)).
 
     Per step: forecast every member through ``trans_sample``, then the
@@ -81,6 +81,11 @@ def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
     covariance — the exact marginal likelihood in the linear-Gaussian
     limit (tests/test_enkf.py oracle) and the standard EnKF model-
     evidence proxy otherwise.
+
+    ``mesh=``: shard the member axis over the mesh — forecasts are
+    member-local; the anomaly products ``Xaᵀ Ya`` become mesh
+    all-reduces of per-shard matmul partials (GSPMD inserts them;
+    CPU-mesh parity tested).
     """
     ys = jnp.asarray(ys)
     if ys.ndim == 1:
@@ -99,6 +104,17 @@ def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
     r_chol = jnp.linalg.cholesky(r_cov)
     infl = jnp.asarray(inflation, jnp.float32)
     k_init, k_scan = jax.random.split(key)
+    if mesh is None:
+        constrain = lambda x: x
+    else:
+        from mcmcpp_tpu.parallel.mesh import walker_sharding
+
+        if n % mesh.size != 0:
+            raise ValueError(
+                f"n_ensemble={n} not divisible by mesh size {mesh.size}"
+            )
+        ms = walker_sharding(mesh)
+        constrain = lambda x: jax.lax.with_sharding_constraint(x, ms)
 
     def analysis(key, x, y, t):
         """Perturbed-observation update; returns (x', step_loglik)."""
@@ -122,10 +138,10 @@ def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
         eps = jax.random.normal(key, (n, e_dim), x.dtype) @ r_chol.T
         resid = (y[None, :] + eps) - yf               # (n, E)
         gain_t = jax.scipy.linalg.cho_solve((chol, True), pxy.T)  # (E, D)
-        x_new = x + resid @ gain_t                    # (n, D)
+        x_new = constrain(x + resid @ gain_t)         # (n, D)
         return x_new, step_ll
 
-    x0 = model.init_sample(k_init, n)
+    x0 = constrain(model.init_sample(k_init, n))
     k_scan, k0 = jax.random.split(k_scan)
     x0, ll0 = analysis(k0, x0, ys[0], jnp.int32(0))
 

@@ -83,6 +83,34 @@ class StateSpaceModel(NamedTuple):
     ``prop_sample``."""
 
 
+def _particle_constrainer(mesh, n):
+    """Pin a filter's particle axis to ``mesh`` (identity when None).
+
+    Sharding one BIG filter differs from the vmapped-filters path (PMMH/
+    SMC², where whole filters are device-local): here the particle axis
+    itself partitions, and GSPMD inserts the collectives the reductions
+    need (logsumexp/ESS all-reduce, resampling all-gather). Correctness
+    is unchanged up to float reduction order — parity-tested on the
+    CPU mesh.
+    """
+    if mesh is None:
+        return lambda x, lw: (x, lw)
+    from mcmcpp_tpu.parallel.mesh import vector_sharding, walker_sharding
+
+    if n % mesh.size != 0:
+        raise ValueError(
+            f"n_particles={n} not divisible by mesh size {mesh.size}"
+        )
+    ms = walker_sharding(mesh)
+    vs = vector_sharding(ms)
+
+    def constrain(x, lw):
+        return (jax.lax.with_sharding_constraint(x, ms),
+                jax.lax.with_sharding_constraint(lw, vs))
+
+    return constrain
+
+
 class PFResult(NamedTuple):
     loglik: jnp.ndarray         # scalar log p_hat(y_{1:T} | theta)
     filter_means: jnp.ndarray   # (T, D) self-normalized filtered means
@@ -93,7 +121,7 @@ class PFResult(NamedTuple):
 
 def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
                     ess_frac=0.5, auxiliary=False,
-                    return_particles=False):
+                    return_particles=False, mesh=None):
     """Bootstrap particle filter (Gordon, Salmond & Smith 1993) with
     adaptive systematic resampling, or — ``auxiliary=True`` — the
     auxiliary particle filter (Pitt & Shephard 1999).
@@ -122,12 +150,18 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
     estimator variance (the dramatic, stable win the point-lookahead
     APF only approximates).
 
+    ``mesh=``: shard the PARTICLE axis of this one filter over the mesh
+    (for huge-N single filters; the PMMH/SMC² pattern of vmapping whole
+    device-local filters is usually the better fit at moderate N).
+
     Returns :class:`PFResult`; ``loglik`` is the unbiased-in-expectation
     evidence estimate (see module docstring). Fully differentiable in
-    ``theta`` EXCEPT through the resampling indices (the standard PF
-    gradient caveat); for gradient-based hyperparameter work prefer the
-    collapsed :func:`mcmcpp_tpu.models.lgss.lgss_loglik` when the model
-    is linear-Gaussian.
+    ``theta`` EXCEPT through the resampling indices — gradients flow
+    through the weights, giving the standard biased-but-consistent PF
+    score estimator (verified against the exact Kalman score,
+    tests/test_smc2.py); for gradient-based hyperparameter work prefer
+    the collapsed :func:`mcmcpp_tpu.models.lgss.lgss_loglik` when the
+    model is linear-Gaussian.
     """
     ys = jnp.asarray(ys)
     if ys.ndim == 1:
@@ -146,6 +180,7 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
     n = int(n_particles)
     logn = jnp.log(jnp.asarray(float(n)))
     k_init, k_scan = jax.random.split(key)
+    constrain = _particle_constrainer(mesh, n)
 
     def propagate(k, x_r, y, t):
         """(x', per-particle log weight increment) under the bootstrap
@@ -170,6 +205,7 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
     ll0 = ssm.obs_logpdf(ys[0], x0, 0, theta)
     incr0 = jax.scipy.special.logsumexp(ll0) - logn
     lw0 = ll0 - jax.scipy.special.logsumexp(ll0)
+    x0, lw0 = constrain(x0, lw0)
     w0 = jnp.exp(lw0)
     mean0 = w0 @ x0
     ess0 = ess_from_log_weights(lw0)
@@ -187,6 +223,7 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
         x, ll = propagate(k_prop, x, y, t)
         incr = jax.scipy.special.logsumexp(lw + ll)
         lw = lw + ll - incr
+        x, lw = constrain(x, lw)
         w = jnp.exp(lw)
         out = (incr, w @ x, ess_from_log_weights(lw))
         if return_particles:
@@ -208,6 +245,7 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
         norm2 = jax.scipy.special.logsumexp(second)
         incr = norm1 + norm2 - logn
         lw_new = second - norm2
+        xn, lw_new = constrain(xn, lw_new)
         w = jnp.exp(lw_new)
         out = (incr, w @ xn, ess_from_log_weights(lw_new))
         if return_particles:

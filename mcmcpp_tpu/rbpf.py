@@ -115,7 +115,7 @@ def _kalman_observe(m, P, H, c, R, y):
 
 
 def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
-                         ess_frac=0.5):
+                         ess_frac=0.5, mesh=None):
     """Mixture Kalman filter with adaptive systematic resampling.
 
     ys: (T, E) observations ((T,) promoted to (T, 1)). Resampling
@@ -124,11 +124,37 @@ def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
     (standard SMC unbiasedness — the weight increments are exact
     conditional predictives), with strictly less variance than the
     plain bootstrap filter on the joint (z, x).
+
+    ``mesh=``: shard the particle axis (z-paths AND their Kalman
+    moments) over the mesh — the batched Kalman algebra is embarrassingly
+    parallel per particle; only the weight reductions and resampling
+    need collectives (GSPMD inserts them; CPU-mesh parity tested).
     """
     ys = jnp.asarray(ys)
     if ys.ndim == 1:
         ys = ys[:, None]
     n = int(n_particles)
+    if mesh is None:
+        constrain = lambda *arrs: arrs
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from mcmcpp_tpu.parallel.mesh import walker_sharding
+
+        if n % mesh.size != 0:
+            raise ValueError(
+                f"n_particles={n} not divisible by mesh size {mesh.size}"
+            )
+        axes = walker_sharding(mesh).spec[0]
+
+        def constrain(*arrs):
+            return tuple(
+                jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, PartitionSpec(
+                        axes, *([None] * (a.ndim - 1))
+                    ))
+                ) for a in arrs
+            )
     logn = jnp.log(jnp.asarray(float(n)))
     # default z statistic: all leaves flattened side by side — the
     # resample path supports pytree z, so the default must too
@@ -150,6 +176,8 @@ def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
     norm0 = jax.scipy.special.logsumexp(ll0)
     lw = ll0 - norm0
     incr0 = norm0 - logn
+    z0 = jax.tree.map(lambda a: constrain(a)[0], z0)
+    m, p, lw = constrain(m, p, lw)
     w0 = jnp.exp(lw)
     out0 = (w0 @ m, w0 @ zstat(z0), ess_from_log_weights(lw))
 
@@ -172,6 +200,8 @@ def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
         m, p, ll = _kalman_observe(m_pred, p_pred, h_t, c_t, r_t, y)
         incr = jax.scipy.special.logsumexp(lw + ll)
         lw = lw + ll - incr
+        z = jax.tree.map(lambda a: constrain(a)[0], z)
+        m, p, lw = constrain(m, p, lw)
         w = jnp.exp(lw)
         return (z, m, p, lw, key), (
             incr, w @ m, w @ zstat(z), ess_from_log_weights(lw),

@@ -147,3 +147,22 @@ def test_validation_errors():
     bad = _linear_model()._replace(obs_cov=jnp.eye(2, dtype=jnp.float32))
     with pytest.raises(ValueError, match="obs_cov"):
         ensemble_kalman_filter(jax.random.key(0), bad, ys, 8)
+
+
+def test_enkf_mesh_sharded_parity():
+    """Member-axis sharding over the 8-device mesh must agree with
+    single-device to float-reduction tolerance (the anomaly products
+    become all-reduced matmul partials)."""
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    _, ys = _data(20, seed=3)
+    a = ensemble_kalman_filter(jax.random.key(0), _linear_model(), ys,
+                               256)
+    b = ensemble_kalman_filter(jax.random.key(0), _linear_model(), ys,
+                               256, mesh=make_walker_mesh())
+    assert float(a.loglik) == pytest.approx(float(b.loglik), abs=1e-2)
+    np.testing.assert_allclose(np.asarray(a.means), np.asarray(b.means),
+                               atol=1e-3)
+    with pytest.raises(ValueError, match="divisible"):
+        ensemble_kalman_filter(jax.random.key(0), _linear_model(), ys,
+                               63, mesh=make_walker_mesh())

@@ -548,3 +548,22 @@ def test_particle_smoother_requires_trans_logpdf():
     )
     with pytest.raises(ValueError, match="trans_logpdf"):
         particle_smoother(jax.random.key(0), ssm, None, ys, 32, 8)
+
+
+def test_particle_filter_mesh_sharded_parity():
+    """Sharding ONE filter's particle axis over the 8-device mesh must
+    agree with single-device to float-reduction tolerance (huge-N
+    single-filter regime; the vmapped-filters path stays device-local)."""
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    _, ys = _data(25, seed=5)
+    ssm = _local_level_ssm(SIG_R)
+    a = particle_filter(jax.random.key(0), ssm, None, ys, 128)
+    b = particle_filter(jax.random.key(0), ssm, None, ys, 128,
+                        mesh=make_walker_mesh())
+    assert float(a.loglik) == pytest.approx(float(b.loglik), abs=1e-3)
+    np.testing.assert_allclose(np.asarray(a.filter_means),
+                               np.asarray(b.filter_means), atol=1e-4)
+    with pytest.raises(ValueError, match="divisible"):
+        particle_filter(jax.random.key(0), ssm, None, ys, 127,
+                        mesh=make_walker_mesh())

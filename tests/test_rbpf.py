@@ -237,3 +237,20 @@ def test_validation_errors():
     with pytest.raises(ValueError, match="ssm or a loglik_fn"):
         PMMHSampler(ssm=None, ys=None, log_prior=lambda th: 0.0,
                     n_params=1)
+
+
+def test_rbpf_mesh_sharded_parity():
+    """Particle-axis sharding over the 8-device mesh must agree with
+    single-device to float-reduction tolerance."""
+    from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+    _, ys = _switch_data(20, seed=3)
+    a = rao_blackwell_filter(jax.random.key(0), _switch_model(), ys, 64)
+    b = rao_blackwell_filter(jax.random.key(0), _switch_model(), ys, 64,
+                             mesh=make_walker_mesh())
+    assert float(a.loglik) == pytest.approx(float(b.loglik), abs=1e-3)
+    np.testing.assert_allclose(np.asarray(a.z_stats),
+                               np.asarray(b.z_stats), atol=1e-4)
+    with pytest.raises(ValueError, match="divisible"):
+        rao_blackwell_filter(jax.random.key(0), _switch_model(), ys, 63,
+                             mesh=make_walker_mesh())
