@@ -167,3 +167,10 @@ def test_regime_switching_example():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "regime-classification" in r.stdout
     assert "PMMH (RB'd likelihood)" in r.stdout
+
+
+@pytest.mark.slow
+def test_data_assimilation_example():
+    r = _run("data_assimilation.py", "--quick")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "analysis RMSE" in r.stdout
