@@ -65,7 +65,8 @@ class EnKFResult(NamedTuple):
 
 
 def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
-                           inflation=1.0, mesh=None):
+                           inflation=1.0, mesh=None,
+                           variant="stochastic"):
     """Stochastic EnKF over ``ys`` ((T, E); (T,) promoted to (T, 1)).
 
     Per step: forecast every member through ``trans_sample``, then the
@@ -86,6 +87,16 @@ def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
     member-local; the anomaly products ``Xaᵀ Ya`` become mesh
     all-reduces of per-shard matmul partials (GSPMD inserts them;
     CPU-mesh parity tested).
+
+    ``variant="etkf"``: the deterministic ensemble-transform (square-
+    root) analysis (Bishop et al. 2001; Hunt et al. 2007): instead of
+    perturbing observations, the analysis anomalies are the forecast
+    anomalies times the SYMMETRIC square root of
+    ``[(N−1)I + Yaᵀ R⁻¹ Ya]⁻¹`` in ensemble space — the analysis
+    covariance is matched EXACTLY (no sampling noise from observation
+    perturbations), which is why ETKF dominates at small N. Costs one
+    (N, N) eigendecomposition per step; prefer it when N ≲ a few
+    hundred, the stochastic variant when N is huge.
     """
     ys = jnp.asarray(ys)
     if ys.ndim == 1:
@@ -101,6 +112,8 @@ def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
         raise ValueError(
             f"obs_cov {r_cov.shape} inconsistent with ys {ys.shape}"
         )
+    if variant not in ("stochastic", "etkf"):
+        raise ValueError(f"unknown variant {variant!r}")
     r_chol = jnp.linalg.cholesky(r_cov)
     infl = jnp.asarray(inflation, jnp.float32)
     k_init, k_scan = jax.random.split(key)
@@ -134,6 +147,23 @@ def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
             - jnp.sum(jnp.log(jnp.diagonal(chol)))
             - 0.5 * e_dim * np.log(2.0 * np.pi)
         )
+        if variant == "etkf":
+            # ensemble-space transform (Hunt et al. 2007): S = R^{-1/2}Yaᵀ
+            s = jax.scipy.linalg.solve_triangular(
+                r_chol, ya.T, lower=True
+            )                                          # (E, n)
+            a_mat = (n - 1.0) * jnp.eye(n, dtype=x.dtype) + s.T @ s
+            evals, evecs = jnp.linalg.eigh(a_mat)      # (n,), (n, n)
+            evals = jnp.maximum(evals, 1e-8)
+            a_inv = (evecs / evals) @ evecs.T
+            w_mean = a_inv @ (s.T @ jax.scipy.linalg.solve_triangular(
+                r_chol, innov, lower=True
+            ))                                         # (n,)
+            w_sqrt = (evecs * jnp.sqrt((n - 1.0) / evals)) @ evecs.T
+            x_new = x_mean[None, :] + (
+                w_mean[None, :] + w_sqrt
+            ) @ xa                                     # (n, D)
+            return constrain(x_new), step_ll
         # member-wise perturbed innovations: y + eps_i - H(x_i)
         eps = jax.random.normal(key, (n, e_dim), x.dtype) @ r_chol.T
         resid = (y[None, :] + eps) - yf               # (n, E)

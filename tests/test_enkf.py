@@ -166,3 +166,60 @@ def test_enkf_mesh_sharded_parity():
     with pytest.raises(ValueError, match="divisible"):
         ensemble_kalman_filter(jax.random.key(0), _linear_model(), ys,
                                63, mesh=make_walker_mesh())
+
+
+def test_etkf_linear_gaussian_oracle_and_determinism():
+    """Square-root variant: no observation perturbations, so (a) two
+    runs with the same key are bitwise identical even though the
+    stochastic variant would differ per analysis draw, and (b) the
+    linear-Gaussian oracle holds at MODERATE N with tight tolerances
+    (the exact-covariance transform removes the perturbation noise)."""
+    t_n = 40
+    _, ys = _data(t_n, seed=3)
+    f = kalman_filter(_lgss(), ys)
+    m_true = np.asarray(f.means)[:, 0]
+    sd_true = np.sqrt(np.asarray(f.covs)[:, 0, 0])
+    exact_ll = float(lgss_loglik(_lgss(), ys))
+
+    res = ensemble_kalman_filter(jax.random.key(0), _linear_model(), ys,
+                                 128, variant="etkf")
+    res2 = ensemble_kalman_filter(jax.random.key(0), _linear_model(), ys,
+                                  128, variant="etkf")
+    np.testing.assert_array_equal(np.asarray(res.ensemble),
+                                  np.asarray(res2.ensemble))
+    err = np.abs(np.asarray(res.means)[:, 0] - m_true)
+    assert (err < 6.0 * sd_true / np.sqrt(128.0) + 0.02).all(), err.max()
+    np.testing.assert_allclose(np.asarray(res.spread)[:, 0], sd_true,
+                               rtol=0.12, atol=0.02)
+    assert abs(float(res.loglik) - exact_ll) < 0.6, (
+        float(res.loglik), exact_ll,
+    )
+
+
+def test_etkf_beats_stochastic_at_small_n():
+    """The point of the square root: at N=10 the stochastic variant's
+    perturbation noise corrupts the spread; the ETKF's exact-covariance
+    transform must track the exact posterior sd more closely (averaged
+    over time; both filters see identical data)."""
+    t_n = 60
+    _, ys = _data(t_n, seed=7)
+    f = kalman_filter(_lgss(), ys)
+    sd_true = np.sqrt(np.asarray(f.covs)[:, 0, 0])
+
+    def spread_err(variant):
+        errs = []
+        for seed in range(4):
+            res = ensemble_kalman_filter(
+                jax.random.key(seed), _linear_model(), ys, 10,
+                variant=variant,
+            )
+            errs.append(np.abs(np.asarray(res.spread)[:, 0] - sd_true)
+                        .mean())
+        return float(np.mean(errs))
+
+    e_etkf, e_stoch = spread_err("etkf"), spread_err("stochastic")
+    assert e_etkf < e_stoch, (e_etkf, e_stoch)
+
+    with pytest.raises(ValueError, match="variant"):
+        ensemble_kalman_filter(jax.random.key(0), _linear_model(), ys,
+                               8, variant="enks")
