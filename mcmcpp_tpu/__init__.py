@@ -50,6 +50,7 @@ from mcmcpp_tpu.rbpf import (
 from mcmcpp_tpu.enkf import EnKFModel, ensemble_kalman_filter
 from mcmcpp_tpu.nested import NestedSampler
 from mcmcpp_tpu.vi import ADVI
+from mcmcpp_tpu.svgd import SVGD
 from mcmcpp_tpu import dsl
 from mcmcpp_tpu.dsl import Model
 from mcmcpp_tpu.tempering import (
@@ -136,6 +137,7 @@ __all__ = [
     "geometric_ladder",
     "power_ladder",
     "ADVI",
+    "SVGD",
     "dsl",
     "Model",
     "ParallelTemperingSampler",
