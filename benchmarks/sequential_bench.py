@@ -136,10 +136,13 @@ def main():
         n_theta=256, n_params=1, n_particles=128, seed=0,
         target_ess=0.0,   # advance-only cost (no rejuvenation)
     )
-    s.update(ys[:64])     # compile + warm
+    # warm PAST the capacity-256 boundary (rows 129+ run the capacity-256
+    # program) so the timed window measures launches, not the trace+
+    # compile of a fresh capacity program
+    s.update(ys[:130])
     t0 = time.perf_counter()
-    s.update(ys[64:256])
-    dt = (time.perf_counter() - t0) / 192
+    s.update(ys[130:256])
+    dt = (time.perf_counter() - t0) / 126
     print(json.dumps({
         "bench": "smc2_advance", "M": 256, "Nx": 128,
         "s_per_obs": round(dt, 5),

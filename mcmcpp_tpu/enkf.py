@@ -117,17 +117,10 @@ def ensemble_kalman_filter(key, model: EnKFModel, ys, n_ensemble,
     r_chol = jnp.linalg.cholesky(r_cov)
     infl = jnp.asarray(inflation, jnp.float32)
     k_init, k_scan = jax.random.split(key)
-    if mesh is None:
-        constrain = lambda x: x
-    else:
-        from mcmcpp_tpu.parallel.mesh import walker_sharding
+    from mcmcpp_tpu.parallel.mesh import particle_constrainer
 
-        if n % mesh.size != 0:
-            raise ValueError(
-                f"n_ensemble={n} not divisible by mesh size {mesh.size}"
-            )
-        ms = walker_sharding(mesh)
-        constrain = lambda x: jax.lax.with_sharding_constraint(x, ms)
+    _constrain = particle_constrainer(mesh, n, name="n_ensemble")
+    constrain = lambda x: _constrain(x)[0]
 
     def analysis(key, x, y, t):
         """Perturbed-observation update; returns (x', step_loglik)."""

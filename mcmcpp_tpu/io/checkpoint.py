@@ -859,10 +859,15 @@ def load_checkpoint(sampler, path):
         from mcmcpp_tpu.gradient.mclmc import MCLMCState
 
         if "adjusted" not in meta:
-            # legacy (pre-split) checkpoint: kind="mclmc" was written for
-            # BOTH algorithms, so the class cannot be validated — accept
-            # either, keeping the live sampler's MAMS tuning fields
-            if _is_mams(sampler):
+            # legacy checkpoint (no explicit marker). kind="mams" was
+            # ALWAYS reliable (written only by MAMS savers), so that
+            # direction stays strict; only kind="mclmc" is ambiguous
+            # (the earliest format wrote it for both algorithms) and is
+            # accepted into either class, keeping the live sampler's
+            # MAMS tuning fields.
+            if meta["kind"] == "mams" and not _is_mams(sampler):
+                raise TypeError("checkpoint is for a MAMSSampler")
+            if meta["kind"] == "mclmc" and _is_mams(sampler):
                 import warnings
 
                 warnings.warn(

@@ -35,6 +35,38 @@ def make_walker_mesh(devices=None, n_hosts=None):
     return Mesh(grid, WALKER_AXES)
 
 
+def particle_constrainer(mesh, n, name="n_particles"):
+    """Build ``constrain(*arrays) -> tuple`` pinning each array's
+    LEADING axis over the whole mesh (identity when ``mesh`` is None),
+    for any trailing rank — the shared guard + constraint used by the
+    standalone filters (particle/RBPF/EnKF) and SVGD.
+
+    Sharding one BIG filter/cloud differs from the vmapped path (PMMH/
+    SMC², where whole filters stay device-local): the particle axis
+    itself partitions and GSPMD inserts the collectives the reductions
+    need (logsumexp/anomaly-product all-reduce, resampling all-gather).
+    Correctness is unchanged up to float reduction order — parity-tested
+    per caller on the CPU mesh.
+    """
+    if mesh is None:
+        return lambda *arrs: arrs
+    if n % mesh.size != 0:
+        raise ValueError(
+            f"{name}={n} not divisible by mesh size {mesh.size}"
+        )
+
+    def constrain(*arrs):
+        return tuple(
+            jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, PartitionSpec(
+                    WALKER_AXES, *([None] * (a.ndim - 1))
+                ))
+            ) for a in arrs
+        )
+
+    return constrain
+
+
 def walker_sharding(mesh):
     """NamedSharding putting the walker (leading) axis over the whole mesh."""
     return NamedSharding(mesh, PartitionSpec(WALKER_AXES, None))

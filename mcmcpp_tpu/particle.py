@@ -83,34 +83,6 @@ class StateSpaceModel(NamedTuple):
     ``prop_sample``."""
 
 
-def _particle_constrainer(mesh, n):
-    """Pin a filter's particle axis to ``mesh`` (identity when None).
-
-    Sharding one BIG filter differs from the vmapped-filters path (PMMH/
-    SMC², where whole filters are device-local): here the particle axis
-    itself partitions, and GSPMD inserts the collectives the reductions
-    need (logsumexp/ESS all-reduce, resampling all-gather). Correctness
-    is unchanged up to float reduction order — parity-tested on the
-    CPU mesh.
-    """
-    if mesh is None:
-        return lambda x, lw: (x, lw)
-    from mcmcpp_tpu.parallel.mesh import vector_sharding, walker_sharding
-
-    if n % mesh.size != 0:
-        raise ValueError(
-            f"n_particles={n} not divisible by mesh size {mesh.size}"
-        )
-    ms = walker_sharding(mesh)
-    vs = vector_sharding(ms)
-
-    def constrain(x, lw):
-        return (jax.lax.with_sharding_constraint(x, ms),
-                jax.lax.with_sharding_constraint(lw, vs))
-
-    return constrain
-
-
 class PFResult(NamedTuple):
     loglik: jnp.ndarray         # scalar log p_hat(y_{1:T} | theta)
     filter_means: jnp.ndarray   # (T, D) self-normalized filtered means
@@ -180,7 +152,9 @@ def particle_filter(key, ssm: StateSpaceModel, theta, ys, n_particles,
     n = int(n_particles)
     logn = jnp.log(jnp.asarray(float(n)))
     k_init, k_scan = jax.random.split(key)
-    constrain = _particle_constrainer(mesh, n)
+    from mcmcpp_tpu.parallel.mesh import particle_constrainer
+
+    constrain = particle_constrainer(mesh, n)
 
     def propagate(k, x_r, y, t):
         """(x', per-particle log weight increment) under the bootstrap

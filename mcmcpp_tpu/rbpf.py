@@ -134,27 +134,9 @@ def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
     if ys.ndim == 1:
         ys = ys[:, None]
     n = int(n_particles)
-    if mesh is None:
-        constrain = lambda *arrs: arrs
-    else:
-        from jax.sharding import NamedSharding, PartitionSpec
+    from mcmcpp_tpu.parallel.mesh import particle_constrainer
 
-        from mcmcpp_tpu.parallel.mesh import walker_sharding
-
-        if n % mesh.size != 0:
-            raise ValueError(
-                f"n_particles={n} not divisible by mesh size {mesh.size}"
-            )
-        axes = walker_sharding(mesh).spec[0]
-
-        def constrain(*arrs):
-            return tuple(
-                jax.lax.with_sharding_constraint(
-                    a, NamedSharding(mesh, PartitionSpec(
-                        axes, *([None] * (a.ndim - 1))
-                    ))
-                ) for a in arrs
-            )
+    constrain = particle_constrainer(mesh, n)
     logn = jnp.log(jnp.asarray(float(n)))
     # default z statistic: all leaves flattened side by side — the
     # resample path supports pytree z, so the default must too

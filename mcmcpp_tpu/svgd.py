@@ -54,9 +54,10 @@ class SVGD:
 
     logp_fn : (P,) -> scalar (unnormalized fine; only the score enters).
     n_particles / n_params : cloud shape.
-    bandwidth : RBF bandwidth h, or ``"median"`` (default) for the
-        median heuristic h = med²/log N recomputed every step (Liu &
-        Wang 2016 §5) — scale-free and the standard choice.
+    bandwidth : RBF LENGTHSCALE ℓ (the kernel is exp(−‖x−y‖²/ℓ²)), or
+        ``"median"`` (default) for the median heuristic — the SQUARED
+        scale h = med²/log N recomputed every step (Liu & Wang 2016
+        §5; i.e. ℓ_median = √h) — scale-free and the standard choice.
     step_size : AdaGrad step size (the reference implementation's
         optimizer; monotone per-coordinate scaling keeps the repulsion
         from being drowned early).
@@ -80,21 +81,13 @@ class SVGD:
         self._key = jax.random.key(seed)
         self._score = jax.vmap(jax.grad(logp_fn))
         self.particles = None
-        self._sharding = None
-        if mesh is not None:
-            from mcmcpp_tpu.parallel.mesh import walker_sharding
+        from mcmcpp_tpu.parallel.mesh import particle_constrainer
 
-            if self.n % mesh.size != 0:
-                raise ValueError(
-                    f"n_particles={self.n} not divisible by mesh size "
-                    f"{mesh.size}"
-                )
-            self._sharding = walker_sharding(mesh)
+        self._constrainer = particle_constrainer(mesh, self.n)
+        self._fit_cache = {}   # (n_steps, adagrad_eps) -> jitted scan
 
     def _constrain(self, x):
-        if self._sharding is None:
-            return x
-        return jax.lax.with_sharding_constraint(x, self._sharding)
+        return self._constrainer(x)[0]
 
     def init(self, positions=None, scale=1.0, seed=None):
         """Start from ``positions`` (N, P) or a N(0, scale²) ball."""
@@ -149,11 +142,19 @@ class SVGD:
             x = self._constrain(x)
             return (x, acc), jnp.mean(jnp.linalg.norm(phi, axis=-1))
 
-        (x, _), hist = jax.jit(
-            lambda x0: jax.lax.scan(
-                body, (x0, jnp.zeros_like(x0)), length=int(n_steps)
+        # step_size/bandwidth are trace-time constants of the cached
+        # program — key on them so reassignment never reuses stale code
+        # (the inv_mass lesson, gradient/mclmc.py)
+        cache_key = (int(n_steps), eps, self.step_size, self.bandwidth)
+        fn = self._fit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(
+                lambda x0, s=int(n_steps): jax.lax.scan(
+                    body, (x0, jnp.zeros_like(x0)), length=s
+                )
             )
-        )(self.particles)
+            self._fit_cache[cache_key] = fn
+        (x, _), hist = fn(self.particles)
         self.particles = x
         return SVGDResult(x, hist)
 

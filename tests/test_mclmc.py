@@ -389,3 +389,38 @@ def test_legacy_mclmc_checkpoint_loads_into_mams(tmp_path):
     assert m.target_accept == 0.8  # live settings kept
     m.run(3)  # resumes and runs
     assert np.isfinite(np.asarray(m.state.position)).all()
+
+
+def test_legacy_mams_kind_checkpoint_stays_strict(tmp_path):
+    """kind='mams' was ALWAYS written only by MAMS savers, so even a
+    legacy archive (no 'adjusted' marker) must refuse to load into an
+    unadjusted MCLMCSampler (round-4 second-review finding: the lenient
+    migration branch must not drop this direction)."""
+    import json
+
+    from mcmcpp_tpu import MAMSSampler
+    from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    m = MAMSSampler(std_gauss, n_chains=8, n_params=D, seed=0,
+                    step_size=1.0, decoherence_length=5.0)
+    m.init_ball(np.zeros(D), scale=1.0, seed=1)
+    m.run(5)
+    ck = save_checkpoint(m, tmp_path / "legacy_mams.npz")
+    with np.load(ck) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays["__meta__"]).decode())
+    del meta["adjusted"]
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), np.uint8
+    )
+    np.savez_compressed(ck, **arrays)
+
+    u = MCLMCSampler(std_gauss, n_chains=8, n_params=D, seed=0)
+    with pytest.raises(TypeError, match="MAMSSampler"):
+        load_checkpoint(u, ck)
+    # and it still loads into the right class
+    m2 = MAMSSampler(std_gauss, n_chains=8, n_params=D, seed=9,
+                     step_size=1.0, decoherence_length=5.0)
+    load_checkpoint(m2, ck)
+    m2.run(3)
+    assert np.isfinite(np.asarray(m2.state.position)).all()
