@@ -78,6 +78,7 @@ from mcmcpp_tpu.particle import (
     PMMHSampler,
     StateSpaceModel,
     particle_filter,
+    particle_forecast,
     particle_smoother,
 )
 from mcmcpp_tpu.chain_disk import DiskChain
@@ -166,6 +167,7 @@ __all__ = [
     "EnKFModel",
     "ensemble_kalman_filter",
     "particle_filter",
+    "particle_forecast",
     "particle_smoother",
     "PMMHSampler",
     "ParticleGibbsKernel",

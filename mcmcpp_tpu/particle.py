@@ -314,6 +314,43 @@ def particle_smoother(key, ssm: StateSpaceModel, theta, ys, n_particles,
     return SmootherResult(traj, jnp.mean(traj, axis=0), res.loglik)
 
 
+def particle_forecast(key, ssm: StateSpaceModel, theta, particles,
+                      log_weights, t0, horizon, obs_sample=None):
+    """k-step-ahead predictive simulation from a filter's final cloud.
+
+    Complements :func:`mcmcpp_tpu.models.lgss.forecast` (which is exact
+    for the linear-Gaussian case) on non-linear models: resample the
+    weighted cloud once to equal weights, then propagate every particle
+    ``horizon`` steps through ``trans_sample`` — the Monte Carlo
+    predictive p(x_{t0+k} | y_{1:t0}). Feed it the ``particles`` /
+    ``log_weights`` from ``particle_filter(..., return_particles=True)``
+    (last row) and ``t0 = T``.
+
+    obs_sample : optional ``(key, x, t, theta) -> (n, E)`` observation
+        simulator; when given, per-step predictive OBSERVATION draws are
+        returned too (None otherwise) — predictive bands for y.
+
+    Returns ``(x_paths (H, N, D), y_draws (H, N, E) | None)``.
+    """
+    particles = jnp.asarray(particles)
+    n = particles.shape[0]
+    k_rs, k_scan = jax.random.split(key)
+    idx = systematic_resample(k_rs, jnp.asarray(log_weights), n)
+    x = jnp.take(particles, idx, axis=0)
+
+    def step(carry, t):
+        x, key = carry
+        key, k_f, k_o = jax.random.split(key, 3)
+        x = ssm.trans_sample(k_f, x, t, theta)
+        y = (obs_sample(k_o, x, t, theta) if obs_sample is not None
+             else jnp.zeros((0,)))
+        return (x, key), (x, y)
+
+    t_idx = jnp.arange(t0, t0 + int(horizon))
+    (_, _), (xs, ys) = jax.lax.scan(step, (x, k_scan), t_idx)
+    return xs, (ys if obs_sample is not None else None)
+
+
 class PMMHState(NamedTuple):
     position: jax.Array   # (C, P) theta
     loglik: jax.Array     # (C,) carried PF estimate (pseudo-marginal)

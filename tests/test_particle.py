@@ -567,3 +567,36 @@ def test_particle_filter_mesh_sharded_parity():
     with pytest.raises(ValueError, match="divisible"):
         particle_filter(jax.random.key(0), ssm, None, ys, 127,
                         mesh=make_walker_mesh())
+
+
+def test_particle_forecast_matches_exact_predictive():
+    """Local-level model: the particle predictive k steps ahead must
+    match the exact Kalman forecast moments (mean + variance growing by
+    Q per step), and the observation draws add R on top."""
+    from mcmcpp_tpu import particle_forecast
+    from mcmcpp_tpu.models.lgss import forecast as lgss_forecast
+
+    t_n, h = 30, 5
+    _, ys = _data(t_n, seed=19)
+    ssm = _local_level_ssm(SIG_R)
+    res = particle_filter(jax.random.key(0), ssm, None, ys, 4096,
+                          return_particles=True)
+    xs, yd = particle_forecast(
+        jax.random.key(1), ssm, None, res.particles[-1],
+        res.log_weights[-1], t_n, h,
+        obs_sample=lambda k, x, t, th: x + SIG_R * jax.random.normal(
+            k, x.shape
+        ),
+    )
+    f_mean, f_cov, _, y_cov = lgss_forecast(_lgss(), ys, horizon=h)
+    f_mean = np.asarray(f_mean)[:, 0]
+    f_sd = np.sqrt(np.asarray(f_cov)[:, 0, 0])
+    y_sd = np.sqrt(np.asarray(y_cov)[:, 0, 0])
+    xs = np.asarray(xs)[:, :, 0]
+    assert xs.shape == (h, 4096)
+    err = np.abs(xs.mean(axis=1) - f_mean)
+    assert (err < 6.0 * f_sd / np.sqrt(1024.0) + 0.02).all(), err
+    np.testing.assert_allclose(xs.std(axis=1), f_sd, rtol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(yd)[:, :, 0].std(axis=1), y_sd, rtol=0.1
+    )
