@@ -104,6 +104,21 @@ def main():
             "particle_steps_per_s": round(n * T / dt),
         }), flush=True)
 
+    # the vmapped-filters regime (the PMMH/SMC² shape): same total
+    # particle count as the biggest single filter, partitioned into 64
+    # independent device-local filters
+    c, n = 64, 512
+    fnv = jax.jit(lambda k: jax.vmap(
+        lambda kk: particle_filter(kk, ssm, None, ys, n).loglik
+    )(jax.random.split(k, c)))
+    np.asarray(jax.tree.leaves(fnv(keys[0]))[0])  # compile+sync
+    dt = _time(fnv, (keys[1],), (keys[2],), (keys[3],))
+    print(json.dumps({
+        "bench": "bootstrap_pf_vmapped", "C": c, "N": n, "T": T,
+        "s_per_batch": round(dt, 4),
+        "particle_steps_per_s": round(c * n * T / dt),
+    }), flush=True)
+
     model = _switch()
     for logn in (13, 14, 15):
         n = 1 << logn
