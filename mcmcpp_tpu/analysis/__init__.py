@@ -22,6 +22,7 @@ from mcmcpp_tpu.analysis.model_compare import (
     stacking_weights,
     waic,
 )
+from mcmcpp_tpu.analysis.scores import crps_ensemble, energy_score
 from mcmcpp_tpu.analysis.diagnostics import (
     hdi,
     mcse_mean,
@@ -65,6 +66,8 @@ __all__ = [
     "mcse_mean",
     "hdi",
     "ppc_pvalue",
+    "crps_ensemble",
+    "energy_score",
     "summary",
     "autocorr_time",
     "autocorr_time_streaming",
