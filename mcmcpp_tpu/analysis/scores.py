@@ -37,16 +37,24 @@ def crps_ensemble(samples, observations):
         leading axes.
 
     Returns the (...,) per-location CRPS (lower is better), using the
-    unbiased-for-CRPS fair form with the exact sorted pairwise term.
+    FAIR (unbiased-for-CRPS, Ferro 2014) form: the pairwise term is the
+    without-replacement mean Σ_{i≠j}|x_i−x_j| / (n(n−1)) — the plain
+    1/n² estimator is biased low on that term by a factor (1−1/n),
+    which at small ensembles systematically favors underdispersed
+    forecasts. Exact sorted O(n log n) evaluation either way.
     """
     x = jnp.asarray(samples)
     y = jnp.asarray(observations)
     n = x.shape[-1]
+    if n < 2:
+        raise ValueError("crps_ensemble needs at least 2 draws")
     term1 = jnp.mean(jnp.abs(x - y[..., None]), axis=-1)
     xs = jnp.sort(x, axis=-1)
     i = jnp.arange(n, dtype=x.dtype)
-    # E|X−X'| over the empirical measure: (2/n²) Σ_i (2i − n + 1) x_(i)
-    pair = (2.0 / (n * n)) * jnp.sum((2.0 * i - n + 1.0) * xs, axis=-1)
+    # Σ_{i≠j} |x_i − x_j| = 2 Σ_i (2i − n + 1) x_(i)  (0-indexed sort)
+    pair = (2.0 / (n * (n - 1.0))) * jnp.sum(
+        (2.0 * i - n + 1.0) * xs, axis=-1
+    )
     return term1 - 0.5 * pair
 
 
@@ -56,12 +64,18 @@ def energy_score(samples, observation):
     samples : (N, D) joint predictive draws.
     observation : (D,) realized outcome.
 
-    Returns a scalar (lower is better). Reduces to CRPS at D=1.
+    Returns a scalar (lower is better). Fair form (the pairwise term
+    averages over the n(n−1) distinct pairs — the diagonal is zero, so
+    only the denominator changes); reduces exactly to the fair CRPS at
+    D=1.
     """
     x = jnp.asarray(samples)
     y = jnp.asarray(observation)
+    n = x.shape[0]
+    if n < 2:
+        raise ValueError("energy_score needs at least 2 draws")
     term1 = jnp.mean(jnp.linalg.norm(x - y[None, :], axis=-1))
     sq = jnp.sum(x * x, axis=1)
     d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
-    term2 = jnp.mean(jnp.sqrt(d2))
+    term2 = jnp.sum(jnp.sqrt(d2)) / (n * (n - 1.0))
     return term1 - 0.5 * term2

@@ -111,18 +111,13 @@ def nested_to_inference_dict(sampler_or_result, model=None, n_draws=2000,
     return {"posterior": posterior, "sample_stats": stats}
 
 
-def ibis_to_inference_dict(sampler, model=None, n_draws=2000, seed=0):
-    """``arviz.from_dict`` kwargs from an IBIS run's current state.
-
-    IBIS holds WEIGHTED particles; the posterior group is an equal-weight
-    categorical resample (one "chain" of ``n_draws``) and ``sample_stats``
-    carries the running evidence plus the prequential per-stage increments
-    (padded row). model: optional DSL Model/constrain for named params.
-    """
-    from mcmcpp_tpu.ibis import IBISSampler
-
-    if not isinstance(sampler, IBISSampler):
-        raise TypeError("expected an IBISSampler")
+def _weighted_cloud_export(sampler, model, n_draws, seed, counter_name):
+    """Shared IBIS/SMC² export: equal-weight resampled posterior (one
+    "chain" of ``n_draws``) + evidence/prequential/resample-counter
+    sample_stats rows. The prequential trace rides in the draw-length
+    row; when the stream is LONGER than ``n_draws`` the tail cannot fit
+    the arviz (chain, draw) shape — it is truncated WITH a warning (read
+    ``sampler.log_evidence_trace`` for the full trace)."""
     draws = sampler.posterior(n_draws=n_draws, seed=seed)  # (n, P)
     n = draws.shape[0]
     if model is not None:
@@ -132,14 +127,40 @@ def ibis_to_inference_dict(sampler, model=None, n_draws=2000, seed=0):
     else:
         posterior = {"theta": draws[None, :, :]}
     trace = np.asarray(sampler.log_evidence_trace, np.float64)
+    if trace.size > n:
+        import warnings
+
+        warnings.warn(
+            f"prequential trace ({trace.size} stages) is longer than "
+            f"n_draws={n}; the sample_stats row keeps only the first "
+            f"{n} increments — use sampler.log_evidence_trace for the "
+            "full trace", UserWarning,
+        )
     padded = np.full(n, np.nan)
     padded[: min(trace.size, n)] = trace[:n]
     stats = {
         "log_evidence": np.full((1, n), sampler.log_evidence),
         "prequential_logp": padded[None, :],
-        "n_resamples": np.full((1, n), float(sampler.n_resamples)),
+        counter_name: np.full((1, n), float(sampler.n_resamples)),
     }
     return {"posterior": posterior, "sample_stats": stats}
+
+
+def ibis_to_inference_dict(sampler, model=None, n_draws=2000, seed=0):
+    """``arviz.from_dict`` kwargs from an IBIS run's current state.
+
+    IBIS holds WEIGHTED particles; the posterior group is an equal-weight
+    categorical resample (one "chain" of ``n_draws``) and ``sample_stats``
+    carries the running evidence plus the prequential per-stage increments
+    (padded row; truncated-with-warning if the stream outgrows it).
+    model: optional DSL Model/constrain for named params.
+    """
+    from mcmcpp_tpu.ibis import IBISSampler
+
+    if not isinstance(sampler, IBISSampler):
+        raise TypeError("expected an IBISSampler")
+    return _weighted_cloud_export(sampler, model, n_draws, seed,
+                                  "n_resamples")
 
 
 def smc2_to_inference_dict(sampler, model=None, n_draws=2000, seed=0):
@@ -155,26 +176,14 @@ def smc2_to_inference_dict(sampler, model=None, n_draws=2000, seed=0):
 
     if not isinstance(sampler, SMC2Sampler):
         raise TypeError("expected an SMC2Sampler")
-    draws = sampler.posterior(n_draws=n_draws, seed=seed)  # (n, P)
-    n = draws.shape[0]
-    if model is not None:
-        constrain = model if not hasattr(model, "build") else model.build()[2]
-        named = constrain(draws)
-        posterior = {k: np.asarray(v)[None, ...] for k, v in named.items()}
-    else:
-        posterior = {"theta": draws[None, :, :]}
-    trace = np.asarray(sampler.log_evidence_trace, np.float64)
-    padded = np.full(n, np.nan)
-    padded[: min(trace.size, n)] = trace[:n]
-    stats = {
-        "log_evidence": np.full((1, n), sampler.log_evidence),
-        "prequential_logp": padded[None, :],
-        "n_rejuvenations": np.full((1, n), float(sampler.n_resamples)),
-    }
+    out = _weighted_cloud_export(sampler, model, n_draws, seed,
+                                 "n_rejuvenations")
     est = sampler.state_estimate()
+    n = next(iter(out["sample_stats"].values())).shape[1]
     for d in range(est.shape[0]):
-        stats[f"filtered_state_{d}"] = np.full((1, n), est[d])
-    return {"posterior": posterior, "sample_stats": stats}
+        out["sample_stats"][f"filtered_state_{d}"] = np.full((1, n),
+                                                             est[d])
+    return out
 
 
 def to_arviz(sampler, model=None, burn_in=0, thin=1,

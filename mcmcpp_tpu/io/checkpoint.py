@@ -859,12 +859,17 @@ def load_checkpoint(sampler, path):
         from mcmcpp_tpu.gradient.mclmc import MCLMCState
 
         if "adjusted" not in meta:
-            # legacy checkpoint (no explicit marker). kind="mams" was
+            # legacy checkpoint (no explicit marker). The MCLMC-family
+            # class check still applies (loading into an unrelated
+            # sampler would silently corrupt its state); kind="mams" was
             # ALWAYS reliable (written only by MAMS savers), so that
-            # direction stays strict; only kind="mclmc" is ambiguous
+            # direction stays strict too. Only kind="mclmc" is ambiguous
             # (the earliest format wrote it for both algorithms) and is
-            # accepted into either class, keeping the live sampler's
-            # MAMS tuning fields.
+            # accepted into either MCLMC-family class, keeping the live
+            # sampler's MAMS tuning fields.
+            if not _is_mclmc(sampler):
+                raise TypeError("checkpoint is for an MCLMC-family "
+                                "sampler")
             if meta["kind"] == "mams" and not _is_mams(sampler):
                 raise TypeError("checkpoint is for a MAMSSampler")
             if meta["kind"] == "mclmc" and _is_mams(sampler):

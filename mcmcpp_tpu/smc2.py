@@ -171,6 +171,24 @@ class SMC2Sampler:
             )
         return int(shape[1])
 
+    def _pf_step(self, k_rs, k_prop, x, lw, y, t, theta, n):
+        """Shared bootstrap transition (adaptive systematic resample →
+        propagate → weight) used by the live advance, the rejuvenation
+        re-filter, and the grow step — one copy so the trigger/weight
+        algebra cannot drift between them.
+        Returns (x', normalized lw', log-increment)."""
+        logn = jnp.log(jnp.asarray(float(n)))
+        ess = ess_from_log_weights(lw)
+        idx = systematic_resample(k_rs, lw, n)
+        do_rs = ess < self.ess_frac_x * n
+        idx = jnp.where(do_rs, idx, jnp.arange(n, dtype=jnp.int32))
+        xr = jnp.take(x, idx, axis=0)
+        lwr = jnp.where(do_rs, jnp.full((n,), -logn, lw.dtype), lw)
+        xn = self.ssm.trans_sample(k_prop, xr, t, theta).astype(x.dtype)
+        ll = self.ssm.obs_logpdf(y, xn, t, theta)
+        incr = jax.scipy.special.logsumexp(lwr + ll)
+        return xn, lwr + ll - incr, incr
+
     def _advance_one(self, key, theta, x, lw, y, t):
         """One filter step for one θ-particle. Handles t == 0 (fresh
         x-system from the initial law) and t ≥ 1 (adaptive-resample +
@@ -187,16 +205,9 @@ class SMC2Sampler:
             return x0, ll - norm, (norm - logn).astype(lw.dtype)
 
         def later(_):
-            ess = ess_from_log_weights(lw)
-            idx = systematic_resample(k_rs, lw, n)
-            do_rs = ess < self.ess_frac_x * n
-            idx = jnp.where(do_rs, idx, jnp.arange(n, dtype=jnp.int32))
-            xr = jnp.take(x, idx, axis=0)
-            lwr = jnp.where(do_rs, jnp.full((n,), -logn, lw.dtype), lw)
-            xn = self.ssm.trans_sample(k_prop, xr, t, theta).astype(x.dtype)
-            ll = self.ssm.obs_logpdf(y, xn, t, theta)
-            incr = jax.scipy.special.logsumexp(lwr + ll)
-            return xn, lwr + ll - incr, incr.astype(lw.dtype)
+            xn, lwn, incr = self._pf_step(k_rs, k_prop, x, lw, y, t,
+                                          theta, n)
+            return xn, lwn, incr.astype(lw.dtype)
 
         return jax.lax.cond(t == jnp.int32(0), first, later, None)
 
@@ -221,17 +232,10 @@ class SMC2Sampler:
             y, i = inp
             key, k_rs, k_prop = jax.random.split(key, 3)
             valid = i < n_incl
-            ess = ess_from_log_weights(lw)
-            idx = systematic_resample(k_rs, lw, n)
-            do_rs = ess < self.ess_frac_x * n
-            idx = jnp.where(do_rs, idx, jnp.arange(n, dtype=jnp.int32))
-            xr = jnp.take(x, idx, axis=0)
-            lwr = jnp.where(do_rs, jnp.full((n,), -logn, lw.dtype), lw)
-            xn = self.ssm.trans_sample(k_prop, xr, i, theta).astype(x.dtype)
-            ll = self.ssm.obs_logpdf(y, xn, i, theta)
-            incr = jax.scipy.special.logsumexp(lwr + ll)
+            xn, lwn, incr = self._pf_step(k_rs, k_prop, x, lw, y, i,
+                                          theta, n)
             x = jnp.where(valid, xn, x)
-            lw = jnp.where(valid, lwr + ll - incr, lw)
+            lw = jnp.where(valid, lwn, lw)
             return (x, lw, key), jnp.where(valid, incr, 0.0)
 
         cap = ys.shape[0]

@@ -84,3 +84,19 @@ def test_energy_score_multivariate_detects_broken_correlation():
     es_true = mean_es(True, 11)
     es_indep = mean_es(False, 12)
     assert es_true < es_indep, (es_true, es_indep)
+
+
+def test_crps_fair_at_small_ensembles():
+    """Ferro (2014) fairness: averaged over many SMALL (n=4) ensembles
+    drawn from the true predictive, the fair CRPS must equal the
+    closed-form CRPS of that predictive — the plain 1/n^2 estimator
+    would sit ~0.14 too high here (E|X-X'|/2n)."""
+    rng = np.random.default_rng(3)
+    y = np.float32(0.4)
+    draws = rng.standard_normal((20000, 4)).astype(np.float32)
+    got = float(np.mean(np.asarray(crps_ensemble(draws, np.full(
+        20000, y, np.float32)))))
+    want = float(_gauss_crps(0.0, 1.0, float(y)))
+    assert abs(got - want) < 0.02, (got, want)
+    with pytest.raises(ValueError, match="at least 2"):
+        crps_ensemble(np.ones((3, 1), np.float32), np.zeros(3, np.float32))
