@@ -90,7 +90,8 @@ class SMC2Sampler:
                  n_theta, n_params, n_particles=128, n_mcmc=3,
                  target_ess=0.5, ess_frac_x=0.5, rw_scale=1.0, seed=0,
                  dtype=jnp.float32, mesh=None, grow_particles=False,
-                 grow_threshold=0.15, max_particles=None):
+                 grow_threshold=0.15, max_particles=None,
+                 max_chunk_steps=32):
         """``grow_particles=True`` enables the Chopin et al. (2013, §3.5)
         exchange step: when a rejuvenation sweep's mean PMMH acceptance
         falls below ``grow_threshold`` (evidence the likelihood-estimate
@@ -99,7 +100,13 @@ class SMC2Sampler:
         the θ-weights are importance-corrected by the new/old estimate
         ratio — exactly valid, and it keeps acceptance healthy as t
         grows instead of letting the sampler silently degenerate.
-        ``max_particles`` caps the doubling (default 16× the start)."""
+        ``max_particles`` caps the doubling (default 16× the start).
+
+        ``max_chunk_steps``: observations fused per launch when
+        ``grow_particles`` is off (bitwise-identical to per-row; one
+        dispatch+sync per chunk). Lower it if a chunk's worst case
+        (every stage rejuvenating) risks the tunneled-worker launch
+        ceiling (CLAUDE.md); ``None``/1 disables fusing."""
         self.ssm = ssm
         self.log_prior_fn = log_prior_fn
         self.prior_sample_fn = prior_sample_fn
@@ -138,7 +145,10 @@ class SMC2Sampler:
                               else int(max_particles))
         self.n_growths = 0
         self.last_rejuvenation_accept = float("nan")
-        self._grow_cache = {}          # capacity -> jitted exchange step
+        self._grow_cache = {}          # new_nx -> jitted exchange step
+        self._chunk_size = (1 if max_chunk_steps is None
+                            else max(1, int(max_chunk_steps)))
+        self._chunk_cache = {}         # capacity -> jitted chunk program
 
     # -- internals -----------------------------------------------------------
 
@@ -403,11 +413,42 @@ class SMC2Sampler:
         from mcmcpp_tpu.utils.buffers import pad_to_capacity
 
         padded, capacity = pad_to_capacity(self._ys, n_rows)
+        t = start0
+        # chunked path: CHUNK observations per launch (a lax.scan whose
+        # body is the per-row stage with the IDENTICAL key-split chain,
+        # so chunked == per-row bit for bit) — one dispatch + one host
+        # sync per CHUNK instead of per row. Disabled under
+        # grow_particles (the grow decision reads each row's
+        # rejuvenation acceptance on the host).
+        if not self.grow_particles and self._chunk_size > 1:
+            chunk = self._chunk_size
+            while n_rows - t >= chunk:
+                fn = self._chunk_cache.get(capacity)
+                if fn is None:
+                    fn = jax.jit(
+                        lambda key, st, ys, t0, c=chunk:
+                        self._chunk_impl(key, st, ys, t0, c)
+                    )
+                    self._chunk_cache[capacity] = fn
+                self._key, self.state, logzs, moveds, accs = fn(
+                    self._key, self.state, padded,
+                    jnp.asarray(t, jnp.int32),
+                )
+                self.log_evidence_trace.extend(
+                    float(v) for v in np.asarray(logzs)
+                )
+                moveds = np.asarray(moveds)
+                self.n_resamples += int(moveds.sum())
+                if moveds.any():
+                    self.last_rejuvenation_accept = float(
+                        np.asarray(accs)[moveds.astype(bool)][-1]
+                    )
+                t += chunk
         stage = self._stage_cache.get(capacity)
         if stage is None:
             stage = jax.jit(self._stage_impl)
             self._stage_cache[capacity] = stage
-        for t in range(start0, n_rows):
+        while t < n_rows:
             self._key, k = jax.random.split(self._key)
             self.state, stage_logz, moved, acc_rate = stage(
                 k, self.state, padded, jnp.asarray(t, jnp.int32)
@@ -421,7 +462,25 @@ class SMC2Sampler:
                         < self.grow_threshold
                         and 2 * self.n_x <= self.max_particles):
                     self._grow(padded)
+            t += 1
         return self
+
+    def _chunk_impl(self, key, state, ys, t_start, chunk):
+        """``chunk`` consecutive stages in one program. The scan body
+        re-plays the host loop's ``key, k = split(key)`` chain exactly,
+        so results are bitwise identical to per-row stage calls."""
+        def body(carry, r):
+            key, state = carry
+            key, k = jax.random.split(key)
+            state, logz, moved, acc = self._stage_impl(
+                k, state, ys, t_start + r
+            )
+            return (key, state), (logz, moved, acc)
+
+        (key, state), (logzs, moveds, accs) = jax.lax.scan(
+            body, (key, state), jnp.arange(chunk, dtype=jnp.int32)
+        )
+        return key, state, logzs, moveds, accs
 
     def _grow(self, padded):
         new_nx = 2 * self.n_x

@@ -344,3 +344,23 @@ def test_pf_loglik_gradient_matches_kalman_score():
     assert abs(g.mean() - score_true) < max(6.0 * se, 0.15 * abs(
         score_true
     ) + 0.3), (g.mean(), score_true, se)
+
+
+def test_chunked_launch_equals_per_row_bitwise():
+    """The fused chunk program replays the host loop's key-split chain
+    exactly, so chunked and per-row execution must agree BITWISE (the
+    determinism contract that lets max_chunk_steps be a pure perf
+    knob)."""
+    _, ys = _data(70, seed=17)
+    a = _sampler(None, seed=8, m=64, nx=16, max_chunk_steps=32)
+    b = _sampler(None, seed=8, m=64, nx=16, max_chunk_steps=None)
+    a.update(ys)
+    b.update(ys)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.theta), np.asarray(b.state.theta)
+    )
+    assert a.n_resamples == b.n_resamples
+    assert a.log_evidence_trace == pytest.approx(b.log_evidence_trace,
+                                                 abs=1e-6)
+    # 70 rows at chunk=32: 2 fused launches + 6 per-row stages
+    assert len(a.log_evidence_trace) == 70
