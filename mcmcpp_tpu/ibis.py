@@ -71,7 +71,11 @@ class IBISSampler:
     def __init__(self, log_prior_fn, loglike_point_fn, prior_sample_fn,
                  n_particles, n_params, batch_size=1, n_mcmc=5,
                  target_ess=0.5, rw_scale=1.0, seed=0,
-                 dtype=jnp.float32, mesh=None):
+                 dtype=jnp.float32, mesh=None, max_chunk_steps=32):
+        """``max_chunk_steps``: full-size stages fused per launch (one
+        dispatch + one host sync per chunk instead of per stage, with a
+        bitwise-identical key chain — a pure perf knob; the SMC²
+        pattern). ``None``/1 disables fusing."""
         self.log_prior_fn = log_prior_fn
         self.loglike_point_fn = loglike_point_fn
         self.prior_sample_fn = prior_sample_fn
@@ -99,7 +103,10 @@ class IBISSampler:
         self._data = None  # absorbed-stream buffer (pytree, leading N)
         self.n_resamples = 0
         self.log_evidence_trace = []  # per-stage log p(y_batch | y_past)
-        self._stage_cache = {}  # buffer length -> jitted stage
+        self._stage_cache = {}  # capacity -> jitted stage
+        self._chunk_size = (1 if max_chunk_steps is None
+                            else max(1, int(max_chunk_steps)))
+        self._chunk_cache = {}  # capacity -> jitted fused-chunk program
 
     # -- internals -----------------------------------------------------------
 
@@ -261,12 +268,36 @@ class IBISSampler:
         from mcmcpp_tpu.utils.buffers import pad_to_capacity
 
         padded, capacity = pad_to_capacity(self._data, n_rows)
+        start = start0
+        bs = self.batch_size
+        # fused path: chunk_size FULL stages per launch, replaying the
+        # host loop's key-split chain bitwise (the SMC² chunking
+        # pattern); the partial tail batch runs per-stage below
+        if self._chunk_size > 1:
+            chunk = self._chunk_size
+            while n_rows - start >= chunk * bs:
+                fn = self._chunk_cache.get(capacity)
+                if fn is None:
+                    fn = jax.jit(
+                        lambda key, st, data, s0, c=chunk:
+                        self._chunk_impl(key, st, data, s0, c)
+                    )
+                    self._chunk_cache[capacity] = fn
+                self._key, self.state, logzs, resampleds = fn(
+                    self._key, self.state, padded,
+                    jnp.asarray(start, jnp.int32),
+                )
+                self.log_evidence_trace.extend(
+                    float(v) for v in np.asarray(logzs)
+                )
+                self.n_resamples += int(np.asarray(resampleds).sum())
+                start += chunk * bs
         stage = self._stage_cache.get(capacity)
         if stage is None:
             stage = jax.jit(self._stage_impl)
             self._stage_cache[capacity] = stage
-        for start in range(start0, n_rows, self.batch_size):
-            take = min(self.batch_size, n_rows - start)
+        while start < n_rows:
+            take = min(bs, n_rows - start)
             self._key, k = jax.random.split(self._key)
             self.state, stage_logz, resampled, _ = stage(
                 k, self.state, padded,
@@ -274,7 +305,27 @@ class IBISSampler:
             )
             self.log_evidence_trace.append(float(stage_logz))
             self.n_resamples += int(resampled)
+            start += take
         return self
+
+    def _chunk_impl(self, key, state, data, start0, chunk):
+        """``chunk`` consecutive FULL batches in one program; the scan
+        body replays the host loop's ``key, k = split(key)`` chain, so
+        results are bitwise identical to per-stage calls."""
+        bs = jnp.int32(self.batch_size)
+
+        def body(carry, r):
+            key, state = carry
+            key, k = jax.random.split(key)
+            state, logz, resampled, _ = self._stage_impl(
+                k, state, data, start0 + r * bs, bs
+            )
+            return (key, state), (logz, resampled)
+
+        (key, state), (logzs, resampleds) = jax.lax.scan(
+            body, (key, state), jnp.arange(chunk, dtype=jnp.int32)
+        )
+        return key, state, logzs, resampleds
 
     # -- readout -------------------------------------------------------------
 

@@ -252,3 +252,23 @@ def test_stream_compiles_o_log_t_programs():
     # lengths 6,12,...,60 -> capacities {8,16,32,64}: at most 4 programs
     assert len(s._stage_cache) <= 4, sorted(s._stage_cache)
     assert s.log_evidence == pytest.approx(_log_marginal(ys), abs=0.2)
+
+
+def test_chunked_launch_equals_per_stage_bitwise():
+    """The fused chunk program replays the host key chain exactly, so
+    chunked and per-stage execution must agree bitwise (pure perf
+    knob — the SMC2 chunking contract)."""
+    ys = _data(seed=21, n=70)
+    a = _sampler(seed=4, n_particles=128, batch_size=1)
+    b = _sampler(seed=4, n_particles=128, batch_size=1)
+    b_kw = b  # same ctor; disable fusing on b
+    b_kw._chunk_size = 1
+    a.update(ys)
+    b.update(ys)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.particles), np.asarray(b.state.particles)
+    )
+    assert a.n_resamples == b.n_resamples
+    assert a.log_evidence_trace == pytest.approx(b.log_evidence_trace,
+                                                 abs=1e-6)
+    assert len(a.log_evidence_trace) == 70
