@@ -74,8 +74,11 @@ class IBISSampler:
                  dtype=jnp.float32, mesh=None, max_chunk_steps=32):
         """``max_chunk_steps``: full-size stages fused per launch (one
         dispatch + one host sync per chunk instead of per stage, with a
-        bitwise-identical key chain — a pure perf knob; the SMC²
-        pattern). ``None``/1 disables fusing."""
+        bitwise-identical key chain — results never change; the SMC²
+        pattern). Lower it if a chunk's worst case (every stage
+        resampling+moving, each move re-scoring the WHOLE absorbed
+        prefix — the move cost grows O(t)) risks the tunneled-worker
+        launch ceiling (CLAUDE.md). ``None``/1 disables fusing."""
         self.log_prior_fn = log_prior_fn
         self.loglike_point_fn = loglike_point_fn
         self.prior_sample_fn = prior_sample_fn
@@ -275,14 +278,14 @@ class IBISSampler:
         # pattern); the partial tail batch runs per-stage below
         if self._chunk_size > 1:
             chunk = self._chunk_size
+            fn = self._chunk_cache.get(capacity)
+            if fn is None:
+                fn = jax.jit(
+                    lambda key, st, data, s0, c=chunk:
+                    self._chunk_impl(key, st, data, s0, c)
+                )
+                self._chunk_cache[capacity] = fn
             while n_rows - start >= chunk * bs:
-                fn = self._chunk_cache.get(capacity)
-                if fn is None:
-                    fn = jax.jit(
-                        lambda key, st, data, s0, c=chunk:
-                        self._chunk_impl(key, st, data, s0, c)
-                    )
-                    self._chunk_cache[capacity] = fn
                 self._key, self.state, logzs, resampleds = fn(
                     self._key, self.state, padded,
                     jnp.asarray(start, jnp.int32),
@@ -309,21 +312,21 @@ class IBISSampler:
         return self
 
     def _chunk_impl(self, key, state, data, start0, chunk):
-        """``chunk`` consecutive FULL batches in one program; the scan
-        body replays the host loop's ``key, k = split(key)`` chain, so
-        results are bitwise identical to per-stage calls."""
+        """``chunk`` consecutive FULL batches in one program (bitwise
+        identical to per-stage calls — see
+        :func:`mcmcpp_tpu.utils.buffers.chunked_stage_scan`)."""
+        from mcmcpp_tpu.utils.buffers import chunked_stage_scan
+
         bs = jnp.int32(self.batch_size)
 
-        def body(carry, r):
-            key, state = carry
-            key, k = jax.random.split(key)
-            state, logz, resampled, _ = self._stage_impl(
-                k, state, data, start0 + r * bs, bs
+        def stage(k, st, r):
+            st, logz, resampled, _ = self._stage_impl(
+                k, st, data, start0 + r * bs, bs
             )
-            return (key, state), (logz, resampled)
+            return st, (logz, resampled)
 
-        (key, state), (logzs, resampleds) = jax.lax.scan(
-            body, (key, state), jnp.arange(chunk, dtype=jnp.int32)
+        key, state, (logzs, resampleds) = chunked_stage_scan(
+            stage, key, state, chunk
         )
         return key, state, logzs, resampleds
 

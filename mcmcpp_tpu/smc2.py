@@ -422,14 +422,14 @@ class SMC2Sampler:
         # rejuvenation acceptance on the host).
         if not self.grow_particles and self._chunk_size > 1:
             chunk = self._chunk_size
+            fn = self._chunk_cache.get(capacity)
+            if fn is None:
+                fn = jax.jit(
+                    lambda key, st, ys, t0, c=chunk:
+                    self._chunk_impl(key, st, ys, t0, c)
+                )
+                self._chunk_cache[capacity] = fn
             while n_rows - t >= chunk:
-                fn = self._chunk_cache.get(capacity)
-                if fn is None:
-                    fn = jax.jit(
-                        lambda key, st, ys, t0, c=chunk:
-                        self._chunk_impl(key, st, ys, t0, c)
-                    )
-                    self._chunk_cache[capacity] = fn
                 self._key, self.state, logzs, moveds, accs = fn(
                     self._key, self.state, padded,
                     jnp.asarray(t, jnp.int32),
@@ -466,19 +466,18 @@ class SMC2Sampler:
         return self
 
     def _chunk_impl(self, key, state, ys, t_start, chunk):
-        """``chunk`` consecutive stages in one program. The scan body
-        re-plays the host loop's ``key, k = split(key)`` chain exactly,
-        so results are bitwise identical to per-row stage calls."""
-        def body(carry, r):
-            key, state = carry
-            key, k = jax.random.split(key)
-            state, logz, moved, acc = self._stage_impl(
-                k, state, ys, t_start + r
-            )
-            return (key, state), (logz, moved, acc)
+        """``chunk`` consecutive stages in one program (bitwise
+        identical to per-row stage calls — see
+        :func:`mcmcpp_tpu.utils.buffers.chunked_stage_scan`)."""
+        from mcmcpp_tpu.utils.buffers import chunked_stage_scan
 
-        (key, state), (logzs, moveds, accs) = jax.lax.scan(
-            body, (key, state), jnp.arange(chunk, dtype=jnp.int32)
+        def stage(k, st, r):
+            st, logz, moved, acc = self._stage_impl(k, st, ys,
+                                                    t_start + r)
+            return st, (logz, moved, acc)
+
+        key, state, (logzs, moveds, accs) = chunked_stage_scan(
+            stage, key, state, chunk
         )
         return key, state, logzs, moveds, accs
 

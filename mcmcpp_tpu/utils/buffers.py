@@ -31,3 +31,27 @@ def pad_to_capacity(tree, n_rows, min_capacity=8):
         tree,
     )
     return padded, capacity
+
+
+def chunked_stage_scan(stage_fn, key, state, n_stages):
+    """Fuse ``n_stages`` sequential stage applications into ONE
+    ``lax.scan`` while replaying the host driver's per-stage
+    ``key, k = split(key)`` chain EXACTLY — so fused and per-stage
+    execution are bitwise identical and chunking is a pure perf knob
+    (one dispatch + one host sync per chunk). This is the single copy
+    of the determinism-critical replay logic shared by the online
+    engines (IBIS, SMC²).
+
+    stage_fn(k, state, r) -> (state, aux_pytree), r = 0..n_stages−1.
+    Returns (advanced key, final state, stacked aux).
+    """
+    def body(carry, r):
+        key, state = carry
+        key, k = jax.random.split(key)
+        state, aux = stage_fn(k, state, r)
+        return (key, state), aux
+
+    (key, state), aux = jax.lax.scan(
+        body, (key, state), jnp.arange(n_stages, dtype=jnp.int32)
+    )
+    return key, state, aux

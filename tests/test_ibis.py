@@ -260,9 +260,8 @@ def test_chunked_launch_equals_per_stage_bitwise():
     knob — the SMC2 chunking contract)."""
     ys = _data(seed=21, n=70)
     a = _sampler(seed=4, n_particles=128, batch_size=1)
-    b = _sampler(seed=4, n_particles=128, batch_size=1)
-    b_kw = b  # same ctor; disable fusing on b
-    b_kw._chunk_size = 1
+    b = _sampler(seed=4, n_particles=128, batch_size=1,
+                 max_chunk_steps=None)
     a.update(ys)
     b.update(ys)
     np.testing.assert_array_equal(
