@@ -45,7 +45,8 @@ from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.ibis import IBISSampler
 from mcmcpp_tpu.smc2 import SMC2Sampler
 from mcmcpp_tpu.rbpf import (
-    RaoBlackwellSSM, rao_blackwell_filter, switching_model,
+    RaoBlackwellSSM, rao_blackwell_filter, rbpf_forecast,
+    switching_model,
 )
 from mcmcpp_tpu.enkf import EnKFModel, ensemble_kalman_filter
 from mcmcpp_tpu.nested import NestedSampler
@@ -163,6 +164,7 @@ __all__ = [
     "StateSpaceModel",
     "RaoBlackwellSSM",
     "rao_blackwell_filter",
+    "rbpf_forecast",
     "switching_model",
     "EnKFModel",
     "ensemble_kalman_filter",

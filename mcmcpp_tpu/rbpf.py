@@ -75,6 +75,10 @@ class RBPFResult(NamedTuple):
     x_means: jnp.ndarray   # (T, D) weighted filtered E[x_t | y_{1:t}]
     z_stats: jnp.ndarray   # (T, S) weighted z_stat_fn averages
     ess: jnp.ndarray       # (T,)
+    final_z: Optional[object] = None        # (N, ...) final z-particles
+    final_means: Optional[jnp.ndarray] = None   # (N, D) Kalman means
+    final_covs: Optional[jnp.ndarray] = None    # (N, D, D) Kalman covs
+    final_log_weights: Optional[jnp.ndarray] = None  # (N,) normalized
 
 
 def _kalman_observe(m, P, H, c, R, y):
@@ -190,7 +194,7 @@ def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
         )
 
     t_idx = jnp.arange(1, ys.shape[0])
-    _, (incrs, means, zs, esss) = jax.lax.scan(
+    (z_f, m_f, p_f, lw_f, _), (incrs, means, zs, esss) = jax.lax.scan(
         step, (z0, m, p, lw, k_scan), (ys[1:], t_idx)
     )
     return RBPFResult(
@@ -198,7 +202,57 @@ def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
         jnp.concatenate([out0[0][None], means], axis=0),
         jnp.concatenate([out0[1][None], zs], axis=0),
         jnp.concatenate([out0[2][None], esss], axis=0),
+        z_f, m_f, p_f, lw_f,
     )
+
+
+def rbpf_forecast(key, model: RaoBlackwellSSM, z, means, covs,
+                  log_weights, t0, horizon):
+    """k-step-ahead predictive moments from an RBPF cloud: resample
+    (z, m, P) once to equal weights, then per step sample
+    z' ~ p(z'|z) and propagate each particle's EXACT Kalman moments
+    through its regime's (A, b, Q) — the linear substate stays
+    marginalized, so the only Monte Carlo error is over regime paths.
+    Feed it the ``final_*`` fields of :class:`RBPFResult` and
+    ``t0 = T``.
+
+    Returns ``(state_means (H, D), state_covs (H, D, D),
+    z_stats (H, S))`` where the covariance is the full mixture
+    covariance (within-particle Kalman cov + between-particle spread
+    of means). The single-regime case reproduces
+    :func:`mcmcpp_tpu.models.lgss.forecast` exactly
+    (tests/test_rbpf.py).
+    """
+    from mcmcpp_tpu.smc import systematic_resample
+
+    means = jnp.asarray(means)
+    n = means.shape[0]
+    zstat = model.z_stat_fn or (lambda zz: jnp.concatenate(
+        [jnp.asarray(leaf, jnp.float32).reshape(n, -1)
+         for leaf in jax.tree.leaves(zz)], axis=1,
+    ))
+    k_rs, k_scan = jax.random.split(key)
+    idx = systematic_resample(k_rs, jnp.asarray(log_weights), n)
+    z = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), z)
+    m = jnp.take(means, idx, axis=0)
+    p = jnp.take(jnp.asarray(covs), idx, axis=0)
+
+    def step(carry, t):
+        z, m, p, key = carry
+        key, k_z = jax.random.split(key)
+        z = model.z_trans_sample(k_z, z, t)
+        a_t, b_t, q_t, _, _, _ = model.cond_params(z, t)
+        m = jnp.einsum("nij,nj->ni", a_t, m) + b_t
+        p = jnp.einsum("nij,njk,nlk->nil", a_t, p, a_t) + q_t
+        mbar = jnp.mean(m, axis=0)
+        dev = m - mbar
+        cov = (jnp.mean(p, axis=0)
+               + dev.T @ dev / jnp.asarray(float(n), m.dtype))
+        return (z, m, p, key), (mbar, cov, jnp.mean(zstat(z), axis=0))
+
+    t_idx = jnp.arange(t0, t0 + int(horizon))
+    _, (ms, cs, zs) = jax.lax.scan(step, (z, m, p, k_scan), t_idx)
+    return ms, cs, zs
 
 
 def switching_model(trans_probs, A, b, Q, H, c, R, m0, P0,

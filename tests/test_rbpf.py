@@ -254,3 +254,51 @@ def test_rbpf_mesh_sharded_parity():
     with pytest.raises(ValueError, match="divisible"):
         rao_blackwell_filter(jax.random.key(0), _switch_model(), ys, 63,
                              mesh=make_walker_mesh())
+
+
+def test_rbpf_forecast_single_regime_matches_kalman_forecast():
+    """K=1: every particle carries identical moments, regime sampling is
+    a no-op — the RBPF forecast must reproduce the exact Kalman
+    forecast moments with NO Monte Carlo noise."""
+    from mcmcpp_tpu import rbpf_forecast
+    from mcmcpp_tpu.models.lgss import forecast as lgss_forecast
+
+    rng = np.random.default_rng(3)
+    ys = np.cumsum(rng.standard_normal(30)).astype(np.float32)
+    model = switching_model(
+        np.ones((1, 1), np.float32), A_K[:1], B_K[:1], Q_K[:1],
+        H_K[:1], C_K[:1], R_K[:1], M0, P0,
+    )
+    res = rao_blackwell_filter(jax.random.key(0), model, ys, 32)
+    ms, cs, zs = rbpf_forecast(
+        jax.random.key(1), model, res.final_z, res.final_means,
+        res.final_covs, res.final_log_weights, 30, 4,
+    )
+    f_m, f_c, _, _ = lgss_forecast(lgss_params(
+        A=1.0, b=0.0, Q=0.1, H=1.0, c=0.0, R=0.25, m0=0.0, P0=2.0,
+    ), ys, horizon=4)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(f_m),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(f_c),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(zs), 1.0, atol=1e-6)
+
+
+def test_rbpf_forecast_switching_uncertainty_grows():
+    """2-regime forecast: predictive variance must grow with horizon
+    (regimes mix toward stationarity and Q accumulates), and regime
+    probabilities must drift toward the chain's stationary law."""
+    from mcmcpp_tpu import rbpf_forecast
+
+    _, ys = _switch_data(40, seed=7)
+    res = rao_blackwell_filter(jax.random.key(0), _switch_model(), ys,
+                               1024)
+    ms, cs, zs = rbpf_forecast(
+        jax.random.key(1), _switch_model(), res.final_z,
+        res.final_means, res.final_covs, res.final_log_weights, 40, 12,
+    )
+    v = np.asarray(cs)[:, 0, 0]
+    assert v[-1] > v[0]
+    # stationary law of TRANS = [[.9,.1],[.2,.8]] is (2/3, 1/3)
+    np.testing.assert_allclose(np.asarray(zs)[-1], [2 / 3, 1 / 3],
+                               atol=0.08)
