@@ -252,7 +252,7 @@ class SmootherResult(NamedTuple):
 
 
 def particle_smoother(key, ssm: StateSpaceModel, theta, ys, n_particles,
-                      n_draws, ess_frac=0.5, auxiliary=False):
+                      n_draws, ess_frac=0.5, auxiliary=False, mesh=None):
     """Forward-filter backward-simulation smoother (Godsill, Doucet &
     West 2004): ``n_draws`` joint draws from p(x_{1:T} | y_{1:T}, θ).
 
@@ -270,6 +270,11 @@ def particle_smoother(key, ssm: StateSpaceModel, theta, ys, n_particles,
     degeneracy-free unlike genealogy tracing because every backward
     step resamples against the FULL stored cloud.
 
+    ``mesh=`` shards the particle axis of the forward filter AND the
+    backward (J, N) reweighting blocks over the mesh (the J draw axis
+    stays replicated; the categorical ancestor pick is a cross-device
+    argmax-style reduction GSPMD lowers for free).
+
     Returns :class:`SmootherResult`; pooled moments of ``trajectories``
     estimate the marginal smoothing distributions (RTS-oracle-tested on
     the linear-Gaussian model, tests/test_particle.py).
@@ -283,7 +288,7 @@ def particle_smoother(key, ssm: StateSpaceModel, theta, ys, n_particles,
     k_fwd, k_last, k_back = jax.random.split(key, 3)
     res = particle_filter(
         k_fwd, ssm, theta, ys, n_particles, ess_frac=ess_frac,
-        auxiliary=auxiliary, return_particles=True,
+        auxiliary=auxiliary, return_particles=True, mesh=mesh,
     )
     xs, lws = res.particles, res.log_weights          # (T, N, D), (T, N)
     t_n = xs.shape[0]
@@ -315,7 +320,8 @@ def particle_smoother(key, ssm: StateSpaceModel, theta, ys, n_particles,
 
 
 def particle_forecast(key, ssm: StateSpaceModel, theta, particles,
-                      log_weights, t0, horizon, obs_sample=None):
+                      log_weights, t0, horizon, obs_sample=None,
+                      mesh=None):
     """k-step-ahead predictive simulation from a filter's final cloud.
 
     Complements :func:`mcmcpp_tpu.models.lgss.forecast` (which is exact
@@ -330,13 +336,19 @@ def particle_forecast(key, ssm: StateSpaceModel, theta, particles,
         simulator; when given, per-step predictive OBSERVATION draws are
         returned too (None otherwise) — predictive bands for y.
 
+    ``mesh=`` shards the cloud's particle axis over the mesh (the
+    propagation is embarrassingly parallel after the one resample).
+
     Returns ``(x_paths (H, N, D), y_draws (H, N, E) | None)``.
     """
+    from mcmcpp_tpu.parallel.mesh import particle_constrainer
+
     particles = jnp.asarray(particles)
     n = particles.shape[0]
+    constrain = particle_constrainer(mesh, n)
     k_rs, k_scan = jax.random.split(key)
     idx = systematic_resample(k_rs, jnp.asarray(log_weights), n)
-    x = jnp.take(particles, idx, axis=0)
+    (x,) = constrain(jnp.take(particles, idx, axis=0))
 
     def step(carry, t):
         x, key = carry

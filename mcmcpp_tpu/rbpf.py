@@ -207,7 +207,7 @@ def rao_blackwell_filter(key, model: RaoBlackwellSSM, ys, n_particles,
 
 
 def rbpf_forecast(key, model: RaoBlackwellSSM, z, means, covs,
-                  log_weights, t0, horizon):
+                  log_weights, t0, horizon, mesh=None):
     """k-step-ahead predictive moments from an RBPF cloud: resample
     (z, m, P) once to equal weights, then per step sample
     z' ~ p(z'|z) and propagate each particle's EXACT Kalman moments
@@ -222,20 +222,29 @@ def rbpf_forecast(key, model: RaoBlackwellSSM, z, means, covs,
     of means). The single-regime case reproduces
     :func:`mcmcpp_tpu.models.lgss.forecast` exactly
     (tests/test_rbpf.py).
+
+    ``mesh=`` shards the cloud's particle axis (regime paths AND their
+    Kalman moments) over the mesh; the mixture-moment reductions are
+    cross-device means GSPMD lowers to all-reduces.
     """
+    from mcmcpp_tpu.parallel.mesh import particle_constrainer
     from mcmcpp_tpu.smc import systematic_resample
 
     means = jnp.asarray(means)
     n = means.shape[0]
+    constrain = particle_constrainer(mesh, n)
     zstat = model.z_stat_fn or (lambda zz: jnp.concatenate(
         [jnp.asarray(leaf, jnp.float32).reshape(n, -1)
          for leaf in jax.tree.leaves(zz)], axis=1,
     ))
     k_rs, k_scan = jax.random.split(key)
     idx = systematic_resample(k_rs, jnp.asarray(log_weights), n)
-    z = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), z)
-    m = jnp.take(means, idx, axis=0)
-    p = jnp.take(jnp.asarray(covs), idx, axis=0)
+    z = jax.tree.map(
+        lambda a: constrain(jnp.take(a, idx, axis=0))[0], z
+    )
+    m, p = constrain(
+        jnp.take(means, idx, axis=0), jnp.take(jnp.asarray(covs), idx, axis=0)
+    )
 
     def step(carry, t):
         z, m, p, key = carry
