@@ -6,6 +6,7 @@ from mcmcpp_tpu.movers.walk import WalkMove
 from mcmcpp_tpu.movers.de import DifferentialEvolutionMove
 from mcmcpp_tpu.movers.snooker import DESnookerMove
 from mcmcpp_tpu.movers.mh import MetropolisHastingsMove
+from mcmcpp_tpu.movers.dram import DRAMMove
 from mcmcpp_tpu.movers.diagnostic import AutoRegressiveMove, SequenceMove
 from mcmcpp_tpu.movers.mixture import MixtureMover
 from mcmcpp_tpu.movers.slice import EnsembleSliceMove
@@ -17,6 +18,7 @@ __all__ = [
     "DifferentialEvolutionMove",
     "DESnookerMove",
     "MetropolisHastingsMove",
+    "DRAMMove",
     "MixtureMover",
     "EnsembleSliceMove",
     "AutoRegressiveMove",

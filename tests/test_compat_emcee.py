@@ -108,3 +108,13 @@ def test_blobs_roundtrip():
     # perturb the sampling path at all — chains bitwise identical
     np.testing.assert_array_equal(s0.get_chain(), s1.get_chain())
     np.testing.assert_array_equal(s0.get_log_prob(), s1.get_log_prob())
+
+
+def test_dram_move_through_facade():
+    """DRAMMove (movers/dram.py) is a drop-in emcee move."""
+    from mcmcpp_tpu import DRAMMove
+
+    s = EnsembleSampler(64, 2, skewed_gaussian_logp, moves=[DRAMMove()])
+    s.run_mcmc(np.random.default_rng(5).normal(size=(64, 2)), 200)
+    assert s.get_chain().shape == (200, 64, 2)
+    assert np.isfinite(s.get_log_prob()).all()

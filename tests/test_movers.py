@@ -254,3 +254,105 @@ class TestEnsembleSlice:
         # on the direction distribution only -- validity is unaffected)
         np.testing.assert_allclose(x.std(axis=0), 2.0, rtol=0.1)
         np.testing.assert_allclose(x.mean(axis=0), 0.0, atol=0.2)
+
+
+class TestDRAM:
+    """DRAM (movers/dram.py): delayed-rejection adaptive Metropolis —
+    the completion of the reference's MH family
+    (MetropolisHastings.h:138 is the single-stage special case)."""
+
+    def test_moments_ensemble_adaptive(self):
+        from mcmcpp_tpu import DRAMMove
+
+        s = run_mover(DRAMMove(), n_steps=6000)
+        check_moments(s, atol=0.15)
+        assert 0.15 < s.acceptance_fraction < 0.95
+
+    def test_moments_static_covariance(self):
+        from mcmcpp_tpu import DRAMMove
+
+        s = run_mover(
+            DRAMMove(covariance=skewed_gaussian_cov(), scale=1.2,
+                     adapt=None),
+            n_steps=6000,
+        )
+        check_moments(s, atol=0.15)
+
+    def test_reject_then_accept_path(self):
+        """The delayed-rejection stage must actually rescue stage-1
+        rejections: with a deliberately huge stage-1 scale, plain MH
+        acceptance collapses while DRAM's shrunk second stage keeps
+        the chain moving (any DRAM accept is ~surely a stage-2 accept)."""
+        from mcmcpp_tpu import DRAMMove, MetropolisHastingsMove
+
+        big = 50.0
+        mh = run_mover(MetropolisHastingsMove(scale=big), n_steps=400,
+                       burn=100)
+        dram = run_mover(
+            DRAMMove(scale=big, gamma=0.01, adapt=None), n_steps=400,
+            burn=100,
+        )
+        assert mh.acceptance_fraction < 0.02
+        assert dram.acceptance_fraction > 10 * max(
+            mh.acceptance_fraction, 0.005
+        )
+
+    def test_gaussian_moments_exact(self):
+        """Tight-tolerance 1-D check that the DR ratio is the correct
+        one (a wrong q1 term biases the variance several percent)."""
+        import jax.numpy as jnp
+        from mcmcpp_tpu import DRAMMove, EnsembleSampler
+
+        s = EnsembleSampler(
+            lambda t: -0.5 * jnp.sum(t * t), 256, 1,
+            mover=DRAMMove(scale=3.0, gamma=0.15, adapt=None), seed=3,
+        )
+        s.init_ball(np.zeros(1), scale=0.5)
+        s.run_mcmc(500, store=False)
+        s.run_mcmc(8000)
+        x = s.get_samples(flat=True)
+        assert abs(float(np.var(x)) - 1.0) < 0.05
+        assert abs(float(np.mean(x))) < 0.05
+
+    def test_tempered_targets_power_posterior(self):
+        """beta=0.25 on N(0,1) must sample N(0, 4): the DR ratio's
+        target terms are tempered while the proposal-density terms are
+        not."""
+        import jax
+        import jax.numpy as jnp
+        from mcmcpp_tpu import DRAMMove
+
+        mover = DRAMMove(scale=4.0, gamma=0.2, adapt=None)
+        batched = jax.vmap(lambda t: -0.5 * jnp.sum(t * t))
+        state = mover.init_state(1, jnp.float32)
+        key = jax.random.key(0)
+        n = 256
+        active = jax.random.normal(jax.random.key(1), (n, 1)) * 2.0
+        other = jax.random.normal(jax.random.key(2), (n, 1)) * 2.0
+        alp = batched(active)
+        step = jax.jit(lambda k, a, al: mover.update_half(
+            k, a, al, other, batched, state, beta=0.25
+        ))
+        draws = []
+        for i in range(900):
+            key, sub = jax.random.split(key)
+            active, alp, _ = step(sub, active, alp)
+            if i >= 150:
+                draws.append(np.asarray(active))
+        x = np.concatenate(draws, axis=0)
+        np.testing.assert_allclose(x.std(), 2.0, rtol=0.08)
+        np.testing.assert_allclose(x.mean(), 0.0, atol=0.2)
+
+    def test_validation(self):
+        from mcmcpp_tpu import DRAMMove
+
+        with pytest.raises(ValueError):
+            DRAMMove(gamma=0.0)
+        with pytest.raises(ValueError):
+            DRAMMove(adapt="history")
+        with pytest.raises(ValueError):
+            DRAMMove(covariance=np.array([1.0, -1.0]),
+                     adapt=None).init_state(2, None)
+        with pytest.raises(np.linalg.LinAlgError):
+            DRAMMove(covariance=np.array([[1.0, 2.0], [2.0, 1.0]]),
+                     adapt=None).init_state(2, None)
