@@ -164,13 +164,20 @@ def ess_per_s_device_resident(jax, jnp, w_log2=None, steps=None, thin=None):
     from mcmcpp_tpu.sampler import run_scan
 
     dim, logp_batched = _target(jnp)
+    # Default window from the measured geometry sweep (benchmarks/
+    # essdev_sweep.py, 2026-08-20 on v5e): W=2^18 is the HBM ceiling
+    # (2^19 OOMs at 25.6G), thin=96 puts the stored-series tau at ~1.4
+    # (near the thinning optimum — beyond it thinning discards
+    # independent samples) and the window at ~90% of the sampling-only
+    # update rate. Measured 2.50e7 ESS/s vs 6.0e6 at the old
+    # (2^16, 3000, 6) window.
     if w_log2 is None:
-        w_log2 = int(os.environ.get("BENCH_DEVICE_W_LOG2", 16))
+        w_log2 = int(os.environ.get("BENCH_DEVICE_W_LOG2", 18))
     n_walkers = 1 << w_log2
     if steps is None:
-        steps = int(os.environ.get("BENCH_DEVICE_STEPS", 3000))
+        steps = int(os.environ.get("BENCH_DEVICE_STEPS", 48000))
     if thin is None:
-        thin = int(os.environ.get("BENCH_DEVICE_THIN", 6))
+        thin = int(os.environ.get("BENCH_DEVICE_THIN", 96))
     n_store = steps // thin
     blk = min(n_walkers, 1 << 13)  # FFT block: 8192 walkers (~0.8 GB scratch)
     s = EnsembleSampler(

@@ -21,6 +21,7 @@ from mcmcpp_tpu.movers import (
     DifferentialEvolutionMove,
     DESnookerMove,
     MetropolisHastingsMove,
+    DRAMMove,
     AutoRegressiveMove,
     SequenceMove,
 )
@@ -63,6 +64,7 @@ from mcmcpp_tpu.convergence import ConvergenceReport, run_until_converged
 from mcmcpp_tpu.map_laplace import find_map, laplace, laplace_sample
 from mcmcpp_tpu.pathfinder import multi_pathfinder, pathfinder
 from mcmcpp_tpu.elliptical import EllipticalSliceSampler
+from mcmcpp_tpu.pcn import PCNSampler
 from mcmcpp_tpu.gibbs import (
     BlockedGibbsSampler,
     CategoricalGibbsKernel,
@@ -114,6 +116,7 @@ __all__ = [
     "DifferentialEvolutionMove",
     "DESnookerMove",
     "MetropolisHastingsMove",
+    "DRAMMove",
     "MixtureMover",
     "AutoRegressiveMove",
     "SequenceMove",
@@ -151,6 +154,7 @@ __all__ = [
     "pathfinder",
     "multi_pathfinder",
     "EllipticalSliceSampler",
+    "PCNSampler",
     "BlockedGibbsSampler",
     "CategoricalGibbsKernel",
     "ExactGibbsKernel",

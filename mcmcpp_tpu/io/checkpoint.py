@@ -72,6 +72,12 @@ def _is_elliptical(sampler):
     return isinstance(sampler, EllipticalSliceSampler)
 
 
+def _is_pcn(sampler):
+    from mcmcpp_tpu.pcn import PCNSampler
+
+    return isinstance(sampler, PCNSampler)
+
+
 def _is_mclmc(sampler):
     from mcmcpp_tpu.gradient.mclmc import MCLMCSampler
 
@@ -383,6 +389,24 @@ def save_checkpoint(sampler, path):
         arrays.update(
             position=np.asarray(s.position),
             loglike=np.asarray(s.loglike),
+            key=_key_data(sampler._key),
+            chain_samples=sampler.chain.get(),
+            chain_logp=sampler.chain.get_logp(),
+        )
+    elif _is_pcn(sampler):
+        if sampler.state is None:
+            raise RuntimeError("cannot checkpoint an uninitialized sampler")
+        meta.update(
+            kind="pcn",
+            n_chains=sampler.n_chains,
+            total_steps=sampler.total_steps,
+            prng_impl=_key_impl_name(sampler._key),
+        )
+        s = sampler.state
+        arrays.update(
+            position=np.asarray(s.position),
+            loglike=np.asarray(s.loglike),
+            accepted=np.asarray(s.accepted),
             key=_key_data(sampler._key),
             chain_samples=sampler.chain.get(),
             chain_logp=sampler.chain.get_logp(),
@@ -851,6 +875,24 @@ def load_checkpoint(sampler, path):
             loglike=jnp.asarray(arrays["loglike"]),
         )
         sampler.state = sampler._constrain(state)
+        sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
+        sampler.chain.clear()
+        if arrays["chain_samples"].shape[0]:
+            sampler.chain.append(arrays["chain_samples"], arrays["chain_logp"])
+    elif meta["kind"] == "pcn":
+        from mcmcpp_tpu.pcn import PCNState
+
+        if not _is_pcn(sampler):
+            raise TypeError("checkpoint is for a PCNSampler")
+        if meta["n_chains"] != sampler.n_chains:
+            raise ValueError("chain count mismatch")
+        state = PCNState(
+            position=jnp.asarray(arrays["position"]),
+            loglike=jnp.asarray(arrays["loglike"]),
+            accepted=jnp.asarray(arrays["accepted"]),
+        )
+        sampler.state = sampler._constrain(state)
+        sampler.total_steps = int(meta["total_steps"])
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:
