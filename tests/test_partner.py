@@ -7,6 +7,7 @@ import pytest
 
 from mcmcpp_tpu import EnsembleSampler, StretchMove, DifferentialEvolutionMove
 from mcmcpp_tpu.ops.partner import (
+    block_partners,
     distinct_shifts,
     gather_partners,
     rolled_partners,
@@ -58,7 +59,7 @@ def test_select_partners_bad_mode():
         select_partners(jax.random.key(0), other, 4, 1, "nope")
 
 
-@pytest.mark.parametrize("mode", ["roll", "gather"])
+@pytest.mark.parametrize("mode", ["roll", "block", "gather"])
 def test_stretch_moments_both_modes(mode):
     """Both pairing modes must recover the skewed-Gaussian covariance."""
     s = EnsembleSampler(
@@ -77,7 +78,7 @@ def test_stretch_moments_both_modes(mode):
 def test_roll_gather_acceptance_agreement():
     """Roll pairing must not change acceptance statistics materially."""
     res = {}
-    for mode in ["roll", "gather"]:
+    for mode in ["roll", "block", "gather"]:
         s = EnsembleSampler(
             skewed_gaussian_logp, n_walkers=128, n_params=2, seed=5,
             mover=DifferentialEvolutionMove(partner_mode=mode),
@@ -87,6 +88,7 @@ def test_roll_gather_acceptance_agreement():
         s.run_mcmc(1500)
         res[mode] = s.acceptance_fraction
     assert abs(res["roll"] - res["gather"]) < 0.08
+    assert abs(res["block"] - res["gather"]) < 0.08
 
 
 @pytest.mark.slow
@@ -112,3 +114,47 @@ def test_roll_gather_act_agreement():
         taus[mode] = np.mean(vals, axis=0)
     assert np.all(taus["roll"] > 0) and np.all(taus["gather"] > 0)
     np.testing.assert_allclose(taus["roll"], taus["gather"], rtol=0.25)
+
+
+def test_block_partners_structure():
+    """Each 128-walker block applies ONE shift; shifts vary across
+    blocks (iid) and the k shifts of any block are distinct."""
+    m, p, k = 512, 3, 2
+    other = jnp.arange(float(m * p)).reshape(m, p)
+    parts = block_partners(jax.random.key(7), other, m, k, block=128)
+    assert parts.shape == (k, m, p)
+    ids = (np.asarray(parts[:, :, 0]) / p).astype(int)      # (k, m) rows
+    shifts = (ids - np.arange(m)[None, :]) % m              # (k, m)
+    for j in range(k):
+        per_block = shifts[j].reshape(4, 128)
+        # constant within a block
+        assert (per_block == per_block[:, :1]).all()
+    # distinct k-tuples per block
+    blk = shifts[:, ::128]                                   # (k, 4)
+    for g in range(4):
+        assert len(set(blk[:, g].tolist())) == k
+    # not all blocks share one shift (that would be roll)
+    assert len(set(shifts[0, ::128].tolist())) > 1
+
+
+def test_block_partners_marginal_uniform():
+    """Every walker's partner is marginally uniform over the complement
+    (the shift is uniform in [0, m))."""
+    m = 16
+    other = jnp.arange(float(m))[:, None]
+    counts = np.zeros((2, m))  # walkers 0 (block 0) and 9 (block 2)
+    for i in range(600):
+        part = block_partners(jax.random.key(i), other, m, 1, block=4)[0]
+        counts[0, int(part[0, 0])] += 1
+        counts[1, int(part[9, 0])] += 1
+    freq = counts / counts.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(freq, 1 / m, atol=0.035)
+
+
+def test_block_partners_partial_trailing_block():
+    """n not a multiple of the block size still yields n rows."""
+    other = jnp.arange(20.0).reshape(10, 2)
+    parts = block_partners(jax.random.key(1), other, 10, 1, block=4)
+    assert parts.shape == (1, 10, 2)
+    ids = (np.asarray(parts[0, :, 0]) / 2).astype(int)
+    assert ((ids - np.arange(10)) % 10 == (ids[0] - 0) % 10).sum() >= 4
