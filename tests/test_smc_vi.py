@@ -242,7 +242,7 @@ class TestMalaMutation:
         lp, ll, ps, _, _ = self._model(2)
         with pytest.raises(ValueError, match="unknown mutation"):
             SMCSampler(lp, ll, ps, n_particles=64, n_params=2,
-                       mutation="hmc")
+                       mutation="nuts")
 
 
 class TestFlowMutation:
@@ -348,3 +348,101 @@ class TestFlowMutation:
         s.run()
         assert float(s.state.beta) == 1.0
         np.testing.assert_allclose(s.particles.mean(0), [s2, s2], atol=0.12)
+
+
+class TestHMCMutation:
+    """mutation="hmc" (round-4 VERDICT item 7): fixed-shape ChEES-style
+    HMC on the tempered target, same adaptive-SMC validity argument as
+    MALA; evidence oracle + measured A/B vs MALA on the 10-D correlated
+    Gaussian."""
+
+    def _corr_model(self, dim=10, rho=0.5):
+        """Prior N(0, 4I), likelihood N(1; theta, C) with equicorrelated
+        C — evidence is the Gaussian convolution N(1; 0, C + 4I)."""
+        c = rho * np.ones((dim, dim)) + (1 - rho) * np.eye(dim)
+        lam = np.linalg.inv(c).astype(np.float32)
+        y = np.ones(dim, np.float32)
+        _, logdet_c = np.linalg.slogdet(c)
+        marg = c + 4.0 * np.eye(dim)
+        _, logdet_m = np.linalg.slogdet(marg)
+        logz = float(
+            -0.5 * y @ np.linalg.inv(marg) @ y
+            - 0.5 * logdet_m - dim / 2 * np.log(2 * np.pi)
+        )
+        post_cov = np.linalg.inv(lam + np.eye(dim) / 4.0)
+        post_mean = post_cov @ (lam @ y)
+
+        def lp(t):
+            return (-0.5 * jnp.sum(t * t) / 4.0
+                    - dim / 2 * jnp.log(2 * jnp.pi * 4.0))
+
+        def ll(t):
+            d = t - jnp.asarray(y)
+            return (-0.5 * d @ jnp.asarray(lam) @ d
+                    - dim / 2 * np.log(2 * np.pi) - 0.5 * logdet_c)
+
+        def ps(key, n):
+            return 2.0 * jax.random.normal(key, (n, dim))
+
+        return lp, ll, ps, logz, post_mean, post_cov
+
+    def test_evidence_and_moments_10d_correlated(self):
+        lp, ll, ps, logz, post_mean, post_cov = self._corr_model()
+        s = SMCSampler(lp, ll, ps, n_particles=2048, n_params=10,
+                       n_mcmc=3, seed=0, mutation="hmc")
+        s.run()
+        assert float(s.state.beta) == 1.0
+        assert s.log_evidence == pytest.approx(logz, abs=0.35)
+        np.testing.assert_allclose(
+            s.particles.mean(0), post_mean, atol=0.1
+        )
+        np.testing.assert_allclose(
+            s.particles.var(0), np.diag(post_cov), atol=0.15
+        )
+
+    @pytest.mark.slow
+    def test_evidence_ab_vs_mala(self):
+        """The VERDICT's A/B: over 4 seeds, HMC mutation's evidence
+        error on the 10-D correlated Gaussian must be in MALA's class
+        (within 2x of MALA's mean abs error) — it buys its hmc_steps-x
+        gradient cost back in decorrelation, not accuracy regressions."""
+        lp, ll, ps, logz, _, _ = self._corr_model()
+        errs = {"mala": [], "hmc": []}
+        for mutation in errs:
+            for seed in range(4):
+                s = SMCSampler(
+                    lp, ll, ps, n_particles=1024, n_params=10,
+                    n_mcmc=3, seed=seed, mutation=mutation,
+                )
+                s.run()
+                errs[mutation].append(abs(s.log_evidence - logz))
+        mala_err = float(np.mean(errs["mala"]))
+        hmc_err = float(np.mean(errs["hmc"]))
+        assert hmc_err < max(2.0 * mala_err, 0.3), (errs, logz)
+
+    def test_waste_free_hmc(self):
+        lp, ll, ps, logz, post_mean, _ = self._corr_model()
+        s = SMCSampler(lp, ll, ps, n_particles=2048, n_params=10,
+                       seed=2, mutation="hmc", waste_free_k=3,
+                       hmc_steps=4)
+        s.run()
+        assert s.log_evidence == pytest.approx(logz, abs=0.4)
+        np.testing.assert_allclose(s.particles.mean(0), post_mean,
+                                   atol=0.15)
+
+    def test_validation(self):
+        lp, ll, ps, _, _, _ = self._corr_model(dim=2)
+        with pytest.raises(ValueError, match="hmc_steps"):
+            SMCSampler(lp, ll, ps, n_particles=64, n_params=2,
+                       mutation="hmc", hmc_steps=0)
+
+    def test_mesh_sharded_executes(self):
+        from mcmcpp_tpu.parallel.mesh import make_walker_mesh
+
+        lp, ll, ps, logz, _, _ = self._corr_model()
+        s = SMCSampler(lp, ll, ps, n_particles=1024, n_params=10,
+                       n_mcmc=2, seed=3, mutation="hmc",
+                       mesh=make_walker_mesh())
+        s.run()
+        assert float(s.state.beta) == 1.0
+        assert s.log_evidence == pytest.approx(logz, abs=0.5)
