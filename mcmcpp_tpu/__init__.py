@@ -44,6 +44,7 @@ from mcmcpp_tpu.gradient import (
 )
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.ibis import IBISSampler
+from mcmcpp_tpu.if2 import IF2Result, if2
 from mcmcpp_tpu.smc2 import SMC2Sampler
 from mcmcpp_tpu.rbpf import (
     RaoBlackwellSSM, rao_blackwell_filter, rbpf_forecast,
@@ -137,6 +138,8 @@ __all__ = [
     "SGHMCSampler",
     "SGLDSampler",
     "IBISSampler",
+    "if2",
+    "IF2Result",
     "SMCSampler",
     "NestedSampler",
     "geometric_ladder",
