@@ -29,6 +29,14 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="8 virtual CPU devices (logic check)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host mode: jax.distributed.initialize() "
+                         "then measure the FULL global mesh only (run the "
+                         "same command on every host — see "
+                         "benchmarks/pod_scaling.sh)")
+    ap.add_argument("--base-rate", type=float, default=None,
+                    help="single-device updates/s from a prior 1-chip run "
+                         "(efficiency denominator in --distributed mode)")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -49,11 +57,22 @@ def main():
     from mcmcpp_tpu.parallel.mesh import make_walker_mesh
     from mcmcpp_tpu.sampler import run_nostore
 
+    if args.distributed:
+        from mcmcpp_tpu.parallel.distributed import initialize
+
+        initialize()  # TPU pods: auto-discovery; idempotent
+
     target = correlated_gaussian(dim=10)
     all_devices = jax.devices()
-    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(all_devices)]
+    if args.distributed:
+        # one measurement over the whole slice; per-subset iteration is
+        # a single-controller concept (use pod_scaling.sh to collect the
+        # 1-chip / 1-host denominators first)
+        counts = [len(all_devices)]
+    else:
+        counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(all_devices)]
     results = []
-    base_rate = None
+    base_rate = args.base_rate
     for n in counts:
         mesh = make_walker_mesh(all_devices[:n])
         w = args.walkers_per_device * n
@@ -75,9 +94,11 @@ def main():
             {"devices": n, "walkers": w, "updates_per_s": rate,
              "efficiency": eff}
         )
-        print(f"devices={n:3d} walkers={w:9d} "
-              f"{rate / 1e6:9.1f}M upd/s  efficiency={eff:6.1%}")
-    print(json.dumps(results))
+        if jax.process_index() == 0:
+            print(f"devices={n:3d} walkers={w:9d} "
+                  f"{rate / 1e6:9.1f}M upd/s  efficiency={eff:6.1%}")
+    if jax.process_index() == 0:
+        print(json.dumps(results))
 
 
 if __name__ == "__main__":

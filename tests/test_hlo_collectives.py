@@ -103,3 +103,56 @@ def test_sharded_run_program_has_no_per_step_host_sync():
     # per-step host sync; the program must have none
     assert "outfeed" not in hlo and "infeed" not in hlo
     assert "CustomCall(\"xla_python_cpu_callback" not in hlo
+
+
+def test_two_level_mesh_gather_is_ici_inner_dcn_outer():
+    """Two-level (hosts x devices) mesh (round-4 VERDICT item 9): the
+    walker axis flattens with the DEVICES (ICI) axis innermost, so the
+    opposite-half all-gather walks same-host devices contiguously —
+    shard neighbors are ICI neighbors and only the single host boundary
+    crosses DCN. An axes-order regression would interleave hosts
+    (h0d0, h1d0, h0d1, ...), putting DCN on every hop.
+
+    GSPMD emits the gather with iota replica groups over the GLOBAL
+    device assignment (``replica_groups=[1,8]<=[8]``,
+    ``use_global_device_ids=true``), so the traversal order IS the
+    executable's device-assignment order — that is what gets pinned."""
+    from jax.sharding import Mesh
+
+    from mcmcpp_tpu import ShardedEnsembleSampler
+    from mcmcpp_tpu.parallel.mesh import WALKER_AXES, make_walker_mesh
+
+    devices = jax.devices()[:8]
+    host_of = {d.id: i // 4 for i, d in enumerate(devices)}  # 2 x 4
+
+    def assignment_host_runs_contiguous(mesh):
+        s = ShardedEnsembleSampler(
+            _logp, n_walkers=64, n_params=3, seed=0, mesh=mesh
+        )
+        s.init_ball(np.zeros(3), scale=0.5, seed=1)
+        compiled = jax.jit(s._step_fn).lower(s.state).compile()
+        hlo = compiled.as_text()
+        # the opposite-half exchange must be an iota-ordered global
+        # gather (ordering == device assignment) over the full mesh
+        assert re.search(
+            r"all-gather\([^\n]*replica_groups=\[1,8\]<=\[8\]"
+            r"[^\n]*use_global_device_ids=true", hlo
+        ), "expected a full-mesh iota-ordered all-gather"
+        order = compiled._executable.xla_executable.local_devices()
+        hosts_seq = [host_of[d.id] for d in order]
+        changes = sum(
+            1 for a, b in zip(hosts_seq, hosts_seq[1:]) if a != b
+        )
+        return changes == len(set(hosts_seq)) - 1
+
+    mesh = make_walker_mesh(devices, n_hosts=2)
+    assert assignment_host_runs_contiguous(mesh), (
+        "same-host devices not contiguous in the gather order"
+    )
+
+    # negative control: an interleaved device grid must FAIL the check
+    # (proves the assert actually reads the ordering)
+    grid = np.asarray(devices, dtype=object).reshape(4, 2).T
+    assert not assignment_host_runs_contiguous(
+        Mesh(grid, WALKER_AXES)
+    ), "negative control: interleaved mesh should violate contiguity"
