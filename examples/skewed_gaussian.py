@@ -9,7 +9,7 @@ ACT, covariance/correlation, corner histograms and percentiles, and write
 CSV outputs — with the mover selected on the CLI.
 
 Usage:
-    python examples/skewed_gaussian.py --mover stretch|walk|de|mh \
+    python examples/skewed_gaussian.py --mover stretch|walk|de|mh|dram \
         [--walkers 320] [--steps 40000] [--thin 30] [--outdir out]
 """
 
@@ -23,8 +23,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from mcmcpp_tpu import (
-    EnsembleSampler, StretchMove, WalkMove, DifferentialEvolutionMove,
-    MetropolisHastingsMove, analysis,
+    DRAMMove, EnsembleSampler, StretchMove, WalkMove,
+    DifferentialEvolutionMove, MetropolisHastingsMove, analysis,
 )
 from mcmcpp_tpu.io import CsvEngine, DataWriter, HistMultiOutput, MatrixOutput
 
@@ -62,6 +62,9 @@ MOVERS = {
     "mh": lambda mh_cov="ideal": MetropolisHastingsMove(
         covariance=_mh_cov(mh_cov), scale=1.2
     ),
+    # beyond the reference's four: delayed-rejection adaptive Metropolis
+    # (movers/dram.py — Haario et al. 2006)
+    "dram": lambda **kw: DRAMMove(),
 }
 
 

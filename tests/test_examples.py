@@ -174,3 +174,26 @@ def test_data_assimilation_example():
     r = _run("data_assimilation.py", "--quick")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "analysis RMSE" in r.stdout
+
+
+@pytest.mark.slow
+def test_skewed_gaussian_example_dram():
+    r = _run("skewed_gaussian.py", "--mover", "dram", "--steps", "400",
+             "--thin", "4", "--walkers", "64", "--burn", "100")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "acceptance fraction" in r.stdout
+
+
+@pytest.mark.slow
+def test_function_space_example():
+    r = _run("function_space.py", "--steps", "300", "--chains", "8")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dimension-robust" in r.stdout
+
+
+@pytest.mark.slow
+def test_ssm_mle_example():
+    r = _run("ssm_mle.py", "--t", "60", "--if2-iters", "6",
+             "--particles", "256")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "IF2 MLE" in r.stdout and "PMMH mean" in r.stdout
