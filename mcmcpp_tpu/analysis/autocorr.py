@@ -68,12 +68,30 @@ def _sokal_window_tau(rho, window_scaling):
     return float(max(taus[np.argmax(closed)], 1e-3))
 
 
+def _geyer_tau(rho):
+    """Geyer (1992) initial monotone sequence estimator from the
+    walker-averaged ρ(t): pair sums Γ_m = ρ(2m) + ρ(2m+1) are positive
+    and non-increasing for any reversible chain, so truncate at the
+    first nonpositive pair and enforce the monotone envelope —
+    the truncation rule Stan uses, with no tuning constant and no
+    never-closed failure mode (it always returns a finite positive τ;
+    prefer the Sokal window when you WANT short chains flagged).
+    """
+    n = (len(rho) // 2) * 2
+    gam = rho[0:n:2] + rho[1:n:2]
+    pos = gam > 0
+    m_stop = int(np.argmin(pos)) if not pos.all() else len(gam)
+    g = np.minimum.accumulate(gam[:max(m_stop, 1)])
+    return float(max(2.0 * g.sum() - 1.0, 1e-3))
+
+
 def autocorr_time(
     samples,
     window_scaling=4.0,
     walkers_to_use=None,
     key=None,
     walker_chunk=None,
+    method="sokal",
 ):
     """Integrated ACT per parameter.
 
@@ -82,6 +100,10 @@ def autocorr_time(
     walkers (≙ AutoCorrCalc.h:276-305; needs ``key``).
     walker_chunk: process walkers in chunks of this size to bound the FFT
     working set for very long chains.
+    method: "sokal" (reference-faithful adaptive window, c =
+    ``window_scaling``, NEGATIVE when the window never closes) or
+    "geyer" (initial-monotone-sequence truncation — Stan's rule,
+    tuning-free, always positive; see :func:`_geyer_tau`).
 
     Returns a float (for (S, W)) or (P,) array; negative values flag a
     window that never closed (chain too short relative to τ).
@@ -92,6 +114,12 @@ def autocorr_time(
         arr = arr[:, :, None]
     if arr.ndim != 3:
         raise ValueError("samples must be (S, W) or (S, W, P)")
+    if method not in ("sokal", "geyer"):
+        raise ValueError(f"unknown method {method!r}")
+    estimate = (
+        (lambda r: _sokal_window_tau(r, window_scaling))
+        if method == "sokal" else _geyer_tau
+    )
     s, w, p = arr.shape
     if walkers_to_use is not None and walkers_to_use < w:
         if key is None:
@@ -115,7 +143,7 @@ def autocorr_time(
                 acc += np.asarray(_norm_autocov_fft(blk), np.float64).sum(
                     axis=0
                 )
-            taus[param] = _sokal_window_tau(acc / w, window_scaling)
+            taus[param] = estimate(acc / w)
     else:
         # throughput path: fold params into the batch axis — ONE FFT
         # launch over p*w rows (costs one transposed host copy)
@@ -127,5 +155,5 @@ def autocorr_time(
         )
         rho = out.reshape(p, w, s).mean(axis=1)
         for param in range(p):
-            taus[param] = _sokal_window_tau(rho[param], window_scaling)
+            taus[param] = estimate(rho[param])
     return float(taus[0]) if squeeze else taus

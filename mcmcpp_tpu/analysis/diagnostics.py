@@ -130,3 +130,60 @@ def ppc_pvalue(stat_fn, observed, replicated):
     t_obs = float(stat_fn(np.asarray(observed)))
     t_rep = np.asarray([float(stat_fn(r)) for r in np.asarray(replicated)])
     return float(np.mean(t_rep >= t_obs))
+
+
+def nested_rhat(samples, n_superchains):
+    """Nested R̂ for the many-short-chains regime (Margossian, Hoffman,
+    Sountsov, Riou-Durand, Vehtari & Gelman 2023, Bayesian Analysis).
+
+    Classic split-R̂ needs each chain long enough to estimate its own
+    variance — useless in THIS framework's natural regime (thousands of
+    TPU-parallel walkers, few steps each). Nested R̂ groups the C chains
+    into K superchains of M = C/K chains and compares the
+    between-SUPERCHAIN variance to the total within-superchain variance
+    (between-chain + within-chain), which is well defined even at ONE
+    draw per chain:
+
+        nR̂ = sqrt(1 + B / W),
+        B   = (1/K) Σ_k (x̄_k − x̄)²,
+        W   = (1/K) Σ_k [ (1/M) Σ_m s²_km  +  (1/M) Σ_m (x̄_km − x̄_k)² ]
+
+    VALIDITY REQUIREMENT (the paper's §2.2): chains within a superchain
+    must be initialized from a common point (or a common draw), with
+    overdispersion only ACROSS superchains — then nR̂ → 1 iff the chains
+    forget their initializations. Group assignment here is contiguous:
+    chains [0, M) form superchain 0, etc. — lay your initializations out
+    accordingly.
+
+    samples: (S, C, P) (or (S, C)); returns (P,) (or a float).
+    Threshold guidance from the paper: nR̂ < 1.01 is the analogue of the
+    usual split-R̂ gate.
+    """
+    arr = np.asarray(samples, np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("expected (steps, chains[, params])")
+    s, c, p = arr.shape
+    k = int(n_superchains)
+    if k < 2:
+        raise ValueError("need at least 2 superchains")
+    if c % k != 0:
+        raise ValueError(f"{c} chains not divisible by {k} superchains")
+    m = c // k
+    x = arr.reshape(s, k, m, p)
+    chain_mean = x.mean(axis=0)                        # (K, M, P)
+    chain_var = x.var(axis=0)                          # (K, M, P) (1/N)
+    super_mean = chain_mean.mean(axis=1)               # (K, P)
+    grand = super_mean.mean(axis=0)                    # (P,)
+    b = np.square(super_mean - grand[None, :]).mean(axis=0)
+    w_within = chain_var.mean(axis=(0, 1))
+    w_between = np.square(
+        chain_mean - super_mean[:, None, :]
+    ).mean(axis=(0, 1))
+    w = w_within + w_between
+    out = np.sqrt(1.0 + np.divide(
+        b, w, out=np.full(p, np.inf), where=w > 0
+    ))
+    return float(out[0]) if squeeze else out

@@ -45,6 +45,46 @@ class TestAutocorrOracle:
             assert est > 0, f"window failed to close: {est}"
             assert abs(est - true) / true < 0.12, f"tau {est} vs true {true}"
 
+    @pytest.mark.slow
+    def test_geyer_matches_ar1_oracle_and_sokal(self):
+        """method="geyer" (Stan's initial-monotone-sequence rule) must
+        hit the same AR(1) analytic taus as the Sokal window."""
+        phis = [0.8, 0.904761904762]
+        true_taus = [9.0, 20.0]
+        mover = AutoRegressiveMove(
+            offsets=[1.0, 1.0], phis=phis, variances=[1.0, 1.0]
+        )
+        s = EnsembleSampler(_dummy_logp, 100, 2, mover=mover, seed=3)
+        import jax
+
+        s.set_initial_walker_pos(
+            mover.initial_positions(jax.random.key(3), 100)
+        )
+        assert s.run_mcmc(65536)
+        g = autocorr_time(s.get_samples(), method="geyer")
+        sk = autocorr_time(s.get_samples())
+        for est, ref, true in zip(g, sk, true_taus):
+            assert abs(est - true) / true < 0.12, (est, true)
+            assert abs(est - ref) / ref < 0.05, (est, ref)
+
+    def test_geyer_white_noise_and_truncation(self):
+        from mcmcpp_tpu.analysis.autocorr import _geyer_tau
+
+        rng = np.random.default_rng(1)
+        wn = rng.standard_normal((4000, 16))
+        assert abs(autocorr_time(wn, method="geyer") - 1.0) < 0.05
+        # monotone envelope: an artificially non-monotone positive rho
+        # must be clipped, and the first nonpositive pair truncates
+        rho = np.array([1.0, 0.2, 0.5, 0.1, -0.4, -0.2, 0.3, 0.3])
+        # pairs: 1.2, 0.6, -0.6 -> keep [1.2, 0.6] -> tau = 2*1.8-1
+        assert _geyer_tau(rho) == pytest.approx(2 * 1.8 - 1.0)
+        # geyer never returns the negative never-closed flag
+        assert _geyer_tau(np.ones(128)) > 0
+
+    def test_autocorr_bad_method(self):
+        with pytest.raises(ValueError, match="method"):
+            autocorr_time(np.zeros((10, 4)), method="bartlett")
+
     def test_unconverged_returns_negative(self):
         # window that never closes must flag non-convergence with a negative
         # estimate (≙ AutoCorrCalc.h:204-206): ρ ≡ 1 ⇒ τ(m) = 2m+1 > m/c ∀m
@@ -346,3 +386,69 @@ def test_ppc_pvalue_flags_misfit():
     p_bad = ppc_pvalue(np.var, obs, rep_bad)
     assert 0.05 < p_good < 0.95
     assert p_bad < 0.01
+
+
+class TestNestedRhat:
+    """Nested R-hat (Margossian et al. 2023) — the many-short-chains
+    diagnostic for the massively-parallel-walkers regime."""
+
+    def test_iid_near_one(self):
+        from mcmcpp_tpu.analysis import nested_rhat
+
+        rng = np.random.default_rng(0)
+        r = nested_rhat(rng.standard_normal((50, 64, 3)), 8)
+        assert r.shape == (3,)
+        assert (r < 1.01).all(), r
+
+    def test_one_draw_per_chain_detects_dispersion(self):
+        """The headline property: meaningful at N=1 draws/chain, where
+        split-R-hat is undefined — dispersed superchain means flagged."""
+        from mcmcpp_tpu.analysis import nested_rhat
+
+        rng = np.random.default_rng(1)
+        good = rng.standard_normal((1, 64))
+        bad = good + np.repeat(np.arange(8), 8) * 3.0
+        assert nested_rhat(good[:, :, None], 8)[0] < 1.2
+        assert nested_rhat(bad, 8) > 2.0
+
+    def test_unmixed_superchains_flagged(self):
+        """Superchains stuck at distinct modes: nR >> 1 even though each
+        superchain's own chains agree (W small, B large)."""
+        from mcmcpp_tpu.analysis import nested_rhat
+
+        rng = np.random.default_rng(2)
+        x = 0.05 * rng.standard_normal((20, 32, 1))
+        x[:, 16:, :] += 4.0  # half the superchains in another mode
+        assert nested_rhat(x, 4)[0] > 3.0
+
+    def test_sampler_end_to_end_converges(self):
+        """Short ensemble run, superchains = init groups: after mixing,
+        nR-hat ~ 1 on a unit Gaussian."""
+        import jax.numpy as jnp
+
+        from mcmcpp_tpu import EnsembleSampler
+        from mcmcpp_tpu.analysis import nested_rhat
+
+        s = EnsembleSampler(
+            lambda t: -0.5 * jnp.sum(t * t), 64, 2, seed=4
+        )
+        # superchain k initialized in its own ball (overdispersion
+        # ACROSS superchains, common point within — the paper's scheme)
+        centers = np.repeat(np.linspace(-2, 2, 8), 8)
+        init = centers[:, None] + 0.01 * np.random.default_rng(5
+            ).standard_normal((64, 2))
+        s.set_initial_walker_pos(init)
+        s.run_mcmc(400, store=False)
+        s.run_mcmc(200)
+        r = nested_rhat(s.get_samples(), 8)
+        assert (r < 1.05).all(), r
+
+    def test_validation(self):
+        from mcmcpp_tpu.analysis import nested_rhat
+
+        with pytest.raises(ValueError, match="divisible"):
+            nested_rhat(np.zeros((5, 10, 1)), 4)
+        with pytest.raises(ValueError, match="at least 2"):
+            nested_rhat(np.zeros((5, 8, 1)), 1)
+        with pytest.raises(ValueError, match="steps"):
+            nested_rhat(np.zeros((5,)), 2)
