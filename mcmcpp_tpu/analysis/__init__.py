@@ -32,6 +32,12 @@ from mcmcpp_tpu.analysis.diagnostics import (
     summary,
 )
 from mcmcpp_tpu.analysis.bridge import BridgeResult, bridge_log_evidence
+from mcmcpp_tpu.analysis.power_scaling import (
+    PowerScaleResult,
+    SensitivityResult,
+    powerscale,
+    powerscale_sensitivity,
+)
 from mcmcpp_tpu.analysis.ksd import ksd, ksd_curve
 from mcmcpp_tpu.analysis.global_stats import (
     global_autocorr_time,
