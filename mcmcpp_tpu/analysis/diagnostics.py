@@ -171,19 +171,40 @@ def nested_rhat(samples, n_superchains):
         raise ValueError("need at least 2 superchains")
     if c % k != 0:
         raise ValueError(f"{c} chains not divisible by {k} superchains")
+    out = nested_rhat_from_stats(
+        arr.mean(axis=0), arr.var(axis=0), k
+    )
+    return float(out[0]) if squeeze else out
+
+
+def nested_rhat_from_stats(chain_mean, chain_var, n_superchains):
+    """Nested R̂ from per-chain sufficient statistics.
+
+    chain_mean / chain_var: (C, P) per-chain draw means and (1/N)
+    variances. This is the multihost building block: each host computes
+    its shard's (C_local, P) stats, a tiny allgather concatenates them,
+    and every host evaluates the identical global nR̂ — the full draws
+    never leave their shards (same pattern as analysis.global_stats).
+    """
+    chain_mean = np.asarray(chain_mean, np.float64)
+    chain_var = np.asarray(chain_var, np.float64)
+    if chain_mean.ndim != 2 or chain_var.shape != chain_mean.shape:
+        raise ValueError("chain_mean/chain_var must both be (C, P)")
+    c, p = chain_mean.shape
+    k = int(n_superchains)
+    if k < 2:
+        raise ValueError("need at least 2 superchains")
+    if c % k != 0:
+        raise ValueError(f"{c} chains not divisible by {k} superchains")
     m = c // k
-    x = arr.reshape(s, k, m, p)
-    chain_mean = x.mean(axis=0)                        # (K, M, P)
-    chain_var = x.var(axis=0)                          # (K, M, P) (1/N)
-    super_mean = chain_mean.mean(axis=1)               # (K, P)
+    cm = chain_mean.reshape(k, m, p)
+    cv = chain_var.reshape(k, m, p)
+    super_mean = cm.mean(axis=1)                       # (K, P)
     grand = super_mean.mean(axis=0)                    # (P,)
     b = np.square(super_mean - grand[None, :]).mean(axis=0)
-    w_within = chain_var.mean(axis=(0, 1))
-    w_between = np.square(
-        chain_mean - super_mean[:, None, :]
+    w = cv.mean(axis=(0, 1)) + np.square(
+        cm - super_mean[:, None, :]
     ).mean(axis=(0, 1))
-    w = w_within + w_between
-    out = np.sqrt(1.0 + np.divide(
+    return np.sqrt(1.0 + np.divide(
         b, w, out=np.full(p, np.inf), where=w > 0
     ))
-    return float(out[0]) if squeeze else out

@@ -33,6 +33,7 @@ class ConvergenceReport(NamedTuple):
     checks: int  # number of ACT evaluations performed
     reason: str
     mess: float = float("nan")  # last multivariate ESS (if mess_rule set)
+    nested: np.ndarray = None  # last nested R-hat (if nested_superchains)
 
 
 def run_until_converged(
@@ -43,6 +44,8 @@ def run_until_converged(
     tau_rtol=0.05,
     rhat_threshold=None,
     mess_rule=None,
+    nested_superchains=None,
+    nested_rhat_threshold=1.01,
     thin=1,
     window_scaling=4.0,
     callback=None,
@@ -55,6 +58,14 @@ def run_until_converged(
     observes each intermediate check. Returns a :class:`ConvergenceReport`;
     ``converged=False`` means the budget (or the chain byte cap) was hit
     first — the criterion, not an exception, reports the outcome.
+
+    ``nested_superchains=K`` additionally gates on nested R̂ (Margossian
+    et al. 2023, :func:`analysis.nested_rhat`) with the walkers grouped
+    into K contiguous superchains — the criterion of choice in the
+    many-short-chains regime where per-walker series are too short for
+    τ/split-R̂. Lay the initializations out superchain-contiguously
+    (common init within a superchain, overdispersed across) for the
+    diagnostic to be meaningful.
 
     Under multi-host SPMD (``jax.process_count() > 1``; override with
     ``multihost=``) every statistic gates on the WHOLE ensemble, not this
@@ -84,6 +95,23 @@ def run_until_converged(
 
         def _mess(samples):
             return analysis.global_multivariate_ess(samples)
+
+        def _nested(samples):
+            # tiny allgather of per-chain sufficient stats; every host
+            # computes the identical GLOBAL nested R-hat (grouping is
+            # contiguous in the global walker order, so K must divide
+            # the host count or vice versa for host-aligned superchains)
+            from mcmcpp_tpu.analysis.diagnostics import (
+                nested_rhat_from_stats,
+            )
+            from mcmcpp_tpu.parallel.distributed import process_allgather
+
+            arr = np.asarray(samples, np.float64)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            cm = process_allgather(arr.mean(axis=0))
+            cv = process_allgather(arr.var(axis=0))
+            return nested_rhat_from_stats(cm, cv, nested_superchains)
     else:
         def _tau(samples):
             return analysis.autocorr_time(
@@ -95,6 +123,11 @@ def run_until_converged(
 
         def _mess(samples):
             return analysis.multivariate_ess(samples)
+
+        def _nested(samples):
+            return np.atleast_1d(
+                analysis.nested_rhat(samples, nested_superchains)
+            )
 
     run = getattr(sampler, "run_mcmc", None) or sampler.run
     max_steps = int(max_steps)
@@ -133,6 +166,11 @@ def run_until_converged(
         if rhat_threshold is not None:
             rhat = np.atleast_1d(_rhat(samples))
             rhat_ok = bool(np.all(rhat < rhat_threshold))
+        nested = None
+        nested_ok = True
+        if nested_superchains is not None:
+            nested = _nested(samples)
+            nested_ok = bool(np.all(nested < nested_rhat_threshold))
         mess = float("nan")
         mess_ok = True
         if mess_rule is not None:
@@ -145,17 +183,19 @@ def run_until_converged(
                 mess = float("nan")
             mess_ok = bool(np.isfinite(mess) and mess >= need)
         converged = (window_ok and length_ok and stable_ok and rhat_ok
-                     and mess_ok)
+                     and mess_ok and nested_ok)
         reason = (
             "converged" if converged
             else "window open" if not window_ok
             else f"chain shorter than {act_multiplier}*tau" if not length_ok
             else "tau not yet stable" if not stable_ok
             else f"rhat >= {rhat_threshold}" if not rhat_ok
+            else f"nested rhat >= {nested_rhat_threshold}" if not nested_ok
             else f"mESS {mess:.0f} below the (alpha, eps) requirement"
         )
         report = ConvergenceReport(
-            converged, done, n_stored, tau, rhat, checks, reason, mess
+            converged, done, n_stored, tau, rhat, checks, reason, mess,
+            nested,
         )
         if callback is not None:
             callback(report)

@@ -127,3 +127,39 @@ def test_microcanonical_engines_drive_the_gate():
                               rhat_threshold=1.05)
     assert rep.converged, rep
     assert np.all(rep.rhat < 1.05)
+
+
+def test_nested_rhat_gate_blocks_then_passes():
+    """nested_superchains gating (round 5): a well-mixed Gaussian run
+    passes the nested gate; a forced-tight threshold blocks with the
+    nested reason."""
+    import jax.numpy as jnp
+
+    from mcmcpp_tpu import EnsembleSampler
+    from mcmcpp_tpu.convergence import run_until_converged
+
+    def make():
+        s = EnsembleSampler(
+            lambda t: -0.5 * jnp.sum(t * t), 64, 2, seed=9
+        )
+        centers = np.repeat(np.linspace(-1.5, 1.5, 8), 8)
+        init = centers[:, None] + 0.01 * np.random.default_rng(10
+            ).standard_normal((64, 2))
+        s.set_initial_walker_pos(init)
+        s.run_mcmc(400, store=False)
+        return s
+
+    r = run_until_converged(
+        make(), max_steps=4000, check_every=1000,
+        nested_superchains=8,
+    )
+    assert r.converged, r.reason
+    assert r.nested is not None and np.all(r.nested < 1.01)
+
+    r2 = run_until_converged(
+        make(), max_steps=3000, check_every=1000,
+        act_multiplier=1.0, tau_rtol=1.0,  # isolate the nested gate
+        nested_superchains=8, nested_rhat_threshold=1.0,  # impossible
+    )
+    assert not r2.converged
+    assert "nested rhat" in r2.reason
