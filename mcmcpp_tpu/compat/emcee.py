@@ -99,6 +99,29 @@ class EnsembleSampler:
                          store=store)
         return self.get_last_sample()
 
+    def sample(self, initial_state=None, iterations=1, thin_by=1,
+               store=True, progress=False):
+        """emcee's step-iterator: yields a :class:`State` after every
+        (thinned) step — the surface custom convergence loops are
+        written against.
+
+        Faithful but NOT the fast path: each yield is a host round-trip
+        (one device launch per ``thin_by`` steps), so throughput is
+        dispatch-bound — exactly why the native driver batches steps
+        into scans (CLAUDE.md). Use :meth:`run_mcmc` plus
+        :func:`mcmcpp_tpu.convergence.run_until_converged` (which
+        checks every ``check_every`` steps, not every step) when speed
+        matters; use this when porting emcee code verbatim.
+        """
+        if initial_state is not None:
+            coords = getattr(initial_state, "coords", initial_state)
+            self._s.set_initial_walker_pos(np.asarray(coords))
+        elif self._s.state is None:
+            raise ValueError("initial_state required on the first run")
+        for _ in range(int(iterations)):
+            self._s.run_mcmc(int(thin_by), thin=int(thin_by), store=store)
+            yield self.get_last_sample()
+
     def get_last_sample(self):
         pos = np.asarray(self._s.current_positions)
         import jax.numpy as jnp

@@ -118,3 +118,27 @@ def test_dram_move_through_facade():
     s.run_mcmc(np.random.default_rng(5).normal(size=(64, 2)), 200)
     assert s.get_chain().shape == (200, 64, 2)
     assert np.isfinite(s.get_log_prob()).all()
+
+
+def test_sample_generator_matches_emcee_surface():
+    """emcee's `for state in sampler.sample(...)` loop works verbatim:
+    one State per (thinned) iteration, chain rows accumulate, and the
+    final state continues from the generator's last yield."""
+    s = EnsembleSampler(32, 2, skewed_gaussian_logp)
+    init = np.random.default_rng(6).normal(size=(32, 2))
+    seen = []
+    for state in s.sample(init, iterations=5, thin_by=2):
+        assert state.coords.shape == (32, 2)
+        assert np.isfinite(state.log_prob).all()
+        seen.append(state.coords.copy())
+    assert len(seen) == 5
+    assert s.get_chain().shape == (5, 32, 2)
+    # chain rows are exactly the yielded states
+    np.testing.assert_array_equal(s.get_chain()[-1], seen[-1])
+    # continuation without initial_state picks up where we left off
+    next(iter(s.sample(iterations=1)))
+    assert s.get_chain().shape == (6, 32, 2)
+    # store=False advances without touching the chain
+    for _ in s.sample(iterations=2, store=False):
+        pass
+    assert s.get_chain().shape == (6, 32, 2)
