@@ -32,6 +32,7 @@ from mcmcpp_tpu.analysis.diagnostics import (
     summary,
 )
 from mcmcpp_tpu.analysis.bridge import BridgeResult, bridge_log_evidence
+from mcmcpp_tpu.analysis.rstar import rstar
 from mcmcpp_tpu.analysis.power_scaling import (
     PowerScaleResult,
     SensitivityResult,

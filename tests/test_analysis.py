@@ -452,3 +452,47 @@ class TestNestedRhat:
             nested_rhat(np.zeros((5, 8, 1)), 1)
         with pytest.raises(ValueError, match="steps"):
             nested_rhat(np.zeros((5,)), 2)
+
+
+class TestRstar:
+    """R* classifier diagnostic (Lambert & Vehtari 2022)."""
+
+    def _draws(self, seed=0, s=150, c=4, p=3):
+        return np.random.default_rng(seed).standard_normal((s, c, p))
+
+    @pytest.mark.slow
+    def test_mixed_near_one_stuck_flagged(self):
+        from mcmcpp_tpu.analysis import rstar
+
+        good = self._draws()
+        assert 0.6 < rstar(good, max_iter=40) < 1.25
+        bad = good.copy()
+        bad[:, 0, :] += 2.5  # one chain in its own region
+        assert rstar(bad, max_iter=40) > 1.4
+
+    @pytest.mark.slow
+    def test_catches_joint_structure_rhat_misses(self):
+        """Chain 0 has the same MARGINALS but correlated components —
+        invisible to split-R-hat, visible to the classifier."""
+        from mcmcpp_tpu.analysis import rstar
+        from mcmcpp_tpu.analysis.diagnostics import (
+            potential_scale_reduction,
+        )
+
+        rng = np.random.default_rng(1)
+        x = self._draws(seed=2, s=400, c=4, p=2)
+        z = rng.standard_normal(400)
+        x[:, 0, 0] = z
+        x[:, 0, 1] = 0.95 * z + np.sqrt(1 - 0.95**2) * rng.standard_normal(400)
+        assert np.all(potential_scale_reduction(x) < 1.02)
+        assert rstar(x, max_iter=60) > 1.15
+
+    def test_validation(self):
+        from mcmcpp_tpu.analysis import rstar
+
+        with pytest.raises(ValueError, match="chains"):
+            rstar(np.zeros((10, 1, 2)))
+        with pytest.raises(ValueError, match="test_frac"):
+            rstar(np.zeros((10, 4, 2)), test_frac=1.5)
+        with pytest.raises(ValueError, match="steps"):
+            rstar(np.zeros((10,)))

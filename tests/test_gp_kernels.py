@@ -112,3 +112,35 @@ def test_white_noise_is_gram_only():
     np.testing.assert_allclose(
         np.asarray(Linear(0.5).diag(XS)),
         np.diagonal(np.asarray(Linear(0.5)(XS, XS))), atol=1e-6)
+
+
+def test_gram_cholesky_escalates_jitter_on_nan():
+    """TPU-robustness guard (round 5): the TPU's blocked f32 Cholesky
+    NaNs on ill-conditioned grams CPU LAPACK survives; gram_cholesky
+    must escalate jitter until the factorization is finite, stay
+    jittable, and stay reverse-differentiable (the Gibbs interweave
+    kernel differentiates through it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcmcpp_tpu.models.gp import RBF, gram_cholesky
+
+    xs = np.linspace(0.0, 1.0, 48)[:, None].astype(np.float32)
+
+    # gram so ill-conditioned even CPU f32 NaNs at the base jitter:
+    # duplicated inputs make it exactly singular (escalation reaches
+    # 1e-8 * 10^5 = 1e-3, which factorizes)
+    xs_dup = np.repeat(xs[:24], 2, axis=0)
+    kern = RBF(lengthscale=0.8, variance=1.5)
+    chol = gram_cholesky(kern, xs_dup, jitter=1e-8)
+    assert np.isfinite(np.asarray(chol)).all()
+    # jittable with traced hyperparameters
+    f = jax.jit(lambda ll: gram_cholesky(
+        RBF(lengthscale=jnp.exp(ll), variance=1.0), xs_dup, jitter=1e-8
+    ))
+    assert np.isfinite(np.asarray(f(-0.2))).all()
+    # reverse-differentiable (sum of the factor as a scalar probe)
+    g = jax.grad(lambda ll: jnp.sum(gram_cholesky(
+        RBF(lengthscale=jnp.exp(ll), variance=1.0), xs, jitter=1e-6
+    )))(-0.2)
+    assert np.isfinite(float(g))
