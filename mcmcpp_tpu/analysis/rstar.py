@@ -21,13 +21,18 @@ north-star scope. Complements :func:`~mcmcpp_tpu.analysis.nested_rhat`
 import numpy as np
 
 
-def rstar(samples, seed=0, test_frac=0.3, n_splits=1, max_iter=100):
+def rstar(samples, seed=0, test_frac=0.3, n_splits=1, max_iter=100,
+          n_threads=None):
     """R* for a (S, C, P) (or (S, C)) chain array.
 
     test_frac : held-out fraction scored per split.
     n_splits : refit/rescore repetitions (different splits); the MEAN
         R* is returned — pass >1 for a stabler estimate on small S·C.
     max_iter : boosting rounds of the HistGradientBoostingClassifier.
+    n_threads : cap sklearn's OpenMP threads (via threadpoolctl) for
+        this call. Set it (e.g. 1) when running under a process pool —
+        two concurrent uncapped fits on a small box measured a 70x
+        slowdown from thread thrash (4.9 s -> 358 s under pytest-xdist).
 
     Guidance from the paper: R* ≲ 1.03 alongside R̂ < 1.01; values
     well above 1 mean some chain is distinguishable from the rest.
@@ -52,15 +57,24 @@ def rstar(samples, seed=0, test_frac=0.3, n_splits=1, max_iter=100):
         raise ValueError("test_frac must be in (0, 1)")
     x = arr.transpose(1, 0, 2).reshape(c * s, p)
     y = np.repeat(np.arange(c), s)
+    import contextlib
+
+    if n_threads is not None:
+        from threadpoolctl import threadpool_limits
+
+        limiter = threadpool_limits(limits=int(n_threads))
+    else:
+        limiter = contextlib.nullcontext()
     accs = []
-    for split in range(int(n_splits)):
-        x_tr, x_te, y_tr, y_te = train_test_split(
-            x, y, test_size=float(test_frac), stratify=y,
-            random_state=int(seed) + split,
-        )
-        clf = HistGradientBoostingClassifier(
-            max_iter=int(max_iter), random_state=int(seed) + split,
-        )
-        clf.fit(x_tr, y_tr)
-        accs.append(clf.score(x_te, y_te))
+    with limiter:
+        for split in range(int(n_splits)):
+            x_tr, x_te, y_tr, y_te = train_test_split(
+                x, y, test_size=float(test_frac), stratify=y,
+                random_state=int(seed) + split,
+            )
+            clf = HistGradientBoostingClassifier(
+                max_iter=int(max_iter), random_state=int(seed) + split,
+            )
+            clf.fit(x_tr, y_tr)
+            accs.append(clf.score(x_te, y_te))
     return float(c * np.mean(accs))

@@ -465,10 +465,10 @@ class TestRstar:
         from mcmcpp_tpu.analysis import rstar
 
         good = self._draws()
-        assert 0.6 < rstar(good, max_iter=40) < 1.25
+        assert 0.6 < rstar(good, max_iter=40, n_threads=1) < 1.25
         bad = good.copy()
         bad[:, 0, :] += 2.5  # one chain in its own region
-        assert rstar(bad, max_iter=40) > 1.4
+        assert rstar(bad, max_iter=40, n_threads=1) > 1.4
 
     @pytest.mark.slow
     def test_catches_joint_structure_rhat_misses(self):
@@ -485,7 +485,7 @@ class TestRstar:
         x[:, 0, 0] = z
         x[:, 0, 1] = 0.95 * z + np.sqrt(1 - 0.95**2) * rng.standard_normal(400)
         assert np.all(potential_scale_reduction(x) < 1.02)
-        assert rstar(x, max_iter=60) > 1.15
+        assert rstar(x, max_iter=60, n_threads=1) > 1.15
 
     def test_validation(self):
         from mcmcpp_tpu.analysis import rstar
