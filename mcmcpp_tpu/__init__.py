@@ -45,6 +45,12 @@ from mcmcpp_tpu.gradient import (
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.ibis import IBISSampler
 from mcmcpp_tpu.if2 import IF2Result, if2
+from mcmcpp_tpu.ukf import (
+    UKFModel,
+    UKFResult,
+    unscented_kalman_filter,
+    unscented_rts_smoother,
+)
 from mcmcpp_tpu.smc2 import SMC2Sampler
 from mcmcpp_tpu.rbpf import (
     RaoBlackwellSSM, rao_blackwell_filter, rbpf_forecast,
@@ -140,6 +146,10 @@ __all__ = [
     "IBISSampler",
     "if2",
     "IF2Result",
+    "UKFModel",
+    "UKFResult",
+    "unscented_kalman_filter",
+    "unscented_rts_smoother",
     "SMCSampler",
     "NestedSampler",
     "geometric_ladder",
