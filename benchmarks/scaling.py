@@ -58,6 +58,11 @@ def main():
     from mcmcpp_tpu.sampler import run_nostore
 
     if args.distributed:
+        if args.base_rate is None:
+            ap.error("--distributed needs --base-rate <single-chip "
+                     "updates/s> (run step 1 of pod_scaling.sh first); "
+                     "without it the efficiency column would divide the "
+                     "slice rate by itself")
         from mcmcpp_tpu.parallel.distributed import initialize
 
         initialize()  # TPU pods: auto-discovery; idempotent

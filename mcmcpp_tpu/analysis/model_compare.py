@@ -71,20 +71,16 @@ def loo(loglik, khat_frac=0.2):
     truncated at ``mean(w) * sqrt(N)`` before normalization. ``pareto_k``
     is the Hill estimator over the top ``khat_frac`` of raw log-weights.
     """
+    from mcmcpp_tpu.analysis.importance import hill_khat, truncated_weights
+
     ll = _flatten(loglik)
     n, n_obs = ll.shape
     lw = -ll  # log raw weights
-    lw = lw - lw.max(axis=0)
-    w = np.exp(lw)
-    cap = w.mean(axis=0) * np.sqrt(n)
-    w = np.minimum(w, cap[None, :])
-    logw = np.log(w)
+    logw = np.log(truncated_weights(lw))
     # elpd_i = log( sum_s w_s p(y_i|theta_s) / sum_s w_s )
     pointwise = logsumexp(logw + ll, axis=0) - logsumexp(logw, axis=0)
     # Hill tail index of the RAW weights (before truncation)
-    m = max(int(khat_frac * n), 5)
-    top = np.sort(lw, axis=0)[-m:, :]
-    khat = (top[1:, :] - top[0:1, :]).mean(axis=0)
+    khat = hill_khat(lw, khat_frac)
     p_eff = (logsumexp(ll, axis=0) - np.log(n) - pointwise).sum()
     return ElpdResult(
         elpd=float(pointwise.sum()),

@@ -34,6 +34,8 @@ from typing import NamedTuple
 
 import numpy as np
 
+from mcmcpp_tpu.analysis.importance import hill_khat, truncated_weights
+
 
 class PowerScaleResult(NamedTuple):
     alpha: float
@@ -48,21 +50,6 @@ class SensitivityResult(NamedTuple):
     likelihood: np.ndarray   # (P,) likelihood power-scaling sensitivity
     diagnosis: list          # (P,) strings (see module docstring)
     threshold: float
-
-
-def _hill_khat(lw, frac=0.2):
-    """Hill tail-index of raw log-weights (same as model_compare.loo)."""
-    n = lw.shape[0]
-    m = max(int(frac * n), 5)
-    top = np.sort(lw)[-m:]
-    return float((top[1:] - top[0]).mean())
-
-
-def _truncated_weights(lw):
-    lw = lw - lw.max()
-    w = np.exp(lw)
-    w = np.minimum(w, w.mean() * np.sqrt(len(w)))
-    return w / w.sum()
 
 
 def _cjs_dist(x, w_q):
@@ -103,8 +90,9 @@ def powerscale(draws, log_comp, alpha):
     if log_comp.shape != (draws.shape[0],):
         raise ValueError("log_comp must be (n_draws,)")
     lw = (float(alpha) - 1.0) * log_comp
-    khat = _hill_khat(lw)
-    w = _truncated_weights(lw)
+    khat = float(hill_khat(lw))
+    w = truncated_weights(lw)
+    w = w / w.sum()
     mean = w @ draws
     sd = np.sqrt(np.maximum(w @ (draws - mean[None, :]) ** 2, 0.0))
     dist = np.array([

@@ -37,14 +37,6 @@ def rstar(samples, seed=0, test_frac=0.3, n_splits=1, max_iter=100,
     Guidance from the paper: R* ≲ 1.03 alongside R̂ < 1.01; values
     well above 1 mean some chain is distinguishable from the rest.
     """
-    try:
-        from sklearn.ensemble import HistGradientBoostingClassifier
-        from sklearn.model_selection import train_test_split
-    except ImportError as e:  # pragma: no cover - sklearn ships in-image
-        raise ImportError(
-            "rstar needs scikit-learn (unavailable in this environment)"
-        ) from e
-
     arr = np.asarray(samples, np.float64)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -55,12 +47,28 @@ def rstar(samples, seed=0, test_frac=0.3, n_splits=1, max_iter=100,
         raise ValueError("need at least 2 chains")
     if not 0.0 < float(test_frac) < 1.0:
         raise ValueError("test_frac must be in (0, 1)")
+    # sklearn import AFTER validation: cheap-to-raise paths never load
+    # the OpenMP runtime (see the in-suite isolation note in the tests)
+    try:
+        from sklearn.ensemble import HistGradientBoostingClassifier
+        from sklearn.model_selection import train_test_split
+    except ImportError as e:  # pragma: no cover - sklearn ships in-image
+        raise ImportError(
+            "rstar needs scikit-learn (unavailable in this environment)"
+        ) from e
+
     x = arr.transpose(1, 0, 2).reshape(c * s, p)
     y = np.repeat(np.arange(c), s)
     import contextlib
 
     if n_threads is not None:
-        from threadpoolctl import threadpool_limits
+        try:
+            from threadpoolctl import threadpool_limits
+        except ImportError as e:
+            raise ImportError(
+                "rstar(n_threads=...) needs threadpoolctl (ships with "
+                "scikit-learn); pass n_threads=None to skip the cap"
+            ) from e
 
         limiter = threadpool_limits(limits=int(n_threads))
     else:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mcmcpp_tpu.movers.base import Mover
-from mcmcpp_tpu.ops.partner import gather_partners, rolled_partners
+from mcmcpp_tpu.ops.partner import rolled_partners, select_partners
 
 
 class WalkMove(Mover):
@@ -52,9 +52,14 @@ class WalkMove(Mover):
                 raise ValueError(f"roll mode requires equal halves ({n} != {m})")
             xs = jnp.transpose(rolled_partners(kj, other, s), (1, 0, 2))  # (n,s,p)
         else:
-            # exact per-walker uniform S-subset, O(n·s) memory (no (n, m)
-            # score matrix — scalable to W=2^21 ensembles)
-            xs = jnp.transpose(gather_partners(kj, other, n, s), (1, 0, 2))
+            # "gather": exact per-walker uniform S-subset, O(n·s) memory
+            # (no (n, m) score matrix — scalable to W=2^21 ensembles);
+            # "block": per-128-walker-block iid subsets. Unknown modes
+            # must ERROR, not silently fall through to gather.
+            xs = jnp.transpose(
+                select_partners(kj, other, n, s, self.partner_mode),
+                (1, 0, 2),
+            )
         center = jnp.mean(xs, axis=1, keepdims=True)  # (n, 1, p)
         # one scalar normal per selected walker ≙ WalkMove.h:155-186
         normals = jax.random.normal(kn, (n, s), active.dtype)

@@ -114,7 +114,10 @@ def block_partners(key, other, n, k, block=None):
     m, p = other.shape
     block = BLOCK if block is None else int(block)
     k_r, k_q = jax.random.split(key)
-    if n == m and m % block == 0:
+    # fast path needs at least k distinct BLOCK offsets; tiny ensembles
+    # (m/block < k) route to the per-walker fallback, which draws the k
+    # distinct shifts at walker granularity
+    if n == m and m % block == 0 and m // block >= k:
         nb = m // block
         r = jax.random.randint(k_r, (), 0, m)
         q = _distinct_batch(k_q, nb, nb, k)            # (nb, k)

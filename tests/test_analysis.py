@@ -2,6 +2,8 @@
 baseline, test/sequential/AcTime/src/main.cpp:16-22) plus covariance,
 histogram, and percentile correctness on known data."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -455,39 +457,62 @@ class TestNestedRhat:
 
 
 class TestRstar:
-    """R* classifier diagnostic (Lambert & Vehtari 2022)."""
+    """R* classifier diagnostic (Lambert & Vehtari 2022).
 
-    def _draws(self, seed=0, s=150, c=4, p=3):
-        return np.random.default_rng(seed).standard_normal((s, c, p))
+    The sklearn-touching calls run in a SUBPROCESS: importing sklearn's
+    OpenMP runtime into a pytest worker that also drives XLA's
+    in-process LLVM measured a hard `Fatal Python error: Aborted` later
+    in the same worker (first full-suite run with in-process R* tests,
+    2026-08-20 — the abort landed in an unrelated IF2 test). rstar()
+    itself is numpy+sklearn only; isolating the import costs one
+    interpreter spawn per test class.
+    """
 
-    @pytest.mark.slow
-    def test_mixed_near_one_stuck_flagged(self):
-        from mcmcpp_tpu.analysis import rstar
+    @staticmethod
+    def _rstar_subprocess(script):
+        import json
+        import subprocess
+        import sys
 
-        good = self._draws()
-        assert 0.6 < rstar(good, max_iter=40, n_threads=1) < 1.25
-        bad = good.copy()
-        bad[:, 0, :] += 2.5  # one chain in its own region
-        assert rstar(bad, max_iter=40, n_threads=1) > 1.4
-
-    @pytest.mark.slow
-    def test_catches_joint_structure_rhat_misses(self):
-        """Chain 0 has the same MARGINALS but correlated components —
-        invisible to split-R-hat, visible to the classifier."""
-        from mcmcpp_tpu.analysis import rstar
-        from mcmcpp_tpu.analysis.diagnostics import (
-            potential_scale_reduction,
+        r = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True,
+            text=True, timeout=600,
         )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.splitlines()[-1])
 
-        rng = np.random.default_rng(1)
-        x = self._draws(seed=2, s=400, c=4, p=2)
-        z = rng.standard_normal(400)
-        x[:, 0, 0] = z
-        x[:, 0, 1] = 0.95 * z + np.sqrt(1 - 0.95**2) * rng.standard_normal(400)
-        assert np.all(potential_scale_reduction(x) < 1.02)
-        assert rstar(x, max_iter=60, n_threads=1) > 1.15
+    @pytest.mark.slow
+    def test_regimes_detected(self):
+        """mixed ~1; one-chain-offset flagged; joint-only structure
+        (identical marginals, split-R-hat blind) flagged too."""
+        out = self._rstar_subprocess("""
+import json
+import numpy as np
+import sys
+sys.path.insert(0, {repo!r})
+from mcmcpp_tpu.analysis.rstar import rstar
+
+rng = np.random.default_rng(0)
+good = rng.standard_normal((150, 4, 3))
+bad = good.copy(); bad[:, 0, :] += 2.5
+x = np.random.default_rng(2).standard_normal((400, 4, 2))
+r1 = np.random.default_rng(1)
+z = r1.standard_normal(400)
+x[:, 0, 0] = z
+x[:, 0, 1] = 0.95 * z + np.sqrt(1 - 0.95**2) * r1.standard_normal(400)
+print(json.dumps({{
+    "mixed": rstar(good, max_iter=40, n_threads=1),
+    "stuck": rstar(bad, max_iter=40, n_threads=1),
+    "joint": rstar(x, max_iter=60, n_threads=1),
+}}))
+""".format(repo=str(Path(__file__).resolve().parents[1])))
+        assert 0.6 < out["mixed"] < 1.25, out
+        assert out["stuck"] > 1.4, out
+        assert out["joint"] > 1.15, out
 
     def test_validation(self):
+        """Input validation raises BEFORE sklearn is imported, so it is
+        safe (and fast) to exercise in-process."""
         from mcmcpp_tpu.analysis import rstar
 
         with pytest.raises(ValueError, match="chains"):

@@ -158,3 +158,51 @@ def test_block_partners_partial_trailing_block():
     assert parts.shape == (1, 10, 2)
     ids = (np.asarray(parts[0, :, 0]) / 2).astype(int)
     assert ((ids - np.arange(10)) % 10 == (ids[0] - 0) % 10).sum() >= 4
+
+
+def test_block_partners_tiny_ensemble_k_exceeds_blocks():
+    """Round-5 review fix: m a multiple of 128 but with fewer blocks
+    than k must route to the per-walker fallback instead of raising
+    (DE/snooker/slice at W=256 hit exactly this geometry)."""
+    m, p, k = 128, 2, 2  # one block, two partners needed
+    other = jnp.arange(float(m * p)).reshape(m, p)
+    parts = block_partners(jax.random.key(3), other, m, k, block=128)
+    assert parts.shape == (k, m, p)
+    ids = (np.asarray(parts[:, :, 0]) / p).astype(int)
+    # distinct partners per walker
+    assert (ids[0] != ids[1]).all()
+    # and the full mover path runs end-to-end
+    from mcmcpp_tpu import DifferentialEvolutionMove, EnsembleSampler
+
+    s = EnsembleSampler(
+        skewed_gaussian_logp, n_walkers=256, n_params=2, seed=1,
+        mover=DifferentialEvolutionMove(partner_mode="block"),
+    )
+    s.init_ball(np.zeros(2), scale=0.5, seed=2)
+    s.run_mcmc(5, store=False)
+    assert s.total_steps == 5 * 256
+
+
+def test_walk_move_block_mode_honored_and_unknown_rejected():
+    """Round-5 review fix: WalkMove must dispatch non-roll modes through
+    select_partners — 'block' honored, typos rejected (previously any
+    non-'roll' string silently ran the slow per-walker gather)."""
+    from mcmcpp_tpu import EnsembleSampler, WalkMove
+
+    s = EnsembleSampler(
+        skewed_gaussian_logp, n_walkers=512, n_params=2, seed=3,
+        mover=WalkMove(n_samples=4, partner_mode="block"),
+    )
+    s.init_ball(np.zeros(2), scale=0.5, seed=4)
+    s.run_mcmc(400, store=False)
+    s.run_mcmc(1500)
+    cov = np.cov(s.get_samples(flat=True).T)
+    np.testing.assert_allclose(cov, skewed_gaussian_cov(), atol=0.2)
+
+    bad = EnsembleSampler(
+        skewed_gaussian_logp, n_walkers=64, n_params=2, seed=5,
+        mover=WalkMove(n_samples=4, partner_mode="rol"),
+    )
+    bad.init_ball(np.zeros(2), scale=0.5, seed=6)
+    with pytest.raises(ValueError, match="unknown partner mode"):
+        bad.run_mcmc(2, store=False)
