@@ -24,6 +24,7 @@ from mcmcpp_tpu.analysis.model_compare import (
 )
 from mcmcpp_tpu.analysis.scores import crps_ensemble, energy_score
 from mcmcpp_tpu.analysis.diagnostics import (
+    mcse_quantile,
     nested_rhat,
     hdi,
     mcse_mean,

@@ -63,6 +63,52 @@ def mcse_mean(samples, ess=None, **ess_kw):
     return sd / np.sqrt(np.maximum(ess, 1.0))
 
 
+def mcse_quantile(samples, prob):
+    """Monte-Carlo standard error of a posterior quantile per parameter
+    (Vehtari et al. 2021 §4.3 / the `posterior` package's estimator).
+
+    The quantile's sampling error is driven by the ESS of the INDICATOR
+    series I(x <= Q_prob) — autocorrelation-aware where the naive
+    sqrt(q(1-q)/N)/f(Q) plug-in is iid-only. The MCSE is read off the
+    order-statistic Beta interval: with S_eff the indicator ESS,
+    the central 68.27% interval of Beta(q S_eff + 1, (1-q) S_eff + 1)
+    mapped through the empirical quantile function gives
+    mcse = (Q_upper - Q_lower) / 2.
+
+    samples: (S, C, P) (or (S, C)). Returns (P,) (or a float).
+    """
+    from scipy import stats as _ss
+
+    arr = np.asarray(samples, np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("expected (steps, chains[, params])")
+    q = float(prob)
+    if not 0.0 < q < 1.0:
+        raise ValueError("prob must be in (0, 1)")
+    p_dim = arr.shape[-1]
+    out = np.empty(p_dim)
+    for j in range(p_dim):
+        x = arr[:, :, j]
+        flat = x.reshape(-1)
+        q_val = np.quantile(flat, q)
+        ind = (x <= q_val).astype(np.float64)
+        # indicator ESS; a constant indicator (quantile at the support
+        # edge) has no sampling error at this resolution
+        if ind.std() == 0:
+            out[j] = 0.0
+            continue
+        s_eff = float(np.asarray(effective_sample_size(ind[:, :, None]))[0])
+        s_eff = max(s_eff, 4.0)
+        a = _ss.beta.ppf(0.15865, q * s_eff + 1, (1 - q) * s_eff + 1)
+        b = _ss.beta.ppf(0.84135, q * s_eff + 1, (1 - q) * s_eff + 1)
+        lo, hi = np.quantile(flat, [a, b])
+        out[j] = (hi - lo) / 2.0
+    return float(out[0]) if squeeze else out
+
+
 def summary(samples, prob=0.9):
     """Per-parameter posterior summary dict.
 

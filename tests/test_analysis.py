@@ -521,3 +521,46 @@ print(json.dumps({{
             rstar(np.zeros((10, 4, 2)), test_frac=1.5)
         with pytest.raises(ValueError, match="steps"):
             rstar(np.zeros((10,)))
+
+
+class TestMcseQuantile:
+    """mcse_quantile (Vehtari et al. 2021 §4.3 order-statistic Beta
+    interval through the indicator ESS)."""
+
+    def test_iid_matches_asymptotic(self):
+        from scipy.stats import norm
+
+        from mcmcpp_tpu.analysis import mcse_quantile
+
+        x = np.random.default_rng(0).standard_normal((500, 32, 1))
+        for q in (0.5, 0.9):
+            est = mcse_quantile(x, q)[0]
+            asym = (np.sqrt(q * (1 - q) / x.size)
+                    / norm.pdf(norm.ppf(q)))
+            assert 0.6 * asym < est < 1.6 * asym, (q, est, asym)
+
+    def test_autocorrelation_inflates_mcse(self):
+        """An AR(1) chain must report a LARGER quantile MCSE than an
+        iid sample of the same size (the whole point vs the plug-in)."""
+        from mcmcpp_tpu.analysis import mcse_quantile
+
+        rng = np.random.default_rng(1)
+        phi = 0.9
+        e = rng.standard_normal((2000, 8))
+        x = np.zeros_like(e)
+        for t in range(1, 2000):
+            x[t] = phi * x[t - 1] + np.sqrt(1 - phi * phi) * e[t]
+        iid = rng.standard_normal((2000, 8))
+        assert mcse_quantile(x, 0.5) > 2.0 * mcse_quantile(iid, 0.5)
+
+    def test_validation_and_shapes(self):
+        from mcmcpp_tpu.analysis import mcse_quantile
+
+        x = np.random.default_rng(2).standard_normal((100, 4, 3))
+        out = mcse_quantile(x, 0.25)
+        assert out.shape == (3,) and (out > 0).all()
+        assert isinstance(mcse_quantile(x[:, :, 0], 0.5), float)
+        with pytest.raises(ValueError, match="prob"):
+            mcse_quantile(x, 1.5)
+        with pytest.raises(ValueError, match="steps"):
+            mcse_quantile(np.zeros(5), 0.5)
