@@ -119,7 +119,7 @@ class TestNonlinear:
         pf = particle_filter(jax.random.key(0), ssm, None, ys, 100_000)
         # filtered means agree to the PF's own MC error scale
         np.testing.assert_allclose(
-            np.asarray(ukf.means[:, 0]), np.asarray(pf.x_means[:, 0]),
+            np.asarray(ukf.means[:, 0]), np.asarray(pf.filter_means[:, 0]),
             atol=0.12,
         )
         assert abs(float(ukf.loglik) - float(pf.loglik)) < 1.0
