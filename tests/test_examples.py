@@ -16,7 +16,20 @@ REPO = Path(__file__).resolve().parents[1]
 pytestmark = pytest.mark.xdist_group("example_subprocess")
 
 
-def _run(script, *args, timeout=900, devices=8):
+def _run(script, *args, timeout=900, devices=8, nice=None):
+    """``nice``: negative value raises the subprocess's scheduling
+    priority (root only — silently a no-op otherwise). The heavy
+    example smokes use it because a few-threaded subprocess under 4
+    busy xdist workers gets a CFS share measured at ~1/35 of solo
+    (1768 s for a 49 s run); priority restores ~solo pace while the
+    workers lose only that minute."""
+    preexec = None
+    if nice is not None:
+        def preexec():
+            try:
+                os.nice(int(nice))
+            except (OSError, PermissionError):
+                pass
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
@@ -33,7 +46,7 @@ def _run(script, *args, timeout=900, devices=8):
     )
     return subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=timeout, cwd=REPO,
+        timeout=timeout, cwd=REPO, preexec_fn=preexec,
     )
 
 
@@ -141,7 +154,7 @@ def test_gp_hyperparams_example():
     # time. A separate group lets them run on another worker in
     # parallel with the light example subprocesses; the function-level
     # marker overrides the module-level group (closest marker wins).
-    r = _run("gp_hyperparams.py", "--quick", timeout=1500)
+    r = _run("gp_hyperparams.py", "--quick", timeout=1500, nice=-10)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
     assert "lengthscale" in r.stdout
@@ -152,7 +165,7 @@ def test_gp_hyperparams_example():
 def test_state_space_example():
     # Same separate-group treatment as the GP smoke above (three
     # Gibbs/PMMH loops, ~60 s solo).
-    r = _run("state_space.py", "--quick", timeout=1500)
+    r = _run("state_space.py", "--quick", timeout=1500, nice=-10)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
     assert "sticky diagonal" in r.stdout
