@@ -77,8 +77,6 @@ def mcse_quantile(samples, prob):
 
     samples: (S, C, P) (or (S, C)). Returns (P,) (or a float).
     """
-    from scipy import stats as _ss
-
     arr = np.asarray(samples, np.float64)
     squeeze = arr.ndim == 2
     if squeeze:
@@ -101,9 +99,15 @@ def mcse_quantile(samples, prob):
             out[j] = 0.0
             continue
         s_eff = float(np.asarray(effective_sample_size(ind[:, :, None]))[0])
+        if not np.isfinite(s_eff):
+            # per-chain-constant indicator (chains stuck in separate
+            # modes) or an unclosed ACT window: the error is not
+            # estimable — degrade to NaN like mcse_mean, never raise
+            out[j] = np.nan
+            continue
         s_eff = max(s_eff, 4.0)
-        a = _ss.beta.ppf(0.15865, q * s_eff + 1, (1 - q) * s_eff + 1)
-        b = _ss.beta.ppf(0.84135, q * s_eff + 1, (1 - q) * s_eff + 1)
+        a = _stats.beta.ppf(0.15865, q * s_eff + 1, (1 - q) * s_eff + 1)
+        b = _stats.beta.ppf(0.84135, q * s_eff + 1, (1 - q) * s_eff + 1)
         lo, hi = np.quantile(flat, [a, b])
         out[j] = (hi - lo) / 2.0
     return float(out[0]) if squeeze else out

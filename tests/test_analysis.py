@@ -553,6 +553,18 @@ class TestMcseQuantile:
         iid = rng.standard_normal((2000, 8))
         assert mcse_quantile(x, 0.5) > 2.0 * mcse_quantile(iid, 0.5)
 
+    def test_stuck_chains_degrade_to_nan(self):
+        """Per-chain-constant indicator (chains in separate modes) must
+        return NaN like mcse_mean, never raise (review fix: NaN ESS
+        propagated into np.quantile as an invalid quantile)."""
+        from mcmcpp_tpu.analysis import mcse_quantile
+
+        x = np.stack([np.full(500, -1.0), np.full(500, 1.0)], axis=1)
+        x += 1e-3 * np.random.default_rng(3).standard_normal(x.shape)
+        out = mcse_quantile(x[:, :, None], 0.5)
+        assert out.shape == (1,)
+        assert np.isnan(out[0])
+
     def test_validation_and_shapes(self):
         from mcmcpp_tpu.analysis import mcse_quantile
 

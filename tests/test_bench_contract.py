@@ -4,11 +4,15 @@ driver artifact depends on (a malformed JSON line loses the round's
 perf evidence — see bench.py's orchestrator docstring)."""
 
 import json
+import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
 
-import bench
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402  (repo-root module, like test_bench_orchestrator)
 
 
 def test_spread_median_min_max():
@@ -23,9 +27,7 @@ def test_vs_prev_reads_newest_parsed_artifact(tmp_path, monkeypatch):
             "rc": rc, "parsed": {"value": value, "ess": 10.0 * n},
         }))
     (tmp_path / "BENCH_rX.json").write_text("not json")
-    monkeypatch.setattr(
-        bench.os.path, "dirname", lambda _: str(tmp_path)
-    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     n, prev = bench._prev_artifact()
     assert n == 4 and prev["value"] == 4.0  # rc=1 artifact skipped
     out = bench._vs_prev({"value": 8.0, "ess": 20.0, "unit": "x",
@@ -37,9 +39,7 @@ def test_vs_prev_reads_newest_parsed_artifact(tmp_path, monkeypatch):
 
 
 def test_vs_prev_none_without_artifacts(tmp_path, monkeypatch):
-    monkeypatch.setattr(
-        bench.os.path, "dirname", lambda _: str(tmp_path)
-    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     assert bench._vs_prev({"value": 1.0}) is None
 
 

@@ -9,11 +9,17 @@ import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
-# One xdist group: at most ONE example subprocess alive at a time (needs
-# --dist loadgroup, set in pyproject addopts). Each subprocess spins an
-# 8-virtual-device XLA pool whose collectives busy-spin; two of those on
-# a saturated 4-core box starve each other past any reasonable timeout.
-pytestmark = pytest.mark.xdist_group("example_subprocess")
+# Grouping (pytest-xdist --dist loadgroup, set in pyproject addopts):
+# at most ONE example subprocess alive per group at a time — each spins
+# an 8-virtual-device XLA pool whose collectives busy-spin; two of those
+# on a saturated 4-core box starve each other past any reasonable
+# timeout. Two groups so the two COMPILE-HEAVY smokes (own group, run
+# reniced) overlap the light ones instead of serializing behind them.
+# NOTE: pytest-xdist UNIONS multiple xdist_group markers into a combined
+# name, so every test here carries exactly ONE explicit marker — do not
+# add a module-level pytestmark on top.
+_light = pytest.mark.xdist_group("example_subprocess")
+_heavy = pytest.mark.xdist_group("example_heavy")
 
 
 def _run(script, *args, timeout=900, devices=8, nice=None):
@@ -23,13 +29,6 @@ def _run(script, *args, timeout=900, devices=8, nice=None):
     busy xdist workers gets a CFS share measured at ~1/35 of solo
     (1768 s for a 49 s run); priority restores ~solo pace while the
     workers lose only that minute."""
-    preexec = None
-    if nice is not None:
-        def preexec():
-            try:
-                os.nice(int(nice))
-            except (OSError, PermissionError):
-                pass
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
@@ -44,13 +43,31 @@ def _run(script, *args, timeout=900, devices=8, nice=None):
         f"exec(compile(open({path!r}).read(), {path!r}, 'exec'),"
         f" {{'__file__': {path!r}, '__name__': '__main__'}})"
     )
-    return subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=timeout, cwd=REPO, preexec_fn=preexec,
+    # renice from the PARENT after spawn (os.setpriority on the child
+    # pid) — preexec_fn runs Python between fork and exec, which is
+    # documented-unsafe in threaded parents like a JAX-loaded xdist
+    # worker (locks held mid-fork can deadlock the child)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd=REPO, env=env,
     )
+    if nice is not None:
+        try:
+            os.setpriority(os.PRIO_PROCESS, proc.pid, int(nice))
+        except (OSError, PermissionError):
+            pass
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise
+    return subprocess.CompletedProcess(proc.args, proc.returncode,
+                                       stdout, stderr)
 
 
 @pytest.mark.slow
+@_light
 def test_skewed_gaussian_example():
     r = _run("skewed_gaussian.py", "--steps", "400", "--thin", "4",
              "--walkers", "64", "--burn", "100")
@@ -60,6 +77,7 @@ def test_skewed_gaussian_example():
 
 
 @pytest.mark.slow
+@_light
 def test_actime_example():
     r = _run("actime.py", "--steps", "4096", "--walkers", "32")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -67,12 +85,14 @@ def test_actime_example():
 
 
 @pytest.mark.slow
+@_light
 def test_actime_example_sharded():
     r = _run("actime.py", "--steps", "2048", "--walkers", "32", "--sharded")
     assert r.returncode == 0, r.stderr[-2000:]
 
 
 @pytest.mark.slow
+@_light
 def test_inner_benchmark_example():
     r = _run("inner_benchmark.py", "--steps", "500", "--walkers", "128")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -80,6 +100,7 @@ def test_inner_benchmark_example():
 
 
 @pytest.mark.slow
+@_light
 def test_hierarchical_example():
     r = _run("hierarchical.py", "--chains", "16")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -87,6 +108,7 @@ def test_hierarchical_example():
 
 
 @pytest.mark.slow
+@_light
 def test_gp_latent_example():
     r = _run("gp_latent.py", "--quick")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -94,6 +116,7 @@ def test_gp_latent_example():
 
 
 @pytest.mark.slow
+@_light
 def test_bayesian_workflow_example():
     r = _run("bayesian_workflow.py", "--dim", "6", "--quick")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -101,6 +124,7 @@ def test_bayesian_workflow_example():
     assert "ArviZ export groups" in r.stdout
 
 
+@_light
 def test_api_doc_generation():
     """docs/gen_api.py must run clean AND match the checked-in api.md —
     red on drift (regenerate with `python docs/gen_api.py` and commit)."""
@@ -120,6 +144,7 @@ def test_api_doc_generation():
 
 
 @pytest.mark.slow
+@_light
 def test_streaming_example():
     r = _run("streaming.py", "--quick")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -128,6 +153,7 @@ def test_streaming_example():
 
 
 @pytest.mark.slow
+@_light
 def test_dp_mixture_example():
     r = _run("dp_mixture.py", "--quick", "--n", "120")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -136,6 +162,7 @@ def test_dp_mixture_example():
 
 
 @pytest.mark.slow
+@_light
 def test_evidence_example():
     r = _run("evidence.py", "--quick")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -144,8 +171,7 @@ def test_evidence_example():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
-@pytest.mark.xdist_group("example_heavy")
+@_heavy
 def test_gp_hyperparams_example():
     # Own xdist group (round-5 wall-time fix): these two compile-heavy
     # smokes previously ran IN-PROCESS inside the serialized
@@ -161,7 +187,7 @@ def test_gp_hyperparams_example():
 
 
 @pytest.mark.slow
-@pytest.mark.xdist_group("example_heavy")
+@_heavy
 def test_state_space_example():
     # Same separate-group treatment as the GP smoke above (three
     # Gibbs/PMMH loops, ~60 s solo).
@@ -172,6 +198,7 @@ def test_state_space_example():
 
 
 @pytest.mark.slow
+@_light
 def test_regime_switching_example():
     r = _run("regime_switching.py", "--quick")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -180,6 +207,7 @@ def test_regime_switching_example():
 
 
 @pytest.mark.slow
+@_light
 def test_data_assimilation_example():
     r = _run("data_assimilation.py", "--quick")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -187,6 +215,7 @@ def test_data_assimilation_example():
 
 
 @pytest.mark.slow
+@_light
 def test_skewed_gaussian_example_dram():
     r = _run("skewed_gaussian.py", "--mover", "dram", "--steps", "400",
              "--thin", "4", "--walkers", "64", "--burn", "100")
@@ -195,6 +224,7 @@ def test_skewed_gaussian_example_dram():
 
 
 @pytest.mark.slow
+@_light
 def test_function_space_example():
     r = _run("function_space.py", "--steps", "300", "--chains", "8")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -202,6 +232,7 @@ def test_function_space_example():
 
 
 @pytest.mark.slow
+@_light
 def test_ssm_mle_example():
     r = _run("ssm_mle.py", "--t", "60", "--if2-iters", "6",
              "--particles", "256")
