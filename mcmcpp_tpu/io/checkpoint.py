@@ -400,6 +400,7 @@ def save_checkpoint(sampler, path):
             kind="pcn",
             n_chains=sampler.n_chains,
             total_steps=sampler.total_steps,
+            beta=sampler.beta,  # tune() mutates it — part of the state
             prng_impl=_key_impl_name(sampler._key),
         )
         s = sampler.state
@@ -893,6 +894,8 @@ def load_checkpoint(sampler, path):
         )
         sampler.state = sampler._constrain(state)
         sampler.total_steps = int(meta["total_steps"])
+        if "beta" in meta:  # absent in pre-tune()-era checkpoints
+            sampler.beta = float(meta["beta"])
         sampler._key = _wrap_key(arrays["key"], meta.get("prng_impl"))
         sampler.chain.clear()
         if arrays["chain_samples"].shape[0]:

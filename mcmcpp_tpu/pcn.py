@@ -147,6 +147,54 @@ class PCNSampler:
             / (self.total_steps * self.n_chains)
         )
 
+    def tune(self, n_steps=400, target=0.3, window=20, rate=2.0,
+             beta_min=1e-4):
+        """Robbins–Monro adaptation of β toward ``target`` acceptance,
+        then FREEZE (adapt-then-freeze keeps the subsequent sampled
+        chain exactly π-invariant — the same pattern as
+        ``PMMHSampler.tune``). ~20–40% acceptance is the useful band;
+        because pCN acceptance is dimension-robust, one tune run
+        transfers across discretization levels of the same problem.
+
+        Runs ``n_steps`` unstored transitions in ``window``-step
+        launches, updating ``log β`` by ``rate/k^0.6 · (acc − target)``
+        per window (log space, clamped to (beta_min, 1]: the natural
+        scale — β=1 is the finite upper boundary, unlike a logit
+        parametrization which diverges there). Tuning steps do not
+        count toward ``acceptance_fraction`` (counters reset at the
+        end). Returns self; read the result off ``self.beta``.
+        """
+        if self.state is None:
+            raise RuntimeError("call init/init_prior first")
+        if not 0.0 < float(target) < 1.0:
+            raise ValueError("target must be in (0, 1)")
+        window = int(window)
+        prev = int(np.sum(np.asarray(self.state.accepted)))
+        for k in range(max(1, int(n_steps) // window)):
+            # fresh program per beta value: beta is a TRACE-TIME
+            # constant of the step (the cache key must include it)
+            fn = self._run_cache.get(("tune", window, self.beta))
+            if fn is None:
+                fn = jax.jit(
+                    lambda st, key, w=window: self._run_scan(st, key, 1, w)
+                )
+                self._run_cache[("tune", window, self.beta)] = fn
+            self._key, run_key = jax.random.split(self._key)
+            self.state, _, _ = fn(self.state, run_key)
+            total = int(np.sum(np.asarray(self.state.accepted)))
+            acc = (total - prev) / (window * self.n_chains)
+            prev = total
+            step = rate / (k + 1.0) ** 0.6
+            log_beta = np.log(self.beta) + step * (acc - float(target))
+            self.beta = float(np.clip(np.exp(log_beta), beta_min, 1.0))
+        # freeze: zero the counters so acceptance_fraction reflects the
+        # FIXED-kernel phase only
+        self.state = self.state._replace(
+            accepted=jnp.zeros((self.n_chains,), jnp.int32)
+        )
+        self.total_steps = 0
+        return self
+
     # -- one transition for the whole (C, P) batch ---------------------------
 
     def _step(self, key, state):
@@ -204,14 +252,17 @@ class PCNSampler:
         chunk = default_chunk_steps(self.n_chains, self.n_params, self.dtype)
 
         def launch(take):
-            fn = self._run_cache.get((take, thin))
+            # beta is a trace-time constant of the step: it must be part
+            # of the program-cache key or a post-tune() run would reuse
+            # a stale-beta executable
+            fn = self._run_cache.get((take, thin, self.beta))
             if fn is None:
                 fn = jax.jit(
                     lambda st, k, t=take, th=thin: self._run_scan(
                         st, k, t, th
                     )
                 )
-                self._run_cache[(take, thin)] = fn
+                self._run_cache[(take, thin, self.beta)] = fn
             self._key, run_key = jax.random.split(self._key)
             self.state, pos, ll = fn(self.state, run_key)
             self.total_steps += take * thin
@@ -225,12 +276,12 @@ class PCNSampler:
 
         ok = run_pipelined(n_store, chunk, launch, fetch)
         if ok and leftover:
-            fn = self._run_cache.get((1, leftover))
+            fn = self._run_cache.get((1, leftover, self.beta))
             if fn is None:
                 fn = jax.jit(
                     lambda st, k, lo=leftover: self._run_scan(st, k, 1, lo)
                 )
-                self._run_cache[(1, leftover)] = fn
+                self._run_cache[(1, leftover, self.beta)] = fn
             self._key, run_key = jax.random.split(self._key)
             self.state, _, _ = fn(self.state, run_key)
             self.total_steps += leftover

@@ -155,6 +155,21 @@ class TestPCN:
         assert a.total_steps == b.total_steps
         assert a.acceptance_fraction == b.acceptance_fraction
 
+    def test_checkpoint_carries_tuned_beta(self, gauss_problem, tmp_path):
+        from mcmcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        loglike, chol, _, _ = gauss_problem
+        a = PCNSampler(loglike, prior_mean=np.zeros(DIM), prior_chol=chol,
+                       beta=1.0, n_chains=16, seed=31)
+        a.init_prior(seed=32)
+        a.tune(n_steps=200, window=20)
+        ckpt = save_checkpoint(a, tmp_path / "pcn_tuned.npz")
+        b = PCNSampler(loglike, prior_mean=np.zeros(DIM), prior_chol=chol,
+                       beta=1.0, n_chains=16, seed=99)
+        b.init_prior(seed=33)
+        load_checkpoint(b, ckpt)
+        assert b.beta == a.beta != 1.0
+
     def test_validation(self, gauss_problem):
         loglike, chol, _, _ = gauss_problem
         with pytest.raises(ValueError, match="beta"):
@@ -174,3 +189,54 @@ class TestPCN:
         with pytest.raises(RuntimeError, match="init"):
             PCNSampler(loglike, prior_mean=np.zeros(DIM),
                        prior_chol=chol).run(5)
+
+
+class TestPCNTune:
+    def test_tune_reaches_target_band_and_freezes(self, gauss_problem):
+        """Robbins-Monro beta adaptation: from a far-too-large start the
+        acceptance must land near the target and the tuned beta must be
+        frozen through the sampling phase (exactness argument)."""
+        loglike, chol, post_mean, post_cov = gauss_problem
+        s = PCNSampler(
+            loglike, prior_mean=np.zeros(DIM), prior_chol=chol,
+            beta=1.0, n_chains=64, seed=21,
+        )
+        s.init_prior(seed=22)
+        s.tune(n_steps=800, target=0.3, window=20)
+        assert s.beta < 1.0
+        beta_frozen = s.beta
+        assert s.total_steps == 0  # tune steps don't count
+        s.run(1200)
+        assert s.beta == beta_frozen
+        assert 0.15 < s.acceptance_fraction < 0.5, s.acceptance_fraction
+        # and the post-tune chain still matches the conjugate oracle
+        flat = s.get_samples(burn_in=200, flat=True)
+        np.testing.assert_allclose(flat.mean(axis=0), post_mean, atol=0.2)
+
+    def test_tune_raises_uninitialized_and_bad_target(self, gauss_problem):
+        loglike, chol, _, _ = gauss_problem
+        s = PCNSampler(loglike, prior_mean=np.zeros(DIM), prior_chol=chol)
+        with pytest.raises(RuntimeError, match="init"):
+            s.tune()
+        s.init_prior(seed=23)
+        with pytest.raises(ValueError, match="target"):
+            s.tune(target=1.5)
+
+    def test_post_tune_run_uses_fresh_program(self, gauss_problem):
+        """The run cache is keyed on beta: a run BEFORE tune must not
+        leak its stale-beta executable into the run AFTER tune (the
+        acceptance under the old program would silently stay at the
+        old beta's rate)."""
+        loglike, chol, _, _ = gauss_problem
+        s = PCNSampler(
+            loglike, prior_mean=np.zeros(DIM), prior_chol=chol,
+            beta=1.0, n_chains=64, seed=24,
+        )
+        s.init_prior(seed=25)
+        s.run(50)          # populates the cache at beta=1.0
+        acc_before = s.acceptance_fraction
+        s.chain.clear()
+        s.tune(n_steps=400, target=0.3, window=20)
+        s.run(400)
+        assert s.beta != 1.0
+        assert s.acceptance_fraction > acc_before + 0.05

@@ -109,9 +109,11 @@ def test_end_to_end_ensemble_sampler_calibrated():
 
         s = EnsembleSampler(logp, n_walkers=32, n_params=1, seed=seed)
         s.init_ball(np.zeros(1), scale=0.5, seed=seed + 1)
-        s.run_mcmc(150, store=False)
-        s.run_mcmc(80, thin=10)  # 8 stored steps × 32 walkers, thinned
-        draws = s.get_samples(flat=True)
+        # ONE stored run per fit (burn-in = discarded leading rows):
+        # the per-fit cost is jit COMPILATION of fresh closures, so one
+        # program instead of a nostore + a stored one halves the test
+        s.run_mcmc(240, thin=10)
+        draws = s.get_samples(burn_in=16, flat=True)
         idx = np.linspace(0, draws.shape[0] - 1, L_DRAWS).astype(int)
         return draws[idx]
 
@@ -145,9 +147,8 @@ def test_sbc_model_dsl_bridge_calibrated():
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
         s = EnsembleSampler(logp, n_walkers=32, n_params=dim, seed=seed)
         s.init_ball(np.zeros(dim), scale=0.5, seed=seed + 1)
-        s.run_mcmc(200, store=False)
-        s.run_mcmc(160, thin=20)  # 8 stored steps, ~3 ACTs apart
-        draws = s.get_samples(flat=True)
+        s.run_mcmc(360, thin=20)  # one program; ~3-ACT spacing
+        draws = s.get_samples(burn_in=10, flat=True)
         idx = np.linspace(0, draws.shape[0] - 1, L_DRAWS).astype(int)
         return draws[idx]
 
