@@ -45,6 +45,12 @@ from mcmcpp_tpu.gradient import (
 from mcmcpp_tpu.smc import SMCSampler
 from mcmcpp_tpu.ibis import IBISSampler
 from mcmcpp_tpu.if2 import IF2Result, if2
+from mcmcpp_tpu.eks import (
+    EKIResult,
+    EKSResult,
+    ensemble_kalman_inversion,
+    ensemble_kalman_sampler,
+)
 from mcmcpp_tpu.ukf import (
     UKFModel,
     UKFResult,
@@ -146,6 +152,10 @@ __all__ = [
     "IBISSampler",
     "if2",
     "IF2Result",
+    "EKIResult",
+    "EKSResult",
+    "ensemble_kalman_inversion",
+    "ensemble_kalman_sampler",
     "UKFModel",
     "UKFResult",
     "unscented_kalman_filter",
