@@ -80,7 +80,7 @@ class TestEKS:
         fwd, y, gamma, c0, post_mean, post_cov = linear_problem
         r = ensemble_kalman_sampler(
             jax.random.key(1), fwd, y, gamma, np.zeros(P_DIM), c0,
-            n_ensemble=2048, n_iters=2500, dt0=0.1,
+            n_ensemble=1024, n_iters=1200, dt0=0.1,
         )
         np.testing.assert_allclose(np.asarray(r.mean), post_mean,
                                    atol=0.08)
@@ -129,7 +129,7 @@ class TestEKS:
         from mcmcpp_tpu.parallel.mesh import make_walker_mesh
 
         fwd, y, gamma, c0, post_mean, _ = linear_problem
-        kw = dict(n_ensemble=512, n_iters=300)
+        kw = dict(n_ensemble=512, n_iters=100)
         a = ensemble_kalman_sampler(
             jax.random.key(6), fwd, y, gamma, np.zeros(P_DIM), c0,
             mesh=make_walker_mesh(), **kw,
